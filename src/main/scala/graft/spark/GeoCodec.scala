@@ -1,0 +1,122 @@
+package graft.spark
+
+import graft.index._
+
+/**
+ * JVM-static codec entry points for the hot row-at-a-time paths. Catalyst
+ * expressions call these from generated code (a static call keeps
+ * whole-stage codegen intact — no boxing, no virtual dispatch).
+ *
+ * Index semantics (bucket edge rules, tier layout, year binning) are the
+ * reference's, via graft.index
+ * (reference: core/index/.../sfc/tiered/TieredSFCIndexStrategy.java,
+ *  core/geotime/.../ingest/SpatialDimensionalityTypeProvider.java:29-45).
+ */
+object GeoCodec {
+  /** default spatial index: Hilbert 31/31, half-range latitude, tiers 0..31 */
+  val SpatialBits = 31
+  lazy val spatial: TieredStrategy = TieredStrategy.defaultSpatial
+  /** default spatial-temporal: 20/20/20, YEAR bins, 11 equal-interval tiers */
+  val STBits = 20
+  lazy val spatialTemporal: TieredStrategy = TieredStrategy.defaultSpatialTemporal
+
+  private val curves2d = new Array[CompactHilbert](32)
+  def curve2d(bits: Int): CompactHilbert = {
+    var c = curves2d(bits)
+    if (c == null) { c = new CompactHilbert(Array(bits, bits)); curves2d(bits) = c }
+    c
+  }
+  private val curves3d = new Array[CompactHilbert](21)
+  def curve3d(bits: Int): CompactHilbert = {
+    var c = curves3d(bits)
+    if (c == null) { c = new CompactHilbert(Array(bits, bits, bits)); curves3d(bits) = c }
+    c
+  }
+
+  /** point bucket rule `max(ceil(norm*bins)-1, 0)`
+    * (reference: PrimitiveHilbertSFCOperations.normalizeDimension:248-261) */
+  @inline def bucketPoint(norm: Double, bins: Long): Long =
+    math.max(math.ceil(norm * bins) - 1L, 0L).toLong
+
+  /** range-min bucket rule `min(floor(norm*bins), bins-1)` */
+  @inline def bucketMin(norm: Double, bins: Long): Long =
+    math.min(math.floor(norm * bins), (bins - 1).toDouble).toLong
+
+  @inline def normLon(lon: Double): Double = {
+    val c = if (lon < -180) -180 else if (lon > 180) 180 else lon
+    (c + 180) / 360
+  }
+
+  /** latitude on the half-range trick: normalized over [-180,180], data
+    * clamped to [-90,90] (reference: LatitudeDefinition.java:33-49) */
+  @inline def normLat(lat: Double): Double = {
+    val c = if (lat < -90) -90 else if (lat > 90) 90 else lat
+    (c + 180) / 360
+  }
+
+  def bucketLon(lon: Double, bits: Int): Long = bucketPoint(normLon(lon), 1L << bits)
+  def bucketLat(lat: Double, bits: Int): Long = bucketPoint(normLat(lat), 1L << bits)
+
+  /** single-tier Hilbert tile id of a point at the given per-dim precision —
+    * the tile-assignment primitive (dims ordered [lon, lat] like the default
+    * spatial index). */
+  def tileId(lon: Double, lat: Double, bits: Int): Long =
+    curve2d(bits).index(Array(bucketLon(lon, bits), bucketLat(lat, bits)))
+
+  /** tile cell bounds [lonMin, lonMax, latMin, latMax] (lat denormalized from
+    * the half-range trick; clamped to [-90,90]). */
+  def tileBounds(tile: Long, bits: Int): Array[Double] = {
+    val p = curve2d(bits).indexInverse(tile)
+    val bins = (1L << bits).toDouble
+    val lonMin = p(0) / bins * 360 - 180
+    val lonMax = (p(0) + 1) / bins * 360 - 180
+    val latMin = math.max(p(1) / bins * 360 - 180, -90.0)
+    val latMax = math.min((p(1) + 1) / bins * 360 - 180, 90.0)
+    Array(lonMin, lonMax, latMin, latMax)
+  }
+
+  /** full tiered spatial insertion id of a point: tier byte 31 ‖ 8 sfc bytes.
+    * Points always land on the finest tier with a single id. */
+  def cellIdSpatial(lon: Double, lat: Double): Array[Byte] = {
+    val h = curve2d(SpatialBits).index(
+      Array(bucketLon(lon, SpatialBits), bucketLat(lat, SpatialBits)))
+    val out = new Array[Byte](9)
+    out(0) = SpatialBits.toByte
+    var i = 8
+    var v = h
+    while (i >= 1) { out(i) = (v & 0xff).toByte; v >>>= 8; i -= 1 }
+    out
+  }
+
+  /** Year-bin epochs cached; GMT calendar-year semantics
+    * (reference: TemporalBinningStrategy.java:126-171, YEAR unit). */
+  private val yearEpochs = new java.util.concurrent.ConcurrentHashMap[Integer, Long]()
+  private val utc = java.time.ZoneOffset.UTC
+  def yearOf(millis: Long): Int =
+    java.time.Instant.ofEpochMilli(millis).atZone(utc).getYear
+  def yearEpoch(year: Int): Long =
+    yearEpochs.computeIfAbsent(year, y =>
+      java.time.LocalDate.of(y, 1, 1).atStartOfDay(utc).toInstant.toEpochMilli)
+  val YearBinSizeMillis: Long = 366L * 86400000L
+
+  /** full tiered spatial-temporal insertion id of a point event:
+    * tier byte 20 ‖ "YYYY" ‖ 8 sfc bytes (60 bits). */
+  def cellIdST(lon: Double, lat: Double, tsMillis: Long): Array[Byte] = {
+    val year = yearOf(tsMillis)
+    val inBin = tsMillis - yearEpoch(year)
+    val tNorm = inBin.toDouble / (YearBinSizeMillis - 1).toDouble
+    val bins = 1L << STBits
+    val h = curve3d(STBits).index(Array(
+      bucketPoint(normLon(lon), bins),
+      bucketPoint(normLat(lat), bins),
+      bucketPoint(tNorm, bins)))
+    val out = new Array[Byte](13)
+    out(0) = STBits.toByte
+    val yb = year.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    System.arraycopy(yb, 0, out, 1, 4)
+    var i = 12
+    var v = h
+    while (i >= 5) { out(i) = (v & 0xff).toByte; v >>>= 8; i -= 1 }
+    out
+  }
+}

@@ -1,0 +1,201 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import GeoFunctions._
+
+/**
+ * Spark-native re-expressions of the reference's query/analytic operators.
+ * Every operator is a declarative DataFrame transform (Catalyst plans,
+ * whole-stage codegen) — no RDDs, no driver-side loops over data.
+ */
+object Ops {
+
+  // ---------------------------------------------------------------- scans
+
+  /** Spatial range (box) query through the full index pipeline: coarse
+    * cell-id range prefilter from SFC decomposition + exact MBR test.
+    * (reference: SpatialQuery via BaseDataStore.query, SURVEY §3.1) */
+  def spatialBoxQuery(pts: DataFrame, lonMin: Double, lonMax: Double,
+                      latMin: Double, latMax: Double,
+                      cellCol: String = "cell_id"): DataFrame = {
+    val withCell =
+      if (pts.columns.contains(cellCol)) pts
+      else pts.withColumn(cellCol, gw_cell_id(col("lon"), col("lat")))
+    val ranges = SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax)
+    withCell
+      .where(SpatialPlanner.rangesPredicate(col(cellCol), ranges))
+      .where(SpatialPlanner.boxPredicate(col("lon"), col("lat"), lonMin, lonMax, latMin, latMax))
+  }
+
+  /** Spatial geometry query: envelope-decomposed cell prefilter + exact
+    * prepared-geometry test (OVERLAPS → intersects).
+    * (reference: SpatialQueryFilter.java:50-80; prepared interning :284-301) */
+  def spatialGeometryQuery(pts: DataFrame, geom: org.locationtech.jts.geom.Geometry,
+                           cellCol: String = "cell_id"): DataFrame = {
+    val withCell =
+      if (pts.columns.contains(cellCol)) pts
+      else pts.withColumn(cellCol, gw_cell_id(col("lon"), col("lat")))
+    val ranges = SpatialPlanner.spatialGeometryRanges(geom)
+    val wkb = new org.locationtech.jts.io.WKBWriter(2).write(geom)
+    withCell
+      .where(SpatialPlanner.rangesPredicate(col(cellCol), ranges))
+      .where(st_covers_point(col("lon"), col("lat"), wkb))
+  }
+
+  /** Spatial-temporal box query over the 20/20/20 YEAR-binned index. */
+  def stBoxQuery(evts: DataFrame, lonMin: Double, lonMax: Double,
+                 latMin: Double, latMax: Double,
+                 tsMin: java.sql.Timestamp, tsMax: java.sql.Timestamp,
+                 tsCol: String = "ts"): DataFrame = {
+    val withCell = evts.withColumn("cell_id_st", gw_cell_id_st(col("lon"), col("lat"), col(tsCol)))
+    val ranges = SpatialPlanner.stBoxRanges(lonMin, lonMax, latMin, latMax,
+      tsMin.getTime, tsMax.getTime)
+    withCell
+      .where(SpatialPlanner.rangesPredicate(col("cell_id_st"), ranges))
+      .where(SpatialPlanner.boxPredicate(col("lon"), col("lat"), lonMin, lonMax, latMin, latMax))
+      .where(col(tsCol) >= lit(tsMin) && col(tsCol) <= lit(tsMax))
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /**
+   * Distance self-join: all pairs (a, b), a.id < b.id, within euclidean
+   * degree distance `d`. Cell-partitioned: each left point expands to its
+   * 3x3 tile neighborhood at a tier whose cell size >= d, the right side is
+   * keyed by its own tile, so each qualifying pair meets on exactly one key
+   * (no pair dedup needed — the reference needs a primary-cell flag for
+   * this, NNMapReduce.java:119-203).
+   *
+   * Scale note: the equi-join on (cx, cy) is a standard shuffle join;
+   * hot cells are split by AQE skew handling, matching the salted
+   * repartition the reference lacks (fixed hashCode%100,
+   * GeowavePartitioner.scala:8-21).
+   */
+  def distanceJoin(pts: DataFrame, idCol: String, d: Double, bits: Int): DataFrame = {
+    require(360.0 / (1L << bits) >= d, s"cell size at $bits bits must be >= d=$d")
+    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"))
+      .withColumn("cx", gw_tile_x(col("lon"), bits))
+      .withColumn("cy", gw_tile_y(col("lat"), bits))
+    val offs = Seq(-1L, 0L, 1L)
+    val neigh = offs.flatMap(dx => offs.map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy"))))
+    val a = base.select(
+        col("id").as("a_id"), col("lon").as("a_lon"), col("lat").as("a_lat"),
+        explode(array(neigh: _*)).as("o"), col("cx"), col("cy"))
+      .select(col("a_id"), col("a_lon"), col("a_lat"),
+        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
+    val b = base.select(col("id").as("b_id"), col("lon").as("b_lon"),
+      col("lat").as("b_lat"), col("cx").as("jx"), col("cy").as("jy"))
+    val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
+      (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
+    a.join(b, Seq("jx", "jy"))
+      .where(col("a_id") < col("b_id") && d2 < lit(d * d))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /**
+   * kNN to centroids: every point scored against every (broadcast) centroid,
+   * top-k per centroid by (distance², id).
+   * (reference: AnalyticRecipes.searchKNearestNeighbor, AnalyticRecipes.scala:38-41)
+   */
+  def knnToCentroids(pts: DataFrame, idCol: String,
+                     centroids: DataFrame, centroidIdCol: String, k: Int): DataFrame = {
+    val c = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col("lon").as("c_lon"), col("lat").as("c_lat"))
+    val d2 = (col("lon") - col("c_lon")) * (col("lon") - col("c_lon")) +
+      (col("lat") - col("c_lat")) * (col("lat") - col("c_lat"))
+    val w = Window.partitionBy(col("centroid_id")).orderBy(col("d2"), col("id"))
+    pts.select(col(idCol).as("id"), col("lon"), col("lat"))
+      .join(broadcast(c))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("centroid_id"), col("id"), col("rn"))
+  }
+
+  /** distinct kNN: each point first assigned to its single closest centroid,
+    * then top-k within that centroid — a point belongs to at most one group.
+    * (reference: AnalyticRecipes.searchDistinctKNearestNeighbor, :26-28,85-92) */
+  def distinctKnnToCentroids(pts: DataFrame, idCol: String,
+                             centroids: DataFrame, centroidIdCol: String, k: Int): DataFrame = {
+    val c = centroids.select(col(centroidIdCol).as("centroid_id"),
+      col("lon").as("c_lon"), col("lat").as("c_lat"))
+    val d2 = (col("lon") - col("c_lon")) * (col("lon") - col("c_lon")) +
+      (col("lat") - col("c_lat")) * (col("lat") - col("c_lat"))
+    val closest = Window.partitionBy(col("id")).orderBy(col("d2"), col("centroid_id"))
+    val topk = Window.partitionBy(col("centroid_id")).orderBy(col("d2"), col("id"))
+    pts.select(col(idCol).as("id"), col("lon"), col("lat"))
+      .join(broadcast(c))
+      .withColumn("d2", d2)
+      .withColumn("cr", row_number().over(closest))
+      .where(col("cr") === 1)
+      .withColumn("rn", row_number().over(topk).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("centroid_id"), col("id"), col("rn"))
+  }
+
+  // ------------------------------------------------------------ analytics
+
+  /** ingest-maintained statistics in one pass: count / bbox / time range
+    * (reference: CountDataStatistics, BoundingBoxDataStatistics.java:21-120). */
+  def bboxStats(pts: DataFrame, groupCols: Seq[String]): DataFrame =
+    pts.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"),
+      min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"))
+
+  /** fixed-bin numeric histogram (reference: FixedBinNumericStatistics.java:30). */
+  def fixedBinHistogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame =
+    df.groupBy(floor(col(valueCol) / binWidth).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** exact dedup by content hash: group identical text, keep min id
+    * (the exact tier of the dedup ladder; MinHash/SimHash build on this). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_cnt"))
+
+  /** text quality metrics via order-independent integer arithmetic
+    * (token estimate, whitespace and stopword densities). */
+  def textQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val len = length(col(textCol))
+    val spaces = len - length(regexp_replace(col(textCol), lit(" "), lit("")))
+    val theCount = (len - length(regexp_replace(col(textCol), lit("the"), lit("")))) / 3
+    docs.select(
+      col(idCol),
+      len.cast("long").as("n_chars"),
+      spaces.cast("long").as("n_spaces"),
+      (spaces + 1).cast("long").as("token_est"),
+      theCount.cast("long").as("the_cnt"))
+  }
+
+  /**
+   * Brute-force cosine top-k over embeddings, with int-quantized arithmetic
+   * (round(x*1000) as long) so ranking is exact and portable: the baseline
+   * for approximate-nearest-neighbor variants.
+   */
+  def annBruteForce(emb: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Seq[Long], k: Int): DataFrame = {
+    val q = emb.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val qi = quantize(col("q_vec"))
+    val vi = quantize(col(vecCol))
+    val dot = aggregate(zip_with(col("qv"), col("vv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    val joined = emb.select(col(idCol).as("vec_id"), col(vecCol))
+      .join(broadcast(q))
+      .withColumn("qv", qi)
+      .withColumn("vv", vi)
+      .withColumn("dot", dot)
+      .withColumn("qn", aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("vn", aggregate(zip_with(col("vv"), col("vv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("cos", col("dot").cast("double") / sqrt(col("qn").cast("double") * col("vn").cast("double")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    joined.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("rn"))
+  }
+
+  private def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+}

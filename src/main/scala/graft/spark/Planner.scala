@@ -1,0 +1,98 @@
+package graft.spark
+
+import graft.index._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-side query planner: spatial / spatial-temporal constraints →
+ * (coarse cell-id range predicate, exact fine predicate), mirroring the
+ * reference's constraint → range-decomposition → fine-filter pipeline
+ * (reference: BaseDataStore.query → ConstraintsQuery.getRanges:71-107 →
+ *  TieredSFCIndexStrategy.getQueryRanges:78-161; fine filter
+ *  SpatialQueryFilter.java:50-80).
+ *
+ * The coarse predicate is pushdown-friendly: an OR-chain of BETWEENs on the
+ * binary cell id when the range count is small (Parquet row-group pruning),
+ * otherwise a binary-search [[CellInRanges]] expression.
+ */
+object SpatialPlanner {
+  /** reference cap: ConstraintsQuery.MAX_RANGE_DECOMPOSITION = 5000 */
+  val MaxRangeDecomposition = 5000
+  /** switch from OR-chain to binary-search expression above this many ranges */
+  val OrChainLimit = 24
+
+  /** tier-count metadata for a table known to contain only points: every id
+    * is on the finest tier, so every other tier's ranges are pruned
+    * (the reference's TierIndexMetaData.tierCounts empty-tier pruning,
+    * TieredSFCIndexStrategy.java:94-100). */
+  def pointOnlyTierCounts(strategy: TieredStrategy): Array[Long] = {
+    val counts = new Array[Long](strategy.sfcs.length)
+    counts(counts.length - 1) = 1L
+    counts
+  }
+
+  /** pad a possibly prefix-only range end out to its tier's full key length
+    * so unsigned-lexicographic BETWEEN covers the whole prefix. */
+  def padded(strategy: TieredStrategy, r: KeyRange): (Array[Byte], Array[Byte]) = {
+    val len = strategy.keyLength(r.start(0))
+    val end =
+      if (r.end.length >= len) r.end
+      else r.end ++ Array.fill(len - r.end.length)(0xff.toByte)
+    (r.start, end)
+  }
+
+  def spatialBoxRanges(lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+                       maxRanges: Int = MaxRangeDecomposition,
+                       pointOnly: Boolean = true): Seq[(Array[Byte], Array[Byte])] = {
+    val s = GeoCodec.spatial
+    val tc = if (pointOnly) pointOnlyTierCounts(s) else null
+    s.getQueryRanges(Array(NumericData(lonMin, lonMax), NumericData(latMin, latMax)), maxRanges, tc)
+      .map(padded(s, _))
+  }
+
+  def stBoxRanges(lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+                  tsMinMillis: Long, tsMaxMillis: Long,
+                  maxRanges: Int = MaxRangeDecomposition,
+                  pointOnly: Boolean = true): Seq[(Array[Byte], Array[Byte])] = {
+    val s = GeoCodec.spatialTemporal
+    val tc = if (pointOnly) pointOnlyTierCounts(s) else null
+    s.getQueryRanges(Array(
+      NumericData(lonMin, lonMax), NumericData(latMin, latMax),
+      NumericData(tsMinMillis.toDouble, tsMaxMillis.toDouble)), maxRanges, tc)
+      .map(padded(s, _))
+  }
+
+  /** ranges for an arbitrary JTS geometry: per-sub-geometry envelopes
+    * (reference: GeometryUtils.constructListOfConstraintSetsFromGeometry:82-145). */
+  def spatialGeometryRanges(geom: org.locationtech.jts.geom.Geometry,
+                            maxRanges: Int = MaxRangeDecomposition,
+                            pointOnly: Boolean = true): Seq[(Array[Byte], Array[Byte])] = {
+    val envs =
+      if (geom.getNumGeometries > 1)
+        (0 until geom.getNumGeometries).map(geom.getGeometryN(_).getEnvelopeInternal)
+      else Seq(geom.getEnvelopeInternal)
+    val perEnv = math.max(1, maxRanges / envs.size)
+    envs.flatMap { e =>
+      spatialBoxRanges(e.getMinX, e.getMaxX, e.getMinY, e.getMaxY, perEnv, pointOnly)
+    }
+  }
+
+  /** coarse predicate on a cell-id column from decomposed ranges. */
+  def rangesPredicate(cellCol: Column, ranges: Seq[(Array[Byte], Array[Byte])]): Column = {
+    require(ranges.nonEmpty, "no query ranges")
+    if (ranges.size <= OrChainLimit)
+      ranges.map { case (s, e) => cellCol >= lit(s) && cellCol <= lit(e) }.reduce(_ || _)
+    else {
+      val sorted = ranges.sortWith((a, b) => ByteUtils.compareUnsigned(a._1, b._1) < 0)
+      GeoFunctions.gw_cell_in_ranges(cellCol, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+    }
+  }
+
+  /** exact box predicate (the reference's per-dimension OVERLAPS MBR test on
+    * points, BasicQueryFilter.java:40-63). */
+  def boxPredicate(lonCol: Column, latCol: Column,
+                   lonMin: Double, lonMax: Double, latMin: Double, latMax: Double): Column =
+    lonCol >= lit(lonMin) && lonCol <= lit(lonMax) &&
+      latCol >= lit(latMin) && latCol <= lit(latMax)
+}

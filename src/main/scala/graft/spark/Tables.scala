@@ -1,0 +1,76 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Table derivations over the driver-provided parquet. The geo columns are
+ * pure integer-arithmetic functions of the row id, so a DuckDB oracle can
+ * derive the exact same doubles (no RNG, no floats until one final division).
+ */
+object Tables {
+
+  /** Common-Crawl-style pages view over `documents`: deterministic lon/lat
+    * per doc_id. lon in [-180, 179.99], lat in [-85, 84.99], 0.01° grid. */
+  def pages(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("lon", ((col("doc_id") * col("doc_id") * 3L + col("doc_id") * 7919L) % 36000L) / 100.0 - 180.0)
+      .withColumn("lat", ((col("doc_id") * col("doc_id") * 7L + col("doc_id") * 104729L) % 17000L) / 100.0 - 85.0)
+
+  /** SQL fragment deriving the same lon/lat in DuckDB. */
+  val pagesLonSql = "((doc_id * doc_id * 3 + doc_id * 7919) % 36000) / 100.0 - 180.0"
+  val pagesLatSql = "((doc_id * doc_id * 7 + doc_id * 104729) % 17000) / 100.0 - 85.0"
+
+  /** geo events view over `events`: deterministic lon/lat per event_id,
+    * native timestamps. */
+  def geoEvents(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("lon", ((col("event_id") * col("event_id") * 3L + col("event_id") * 7919L) % 36000L) / 100.0 - 180.0)
+      .withColumn("lat", ((col("event_id") * col("event_id") * 7L + col("event_id") * 104729L) % 17000L) / 100.0 - 85.0)
+
+  val eventsLonSql = "((event_id * event_id * 3 + event_id * 7919) % 36000) / 100.0 - 180.0"
+  val eventsLatSql = "((event_id * event_id * 7 + event_id * 104729) % 17000) / 100.0 - 85.0"
+
+  /**
+   * Deterministic synthetic Common-Crawl-style pages table for benchmarks
+   * (FIXTURES.md §1): 80% of points in 20 Gaussian-ish city clusters (hot
+   * cells for skew), 20% uniform, ~1% hugging the antimeridian/poles.
+   * Pure column arithmetic over `spark.range(n)` — no RNG state, fully
+   * reproducible and generated in parallel.
+   */
+  def synthPages(spark: SparkSession, n: Long): DataFrame = {
+    // deterministic 64-bit mix of the row id (xxhash64 of the id column)
+    def h(seed: Int) = abs(xxhash64(col("id"), lit(seed)))
+    val clusterLon = Array.tabulate(20)(i => ((i * 7919) % 360).toDouble - 180.0 + 0.5)
+    val clusterLat = Array.tabulate(20)(i => ((i * 104729) % 170).toDouble - 85.0 + 0.5)
+    val cLon = array(clusterLon.map(lit): _*)
+    val cLat = array(clusterLat.map(lit): _*)
+    val sel = h(1) % 100 // 0..79 cluster, 80..98 uniform, 99 dateline/pole
+    val cluster = (h(2) % 20).cast("int")
+    val jLon = (h(3) % 20000L) / 100000.0 - 0.1 // +-0.1 deg jitter
+    val jLat = (h(4) % 20000L) / 100000.0 - 0.1
+    val uLon = (h(5) % 3600000L) / 10000.0 - 180.0
+    val uLat = (h(6) % 1700000L) / 10000.0 - 85.0
+    val edgeLon = when(h(7) % 2 === 0, lit(179.5) + (h(8) % 10000L) / 20000.0)
+      .otherwise(lit(-180.0) + (h(8) % 10000L) / 20000.0)
+    val edgeLat = when(h(9) % 2 === 0, lit(89.5) + (h(10) % 10000L) / 20000.0)
+      .otherwise(lit(-90.0) + (h(10) % 10000L) / 20000.0)
+    spark.range(n)
+      .withColumn("url", concat(lit("https://host-"), format_string("%06d", col("id") % 100000L),
+        lit(".example/"), lower(hex(xxhash64(col("id"), lit(0))))))
+      .withColumn("warc_ts", timestamp_seconds(lit(1293840000L) + (h(11) % (3L * 365 * 86400)))) // 2011-2013
+      .withColumn("lon",
+        when(sel < 80, element_at(cLon, cluster + 1) + jLon)
+          .when(sel < 99, uLon)
+          .otherwise(edgeLon))
+      .withColumn("lat",
+        when(sel < 80, element_at(cLat, cluster + 1) + jLat)
+          .when(sel < 99, uLat)
+          .otherwise(edgeLat))
+      .withColumn("lang", element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"), lit("zh")),
+        (h(12) % 5).cast("int") + 1))
+      .withColumn("text", concat(lit("page text "), lower(hex(xxhash64(col("id"), lit(13))))))
+      .withColumn("html", to_binary(concat(lit("3c68746d6c3e"), lower(hex(xxhash64(col("id"), lit(14))))), lit("hex")))
+      .withColumnRenamed("id", "doc_id")
+  }
+}

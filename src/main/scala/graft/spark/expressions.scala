@@ -1,0 +1,192 @@
+package graft.spark
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.io.WKBReader
+
+/**
+ * Catalyst expressions for the SFC index codec. All hot-path expressions
+ * emit a static call into [[GeoCodec]] from generated code so they stay
+ * inside whole-stage codegen (no UDF boxing).
+ *
+ * These are the Spark-native equivalents of the reference's
+ * `IndexStrategy.getInsertionIds` / raster tile assignment
+ * (reference: TieredSFCIndexStrategy.java:188-220, RasterDataAdapter.java:454-586).
+ */
+
+/** tiered spatial insertion id (tier 31 ‖ 8 sfc bytes) of a point. */
+case class CellIdSpatial(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    GeoCodec.cellIdSpatial(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) => s"graft.spark.GeoCodec.cellIdSpatial($lon, $lat)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** tiered spatial-temporal insertion id (tier 20 ‖ "YYYY" ‖ 8 sfc bytes). */
+case class CellIdSpatialTemporal(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(lon: Any, lat: Any, tsMicros: Any): Any =
+    GeoCodec.cellIdST(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      Math.floorDiv(tsMicros.asInstanceOf[Long], 1000L))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, ts) =>
+      s"graft.spark.GeoCodec.cellIdST($lon, $lat, java.lang.Math.floorDiv($ts, 1000L))")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** single-tier Hilbert tile id (long) of a point at `bits` per dimension. */
+case class TileId(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression {
+  require(bits >= 0 && bits <= 31)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    GeoCodec.tileId(lon.asInstanceOf[Double], lat.asInstanceOf[Double], bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) => s"graft.spark.GeoCodec.tileId($lon, $lat, $bits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** per-dimension grid coordinate of a point at `bits` (lon axis). */
+case class TileX(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(lon: Any): Any = GeoCodec.bucketLon(lon.asInstanceOf[Double], bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, lon => s"graft.spark.GeoCodec.bucketLon($lon, $bits)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** per-dimension grid coordinate of a point at `bits` (lat axis, half-range). */
+case class TileY(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(lat: Any): Any = GeoCodec.bucketLat(lat.asInstanceOf[Double], bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, lat => s"graft.spark.GeoCodec.bucketLat($lat, $bits)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** tile bounds [lonMin, lonMax, latMin, latMax] of a single-tier tile id
+  * (the reference's getRangeForId; drives raster tile envelopes). */
+case class TileBounds(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(tile: Any): Any =
+    new GenericArrayData(GeoCodec.tileBounds(tile.asInstanceOf[Long], bits))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * True when a stored cell id falls in any of the given key ranges — the scan
+ * prefilter produced by range decomposition. Ranges are sorted; binary
+ * search per row. Prefix-only ranges (tier+bin full-extent) are padded with
+ * 0xff to key length at construction.
+ * (reference: AccumuloConstraintsQuery scanner ranges, BaseDataStore.java:240-247)
+ */
+case class CellInRanges(child: Expression, starts: Array[Array[Byte]], ends: Array[Array[Byte]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(cell: Any): Any = {
+    val id = cell.asInstanceOf[Array[Byte]]
+    // binary search for the last range whose start <= id
+    var lo = 0
+    var hi = starts.length - 1
+    var found = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.util.Arrays.compareUnsigned(starts(mid), id) <= 0) { found = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    found >= 0 && java.util.Arrays.compareUnsigned(id, ends(found)) <= 0
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * Exact geometry fine-filter against a broadcast-style constant polygon:
+ * prepared-geometry point test. `contains=false` mirrors the reference's
+ * OVERLAPS (prepared.intersects), `contains=true` mirrors CONTAINS
+ * (reference: core/geotime/.../store/filter/SpatialQueryFilter.java:50-80,284-301).
+ */
+case class STCoversPoint(left: Expression, right: Expression, wkb: Array[Byte], contains: Boolean)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val prepared: PreparedGeometry =
+    PreparedGeometryFactory.prepare(new WKBReader().read(wkb))
+  @transient private lazy val gf = new GeometryFactory()
+
+  override def nullSafeEval(lon: Any, lat: Any): Any = {
+    val pt = gf.createPoint(new Coordinate(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+    if (contains) prepared.contains(pt) else prepared.intersects(pt)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 2-D WKB point constructor (matches the reference's JTS 2-D WKB encoding,
+  * core/geotime/GeometryUtils.java:249-261). */
+case class STPointWkb(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val gf = new GeometryFactory()
+  @transient private lazy val writer = new org.locationtech.jts.io.WKBWriter(2)
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    writer.write(gf.createPoint(new Coordinate(lon.asInstanceOf[Double], lat.asInstanceOf[Double])))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column wrappers. */
+object GeoFunctions {
+  import org.apache.spark.sql.GraftBridge.{column, expression}
+
+  def gw_cell_id(lon: Column, lat: Column): Column =
+    column(CellIdSpatial(expression(lon), expression(lat)))
+  def gw_cell_id_st(lon: Column, lat: Column, ts: Column): Column =
+    column(CellIdSpatialTemporal(expression(lon), expression(lat), expression(ts)))
+  def gw_tile_id(lon: Column, lat: Column, bits: Int): Column =
+    column(TileId(expression(lon), expression(lat), bits))
+  def gw_tile_x(lon: Column, bits: Int): Column = column(TileX(expression(lon), bits))
+  def gw_tile_y(lat: Column, bits: Int): Column = column(TileY(expression(lat), bits))
+  def gw_tile_bounds(tile: Column, bits: Int): Column = column(TileBounds(expression(tile), bits))
+  def gw_cell_in_ranges(cell: Column, starts: Array[Array[Byte]], ends: Array[Array[Byte]]): Column =
+    column(CellInRanges(expression(cell), starts, ends))
+  def st_covers_point(lon: Column, lat: Column, wkb: Array[Byte], contains: Boolean = false): Column =
+    column(STCoversPoint(expression(lon), expression(lat), wkb, contains))
+  def st_point_wkb(lon: Column, lat: Column): Column =
+    column(STPointWkb(expression(lon), expression(lat)))
+
+  /** register SQL-callable names on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("gw_cell_id",
+      es => CellIdSpatial(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("gw_cell_id_st",
+      es => CellIdSpatialTemporal(es.head, es(1), es(2)), "scala_udf")
+  }
+}
