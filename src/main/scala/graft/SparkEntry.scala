@@ -82,6 +82,15 @@ object SparkEntry {
       val cents = pts.where(col("doc_id") % 50 === 0)
       Ops.distinctKnnToCentroids(pts, "doc_id", cents, "doc_id", k = 10)
     }),
+    "q14_polygon_join" -> ((s, dir) => {
+      graft.spark.SpatialJoin.polygonJoin(Tables.pages(s, dir), Tables.regionGeoms(40))
+        .select(col("doc_id"), col("region_id"))
+    }),
+    "q15_knn_ring" -> ((s, dir) => {
+      val pts = Tables.pages(s, dir)
+      val queries = pts.where(col("doc_id") % 97 === 0)
+      graft.spark.SpatialJoin.knnRing(pts, "doc_id", queries, "doc_id", k = 10)
+    }),
   )
 
   private val pagesCte =
@@ -181,6 +190,21 @@ object SparkEntry {
          |             (p.lon - c.lon) * (p.lon - c.lon) + (p.lat - c.lat) * (p.lat - c.lat), c.doc_id) AS cr
          |    FROM pages p CROSS JOIN (SELECT * FROM pages WHERE doc_id % 50 = 0) c
          |  ) WHERE cr = 1
+         |) WHERE rn <= 10""".stripMargin,
+    "q14_polygon_join" ->
+      s"""$pagesCte
+         |SELECT p.doc_id, r.region_id
+         |FROM pages p
+         |JOIN (VALUES ${Tables.regionBoxesSqlValues(40)}) r(region_id, lon_min, lon_max, lat_min, lat_max)
+         |  ON p.lon >= r.lon_min AND p.lon <= r.lon_max
+         | AND p.lat >= r.lat_min AND p.lat <= r.lat_max""".stripMargin,
+    "q15_knn_ring" ->
+      s"""$pagesCte
+         |SELECT q_id, id, rn FROM (
+         |  SELECT q.doc_id AS q_id, p.doc_id AS id,
+         |         ROW_NUMBER() OVER (PARTITION BY q.doc_id ORDER BY
+         |           (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat), p.doc_id) AS rn
+         |  FROM pages p CROSS JOIN (SELECT * FROM pages WHERE doc_id % 97 = 0) q
          |) WHERE rn <= 10""".stripMargin,
   )
 }

@@ -78,15 +78,29 @@ object SpatialPlanner {
     }
   }
 
+  /** sort by start and merge overlapping ranges (ranges from several
+    * polygons overlap; [[CellInRanges]]' binary search requires disjoint
+    * sorted input, and merging also shrinks OR-chains). */
+  def mergeRanges(ranges: Seq[(Array[Byte], Array[Byte])]): Seq[(Array[Byte], Array[Byte])] = {
+    val sorted = ranges.sortWith((a, b) => ByteUtils.compareUnsigned(a._1, b._1) < 0)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Array[Byte])]
+    for (r <- sorted) {
+      if (out.nonEmpty && ByteUtils.compareUnsigned(r._1, out.last._2) <= 0) {
+        if (ByteUtils.compareUnsigned(r._2, out.last._2) > 0)
+          out(out.length - 1) = (out.last._1, r._2)
+      } else out += r
+    }
+    out.toSeq
+  }
+
   /** coarse predicate on a cell-id column from decomposed ranges. */
-  def rangesPredicate(cellCol: Column, ranges: Seq[(Array[Byte], Array[Byte])]): Column = {
-    require(ranges.nonEmpty, "no query ranges")
+  def rangesPredicate(cellCol: Column, ranges0: Seq[(Array[Byte], Array[Byte])]): Column = {
+    require(ranges0.nonEmpty, "no query ranges")
+    val ranges = mergeRanges(ranges0)
     if (ranges.size <= OrChainLimit)
       ranges.map { case (s, e) => cellCol >= lit(s) && cellCol <= lit(e) }.reduce(_ || _)
-    else {
-      val sorted = ranges.sortWith((a, b) => ByteUtils.compareUnsigned(a._1, b._1) < 0)
-      GeoFunctions.gw_cell_in_ranges(cellCol, sorted.map(_._1).toArray, sorted.map(_._2).toArray)
-    }
+    else
+      GeoFunctions.gw_cell_in_ranges(cellCol, ranges.map(_._1).toArray, ranges.map(_._2).toArray)
   }
 
   /** exact box predicate (the reference's per-dimension OVERLAPS MBR test on

@@ -1,0 +1,169 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.{Coordinate, Envelope, Geometry, GeometryFactory}
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+import org.locationtech.jts.index.strtree.STRtree
+import org.locationtech.jts.io.WKBReader
+
+/**
+ * Point-in-polygon join: every point matched against a broadcast set of
+ * polygons via an STRtree of PreparedGeometries, with a cell-id range
+ * pre-filter from SFC decomposition of the polygon envelopes.
+ *
+ * This is the Spark-native form of the reference's per-polygon
+ * SpatialQuery scan (core/geotime/.../query/SpatialQuery.java:28-125 +
+ * SpatialQueryFilter.java:50-80 prepared-geometry test, interning at
+ * :284-301): the scan's range constraint becomes a pushdown-friendly
+ * predicate on `cell_id`, the tablet-server filter becomes a codegen-stage
+ * expression evaluating against the task-broadcast tree.
+ *
+ * Scale: polygons ship once per task via the serialized expression (the
+ * "broadcast dim"); the points side streams with no shuffle at all — the
+ * whole join is scan → filter → project, so it scales linearly with
+ * input splits and is immune to skew.
+ */
+object SpatialJoin {
+
+  /** array of region ids whose polygon intersects the (lon, lat) point;
+    * tree + prepared geometries built once per task, interned by WKB. */
+  case class RegionsForPoint(left: Expression, right: Expression,
+                             ids: Array[String], wkbs: Array[Array[Byte]])
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+
+    @transient private lazy val tree: STRtree = {
+      val t = new STRtree()
+      val reader = new WKBReader()
+      var i = 0
+      while (i < ids.length) {
+        val g = reader.read(wkbs(i))
+        t.insert(g.getEnvelopeInternal, (ids(i), PreparedGeometryFactory.prepare(g)))
+        i += 1
+      }
+      t.build()
+      t
+    }
+    @transient private lazy val gf = new GeometryFactory()
+
+    override def nullSafeEval(lonA: Any, latA: Any): Any = {
+      val lon = lonA.asInstanceOf[Double]
+      val lat = latA.asInstanceOf[Double]
+      val pt = gf.createPoint(new Coordinate(lon, lat))
+      val hits = tree.query(new Envelope(lon, lon, lat, lat))
+      if (hits.isEmpty) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new java.util.ArrayList[String](hits.size())
+        var i = 0
+        while (i < hits.size()) {
+          val (id, prep) = hits.get(i).asInstanceOf[(String, PreparedGeometry)]
+          if (prep.intersects(pt)) out.add(id)
+          i += 1
+        }
+        val arr = out.toArray(new Array[String](out.size()))
+        java.util.Arrays.sort(arr.asInstanceOf[Array[Object]])
+        new GenericArrayData(arr.map(s => UTF8String.fromString(s): Any))
+      }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /**
+   * (point, region) pairs for all polygons a point falls in.
+   * Output: input columns + `region_id`, one row per match.
+   */
+  def polygonJoin(pts: DataFrame, regions: Seq[(String, Geometry)],
+                  cellCol: String = "cell_id"): DataFrame = {
+    require(regions.nonEmpty)
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val withCell =
+      if (pts.columns.contains(cellCol)) pts
+      else pts.withColumn(cellCol, GeoFunctions.gw_cell_id(col("lon"), col("lat")))
+    // coarse union prefilter: decomposed ranges of every polygon envelope
+    val perPoly = math.max(1, SpatialPlanner.MaxRangeDecomposition / regions.size)
+    val ranges = regions.flatMap { case (_, g) =>
+      SpatialPlanner.spatialGeometryRanges(g, perPoly)
+    }
+    val wkbWriter = new org.locationtech.jts.io.WKBWriter(2)
+    val matches: Column = column(RegionsForPoint(
+      expression(col("lon")), expression(col("lat")),
+      regions.map(_._1).toArray, regions.map(r => wkbWriter.write(r._2)).toArray))
+    withCell
+      .where(SpatialPlanner.rangesPredicate(col(cellCol), ranges))
+      .withColumn("region_id", explode(matches))
+  }
+
+  /**
+   * Exact k nearest neighbors (euclidean degrees) of each query point via
+   * iterative ring expansion over SFC tiles — the scale path for point kNN
+   * (north star; the reference only ships centroid-kNN,
+   * AnalyticRecipes.scala:38-41, plus tier-coordinate neighbor walks,
+   * TieredSFCIndexStrategy.java:222-238).
+   *
+   * Round at `bits`: candidates = points in the 3x3 tile neighborhood of
+   * each query. A query is resolved when it has >= k candidates and its
+   * k-th distance is strictly below one cell span — every unseen point is
+   * then provably farther. Unresolved queries retry one tier coarser;
+   * bits=0 is a single world cell, so termination is brute-force exact.
+   *
+   * Queries are broadcast (small side); each round is a broadcast join +
+   * per-query window — no all-pairs shuffle. Driver loops on metadata
+   * (resolved counts), never on row data.
+   */
+  def knnRing(pts: DataFrame, idCol: String, queries: DataFrame, qIdCol: String,
+              k: Int, startBits: Int = 6): DataFrame = {
+    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"))
+    var remaining = queries.select(col(qIdCol).as("q_id"),
+      col("lon").as("q_lon"), col("lat").as("q_lat"))
+    var acc: DataFrame = null
+    var bits = startBits
+    while (bits >= 0 && !remaining.isEmpty) {
+      val cellDeg = 360.0 / (1L << bits)
+      val offs = Seq(-1L, 0L, 1L)
+      val neigh = offs.flatMap(dx => offs.map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy"))))
+      val q = remaining
+        .withColumn("qx", GeoFunctions.gw_tile_x(col("q_lon"), bits))
+        .withColumn("qy", GeoFunctions.gw_tile_y(col("q_lat"), bits))
+        .select(col("q_id"), col("q_lon"), col("q_lat"),
+          explode(array(neigh: _*)).as("o"), col("qx"), col("qy"))
+        .select(col("q_id"), col("q_lon"), col("q_lat"),
+          (col("qx") + col("o.dx")).as("jx"), (col("qy") + col("o.dy")).as("jy"))
+      val p = base
+        .withColumn("jx", GeoFunctions.gw_tile_x(col("lon"), bits))
+        .withColumn("jy", GeoFunctions.gw_tile_y(col("lat"), bits))
+      val d2 = (col("lon") - col("q_lon")) * (col("lon") - col("q_lon")) +
+        (col("lat") - col("q_lat")) * (col("lat") - col("q_lat"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id"))
+      val wAll = Window.partitionBy(col("q_id"))
+      val scored = p.join(broadcast(q), Seq("jx", "jy"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= k)
+        .withColumn("kth_d2", max(col("d2")).over(wAll))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+      // bits=0 is the single world cell: the join saw every point, so
+      // whatever top-k exists is exact regardless of distance.
+      val done =
+        if (bits == 0) lit(true)
+        else col("cnt") >= k && col("kth_d2") < lit(cellDeg * cellDeg)
+      val resolved = scored
+        .where(done)
+        .select(col("q_id"), col("id"), col("rn"))
+        .cache()
+      acc = if (acc == null) resolved else acc.unionByName(resolved)
+      remaining = remaining.join(resolved.select("q_id").distinct(), Seq("q_id"), "left_anti")
+        .cache()
+      bits -= 1
+    }
+    acc
+  }
+}

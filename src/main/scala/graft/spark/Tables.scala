@@ -31,6 +31,33 @@ object Tables {
   val eventsLonSql = "((event_id * event_id * 3 + event_id * 7919) % 36000) / 100.0 - 180.0"
   val eventsLatSql = "((event_id * event_id * 7 + event_id * 104729) % 17000) / 100.0 - 85.0"
 
+  /** deterministic axis-aligned region boxes — the polygon-join dim table
+    * (FIXTURES.md §2; sized/placed by integer arithmetic so a SQL oracle
+    * can reproduce them as literals). */
+  def regionBoxes(n: Int): Seq[(String, Double, Double, Double, Double)] =
+    (0 until n).map { i =>
+      val lonMin = ((i * 7919) % 300).toDouble - 170.0
+      val latMin = ((i * 104729) % 150).toDouble - 80.0
+      val w = 6.0 + (i % 7) * 4.0
+      val h = 5.0 + (i % 5) * 4.0
+      (f"r$i%03d", lonMin, lonMin + w, latMin, latMin + h)
+    }
+
+  def regionBoxesSqlValues(n: Int): String =
+    regionBoxes(n).map { case (id, a, b, c, d) => s"('$id', $a, $b, $c, $d)" }.mkString(", ")
+
+  def regionGeoms(n: Int): Seq[(String, org.locationtech.jts.geom.Geometry)] = {
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    regionBoxes(n).map { case (id, lonMin, lonMax, latMin, latMax) =>
+      (id, gf.createPolygon(Array(
+        new org.locationtech.jts.geom.Coordinate(lonMin, latMin),
+        new org.locationtech.jts.geom.Coordinate(lonMax, latMin),
+        new org.locationtech.jts.geom.Coordinate(lonMax, latMax),
+        new org.locationtech.jts.geom.Coordinate(lonMin, latMax),
+        new org.locationtech.jts.geom.Coordinate(lonMin, latMin))))
+    }
+  }
+
   /**
    * Deterministic synthetic Common-Crawl-style pages table for benchmarks
    * (FIXTURES.md §1): 80% of points in 20 Gaussian-ish city clusters (hot
