@@ -91,7 +91,85 @@ object SparkEntry {
       val queries = pts.where(col("doc_id") % 97 === 0)
       graft.spark.SpatialJoin.knnRing(pts, "doc_id", queries, "doc_id", k = 10)
     }),
+    "q16_ngram_jaccard" -> ((s, dir) => {
+      graft.spark.TextOps.ngramJaccardPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, tau = 0.5)
+    }),
+    "q17_minhash_lsh" -> ((s, dir) => {
+      graft.spark.TextOps.minhashLshPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, tau = 0.5)
+    }),
+    "q18_simhash" -> ((s, dir) => {
+      graft.spark.TextOps.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    }),
+    "q19_embed_neardup" -> ((s, dir) => {
+      graft.spark.TextOps.embeddingNearDupPairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", tau = 0.4)
+    }),
+    "q20_embed_lsh" -> ((s, dir) => {
+      graft.spark.TextOps.embeddingLshPairs(
+        s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        dims = 64, bits = 8, tau = 0.4)
+    }),
+    "q21_langid" -> ((s, dir) => {
+      graft.spark.TextOps.languageId(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    }),
+    "q22_tokens" -> ((s, dir) => {
+      graft.spark.TextOps.tokenCount(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    }),
+    "q23_fingerprint" -> ((s, dir) => {
+      graft.spark.TextOps.fingerprintKgram(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 8)
+    }),
   )
+
+  // ---- DuckDB twins of the portable integer hashing in TextOps ----
+
+  /** fold of codepoints: (acc*31 + ord) mod p; DuckDB list_reduce seeds
+    * with the first element, which equals the 0-seeded fold. */
+  private def duckHash(e: String): String =
+    s"list_reduce(list_transform(range(1, length($e)+1), ch -> CAST(ord(substr($e, ch, 1)) AS BIGINT)), (a, x) -> (a * 31 + x) % 2147483647)"
+
+  private val shCte =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, unnest([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-1, 1))]) AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE len(string_split(text, ' ')) >= 3))""".stripMargin
+
+  private val jaccardTail =
+    """SELECT p.a_id, p.b_id, p.inter, sa.sz AS size_a, sb.sz AS size_b,
+      |       CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jac
+      |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
+      |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5""".stripMargin
+
+  private val minhashSql: String = {
+    val sigCols = (0 until 16)
+      .map(j => s"min((${2 * j + 1} * h + ${12345L * j + 1}) % 2147483647) AS sig$j").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val bucket = (0 until 4).map(r => s"sig${b * 4 + r}")
+        .reduce((acc, s2) => s"(($acc) * 786433 + $s2) % 2147483647")
+      s"SELECT id, $b AS band, $bucket AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shCte,
+       |shh AS (SELECT doc_id, ${duckHash("shingle")} AS h FROM sh),
+       |sig AS (SELECT doc_id AS id, $sigCols FROM shh GROUP BY doc_id),
+       |buckets AS ($bands),
+       |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id FROM buckets a
+       |         JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |pairs AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM cand c
+       |          JOIN sh sa ON sa.doc_id = c.a_id
+       |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.shingle = sb.shingle
+       |          GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
+       |$jaccardTail""".stripMargin
+  }
+
+  private val quantCte =
+    "quant AS (SELECT vec_id, [CAST(ROUND(x * 1000) AS BIGINT) FOR x IN embedding] AS v FROM embeddings)"
+  private val cosExpr =
+    """CAST(list_sum(list_transform(list_zip(a.v, b.v), t -> t[1] * t[2])) AS DOUBLE) /
+      |  SQRT(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE) *
+      |       CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE))""".stripMargin
 
   private val pagesCte =
     s"""WITH pages AS (
@@ -206,5 +284,66 @@ object SparkEntry {
          |           (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat), p.doc_id) AS rn
          |  FROM pages p CROSS JOIN (SELECT * FROM pages WHERE doc_id % 97 = 0) q
          |) WHERE rn <= 10""".stripMargin,
+    "q16_ngram_jaccard" ->
+      s"""WITH $shCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |$jaccardTail""".stripMargin,
+    "q17_minhash_lsh" -> minhashSql,
+    "q18_simhash" ->
+      s"""WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+         |wh AS (SELECT doc_id, ${duckHash("w")} AS h FROM words),
+         |bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+         |         FROM wh, (SELECT unnest(range(31)) AS j) GROUP BY 1, 2)
+         |SELECT doc_id AS id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY 1""".stripMargin,
+    "q19_embed_neardup" ->
+      s"""WITH $quantCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cosExpr AS cos
+         |FROM quant a JOIN quant b ON a.vec_id < b.vec_id
+         |WHERE $cosExpr >= 0.4""".stripMargin,
+    "q20_embed_lsh" ->
+      s"""WITH $quantCte,
+         |sigs AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket FROM (
+         |    SELECT q.vec_id, jj.j, sum(q.v[ii.i + 1] * ((jj.j * 1000003 + (ii.i + 1) * 7919) % 2001 - 1000)) AS dot
+         |    FROM quant q, (SELECT unnest(range(8)) AS j) jj, (SELECT unnest(range(64)) AS i) ii
+         |    GROUP BY 1, 2) GROUP BY 1),
+         |qb AS (SELECT q.vec_id, q.v, s.bucket FROM quant q JOIN sigs s USING (vec_id))
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket, $cosExpr AS cos
+         |FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $cosExpr >= 0.4""".stripMargin,
+    "q21_langid" ->
+      """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |sc AS (SELECT doc_id AS id,
+        |  CAST(sum(CASE WHEN w IN ('the','and','of') THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |  CAST(sum(CASE WHEN w IN ('der','und','die') THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+        |  CAST(sum(CASE WHEN w IN ('le','et','les') THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+        |  CAST(sum(CASE WHEN w IN ('el','y','los') THEN 1 ELSE 0 END) AS BIGINT) AS n_es
+        |  FROM words GROUP BY 1)
+        |SELECT id, n_en, n_de, n_fr, n_es,
+        |  CASE WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es AND n_en > 0 THEN 'en'
+        |       WHEN n_de > n_en AND n_de >= n_fr AND n_de >= n_es AND n_de > 0 THEN 'de'
+        |       WHEN n_fr > n_en AND n_fr > n_de AND n_fr >= n_es AND n_fr > 0 THEN 'fr'
+        |       WHEN n_es > n_en AND n_es > n_de AND n_es > n_fr AND n_es > 0 THEN 'es'
+        |       ELSE 'und' END AS lang_id
+        |FROM sc""".stripMargin,
+    "q22_tokens" ->
+      """SELECT doc_id AS id,
+        |  CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
+    "q23_fingerprint" -> {
+      val gram = (0 until 8).foldLeft("0::BIGINT") { (acc, off) =>
+        s"(($acc) * 31 + ord(substr(text, i + $off, 1))) % 2147483647"
+      }
+      s"""WITH grams AS (
+         |  SELECT doc_id, unnest([$gram FOR i IN range(1, length(text) - 6)]) AS h
+         |  FROM documents WHERE length(text) >= 8)
+         |SELECT doc_id AS id, min(h) AS fp_min, max(h) AS fp_max, bit_xor(h) AS fp_xor
+         |FROM grams GROUP BY 1""".stripMargin
+    },
   )
 }

@@ -1,0 +1,235 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-data text pipeline: near-duplicate detection (n-gram Jaccard,
+ * MinHash+LSH, SimHash), embedding near-dup (exact + random-hyperplane
+ * LSH), language id, token counting, fingerprinting.
+ *
+ * All hashing is portable integer arithmetic — a fold of character codes
+ * mod p = 2^31-1 — so a SQL oracle reproduces every value exactly. Every
+ * operator is a declarative plan: inverted-index joins for candidate
+ * generation (never an n² crossJoin on the big side), aggregation for
+ * signatures, equi-joins on bucket keys for LSH.
+ */
+object TextOps {
+
+  val P = 2147483647L // 2^31 - 1
+
+  /** portable string hash: fold(a*31 + codepoint) mod p over characters.
+    * (SQL twin: list_reduce over ord(substr(w,i,1)).) */
+  def portableHash(s: Column): Column =
+    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % P)
+
+  /** distinct word-n-gram shingles per doc: (id, shingle). */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    docs.where(size(words) >= n)
+      .select(col(idCol).as("id"),
+        explode(transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /**
+   * Exact n-gram Jaccard near-dup pairs via inverted-index join: candidate
+   * pairs share >= 1 shingle, intersection counted in the join, union from
+   * per-doc set sizes. Output: (a_id, b_id, inter, size_a, size_b, jac)
+   * for jac >= tau.
+   */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, tau: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "size_a"), "a_id")
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "size_b"), "b_id")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .where(col("jac") >= tau)
+      .select("a_id", "b_id", "inter", "size_a", "size_b", "jac")
+  }
+
+  /** MinHash signature: numHashes columns min_j = min over shingles of
+    * ((2j+1)*h + 12345j + 1) mod p. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+      .withColumn("h", portableHash(col("shingle")))
+    val aggs = (0 until numHashes).map { j =>
+      min((lit(2L * j + 1) * col("h") + lit(12345L * j + 1)) % P).as(s"sig$j")
+    }
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * MinHash + LSH near-dup pairs: signatures banded (bands × rowsPerBand),
+   * candidates share >= 1 band bucket, then exact Jaccard filter — the
+   * shingle→minhash→band→bucket-join ladder. Output like
+   * [[ngramJaccardPairs]] restricted to LSH candidates.
+   */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, bands: Int, rowsPerBand: Int, tau: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val B = 786433L
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until rowsPerBand)
+        .map(r => col(s"sig${b * rowsPerBand + r}"))
+        .reduce((acc, s) => (acc * B + s) % P)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    // exact verification on candidates only
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("shingle", "s_a"), "a_id")
+      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("shingle", "s_b"), "b_id")
+      .where(col("s_a") === col("s_b"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "size_a"), "a_id")
+      .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "size_b"), "b_id")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .where(col("jac") >= tau)
+      .select("a_id", "b_id", "inter", "size_a", "size_b", "jac")
+  }
+
+  /** 31-bit SimHash over distinct word hashes: bit j set when
+    * sum over words of (2*((h>>j)&1) - 1) is positive. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+        explode(array_distinct(split(col(textCol), " "))).as("w"))
+      .withColumn("h", portableHash(col("w")))
+    words.select(col("id"), col("h"), explode(sequence(lit(0), lit(30))).as("j"))
+      .groupBy(col("id"), col("j"))
+      .agg(sum(expr("(shiftright(h, j) & 1) * 2 - 1")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
+  }
+
+  /** exact quantized-cosine near-dup pairs over embeddings (a < b,
+    * cos >= tau); round(x*1000) integer arithmetic end-to-end so ranking
+    * and thresholding are portable. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                            tau: Double): DataFrame = {
+    val q = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("v"))
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val norm = (v: Column) =>
+      aggregate(zip_with(v, v, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    q.as("a").join(q.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", dot.cast("double") /
+        sqrt(norm(col("a.v")).cast("double") * norm(col("b.v")).cast("double")))
+      .where(col("cos") >= tau)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cos"))
+  }
+
+  /** deterministic random-hyperplane signature (`bits` sign bits): plane j
+    * weight at dim i is ((j*1000003 + (i+1)*7919) mod 2001) - 1000. */
+  def hyperplaneSig(v: Column, dims: Int, bits: Int): Column = {
+    val planes = (0 until bits).map { j =>
+      val dot = (0 until dims).map { i =>
+        element_at(v, i + 1) * lit((j * 1000003L + (i + 1) * 7919L) % 2001L - 1000L)
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    planes.reduce(_ + _)
+  }
+
+  /**
+   * LSH-bucketed near-dup: candidates share the full hyperplane signature
+   * bucket, then exact quantized cosine — the scale path (bucket equi-join
+   * instead of n² pairs). Approximate by construction; deterministic, so
+   * the oracle reproduces the exact same candidate set.
+   */
+  def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        dims: Int, bits: Int, tau: Double): DataFrame = {
+    val q = emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .withColumn("bucket", hyperplaneSig(col("v"), dims, bits))
+    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val norm = (v: Column) =>
+      aggregate(zip_with(v, v, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    q.as("a").join(q.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", dot.cast("double") /
+        sqrt(norm(col("a.v")).cast("double") * norm(col("b.v")).cast("double")))
+      .where(col("cos") >= tau)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("a.bucket").as("bucket"), col("cos"))
+  }
+
+  /** marker words per language for the n-gram-heuristic language id. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "y", "los"))
+
+  /** language id: count marker-word occurrences per language, pick the
+    * argmax (ties broken by language order), 'und' (undetermined) when no
+    * marker hits. */
+  def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("id"), col(textCol).as("t"),
+      explode(split(col(textCol), " ")).as("w"))
+    val scores = LangMarkers.map { case (lang, ms) =>
+      sum(when(col("w").isin(ms: _*), 1L).otherwise(0L)).as(s"n_$lang")
+    }
+    val scored = words.groupBy(col("id")).agg(scores.head, scores.tail: _*)
+    val best = LangMarkers.map(_._1).foldRight(lit("und")) { (lang, els) =>
+      val isMax = LangMarkers.map(_._1).filter(_ != lang)
+        .map { o =>
+          if (LangMarkers.map(_._1).indexOf(o) < LangMarkers.map(_._1).indexOf(lang))
+            col(s"n_$lang") > col(s"n_$o")
+          else col(s"n_$lang") >= col(s"n_$o")
+        }
+        .reduce(_ && _) && col(s"n_$lang") > 0
+      when(isMax, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("lang_id", best)
+      .select(col("id") +: LangMarkers.map(l => col(s"n_${l._1}")) :+ col("lang_id"): _*)
+  }
+
+  /** token counting with a BPE-ish regex: words, numbers, and single
+    * punctuation each count as one token (portable RE2/Java subset). */
+  def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      size(filter(split(col(textCol), " "), w => length(w) > 0)).cast("long").as("n_words"),
+      regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_tokens"))
+
+  /** document fingerprint: min/max/xor over portable rolling hashes of all
+    * char k-grams (winnowing-style signature). Docs shorter than k chars
+    * are dropped. */
+  def fingerprintKgram(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val t = col(textCol)
+    val idxs = sequence(lit(1), length(t) - (k - 1))
+    val gramHash = transform(idxs, i =>
+      // fold over the k chars starting at i: ((...)*31 + code) mod p
+      (0 until k).foldLeft(lit(0L): Column) { (acc, off) =>
+        (acc * 31 + ascii(t.substr(i + off, lit(1))).cast("long")) % P
+      })
+    docs.where(length(t) >= k)
+      .select(col(idCol).as("id"), gramHash.as("hs"))
+      .select(col("id"),
+        array_min(col("hs")).as("fp_min"),
+        array_max(col("hs")).as("fp_max"),
+        aggregate(col("hs"), lit(0L), (a, x) => a.bitwiseXOR(x)).as("fp_xor"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+
+/** Dedup/text suite vs literal Scala reimplementations of the same
+  * portable integer hashing. */
+class TextOpsSpec extends SparkTestBase {
+
+  val P = TextOps.P
+
+  // small doc fixture with planted near-duplicates
+  private lazy val docs = {
+    import spark.implicits._
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river side"), // near-dup of 0
+      (2L, "a completely different document about spark catalyst query planning"),
+      (3L, "a completely different document about spark catalyst query planner"), // near-dup of 2
+      (4L, "der schnelle braune fuchs springt und der hund und die katze"),
+      (5L, "le chat et le chien et les oiseaux dans le jardin"),
+      (6L, "el perro y el gato y los pajaros en la casa"),
+      (7L, "the quick brown fox jumps over the lazy dog near the river bank")) // exact dup of 0
+    base.toDF("doc_id", "text")
+  }
+
+  private def hashStr(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % P)
+
+  private def wordShingles(t: String, n: Int): Set[String] =
+    t.split(" ").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+
+  test("portableHash matches local fold") {
+    val got = docs.select(col("doc_id"), TextOps.portableHash(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val local = docs.collect().map(r => (r.getLong(0), hashStr(r.getString(1)))).toMap
+    assert(got == local)
+  }
+
+  test("ngramJaccardPairs == brute-force Jaccard") {
+    val tau = 0.5
+    val got = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, tau)
+      .select("a_id", "b_id", "jac").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val local = docs.collect().map(r => (r.getLong(0), wordShingles(r.getString(1), 3)))
+    val want = (for {
+      (ia, sa) <- local; (ib, sb) <- local if ia < ib
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter) if inter > 0 && jac >= tau
+    } yield ((ia, ib), jac)).toMap
+    assert(got == want)
+    assert(want.contains((0L, 7L)) && want((0L, 7L)) == 1.0, "exact dup pair found")
+    assert(want.contains((0L, 1L)), "near-dup pair found")
+  }
+
+  test("minhashLshPairs finds planted near-dups, subset of exact pairs") {
+    val tau = 0.5
+    val lsh = TextOps.minhashLshPairs(docs, "doc_id", "text", 3, bands = 4, rowsPerBand = 4, tau)
+      .select("a_id", "b_id", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextOps.ngramJaccardPairs(docs, "doc_id", "text", 3, tau)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((0L, 7L)), "exact dup must share every band")
+  }
+
+  test("simhash: identical docs equal, near-dups within small hamming distance") {
+    val got = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(0L) == got(7L))
+    val hamming01 = java.lang.Long.bitCount(got(0L) ^ got(1L))
+    val hamming02 = java.lang.Long.bitCount(got(0L) ^ got(2L))
+    assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
+  }
+
+  test("embedding near-dup: LSH pairs subset of exact pairs; planted dup found") {
+    import spark.implicits._
+    // deterministic vectors; 0 and 1 nearly identical
+    val vecs = (0L until 40L).map { i =>
+      val src = if (i == 1) 0L else i // vec 1 = vec 0 + tiny perturbation
+      val base = Array.tabulate(16)(d => (((src * 31 + d * 7) % 19) - 9).toFloat / 9f)
+      if (i == 1) base(0) = base(0) + 0.01f
+      (i, base.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val exact = TextOps.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.95)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 1L)))
+    val lsh = TextOps.embeddingLshPairs(emb, "vec_id", "embedding", dims = 16, bits = 8, tau = 0.95)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+    // byte-identical vectors (period-19 generator collisions) always share
+    // every hyperplane sign, so they must survive LSH bucketing
+    assert(lsh.contains((2L, 21L)), "identical vectors share all hyperplane signs")
+    assert(lsh.nonEmpty)
+  }
+
+  test("languageId picks the marker-dominant language") {
+    val got = TextOps.languageId(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(r.length - 1))).toMap
+    assert(got(0L) == "en" && got(4L) == "de" && got(5L) == "fr" && got(6L) == "es")
+    assert(got(2L) == "und" || got(2L) == "en") // no strong markers
+  }
+
+  test("tokenCount: regex token count matches local Java regex") {
+    val got = TextOps.tokenCount(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]".r
+    for ((id, nWords, nTokens) <- got) {
+      val t = docs.collect().find(_.getLong(0) == id).get.getString(1)
+      assert(nWords == t.split(" ").count(_.nonEmpty))
+      assert(nTokens == re.findAllIn(t).length)
+    }
+  }
+
+  test("fingerprintKgram matches local rolling hash") {
+    val k = 8
+    val got = TextOps.fingerprintKgram(docs, "doc_id", "text", k).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    for (r <- docs.collect()) {
+      val t = r.getString(1)
+      val hs = (0 to t.length - k).map(i => hashStr(t.substring(i, i + k)))
+      val want = (hs.min, hs.max, hs.foldLeft(0L)(_ ^ _))
+      assert(got(r.getLong(0)) == want)
+    }
+    assert(got(0L) == got(7L), "identical docs share fingerprint")
+  }
+}
