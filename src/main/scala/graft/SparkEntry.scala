@@ -122,6 +122,44 @@ object SparkEntry {
       graft.spark.TextOps.fingerprintKgram(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 8)
     }),
+    "q24_kmeans" -> ((s, dir) => {
+      val pts = Tables.pages(s, dir).select(col("doc_id").as("id"), col("lon"), col("lat"))
+      val init = pts.where(col("id") % 50 === 0).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
+      graft.spark.Analytics.kmeans(pts, init, iters = 3)
+    }),
+    "q25_dbscan" -> ((s, dir) => {
+      val pts = Tables.pages(s, dir).select(col("doc_id").as("id"), col("lon"), col("lat"))
+      graft.spark.Analytics.dbscan(pts, "id", eps = 0.4, minPts = 4)
+    }),
+    "q26_kde" -> ((s, dir) => {
+      graft.spark.Analytics.kdeHeatmap(Tables.pages(s, dir), bits = 5)
+    }),
+    "q27_tile_cover" -> ((s, dir) => {
+      import s.implicits._
+      val envs = Tables.regionBoxes(20)
+        .toDF("env_id", "lon_min", "lon_max", "lat_min", "lat_max")
+      graft.spark.Tiling.tileCover(envs, bits = 6).select("env_id", "tx", "ty")
+    }),
+    "q28_tile_bounds" -> ((s, dir) => {
+      graft.spark.Tiling.occupiedTileBounds(Tables.pages(s, dir), bits = 6)
+    }),
+    "q29_hull" -> ((s, dir) => {
+      val pts = Tables.pages(s, dir)
+        .select(col("doc_id").as("id"), col("lon"), col("lat"))
+        .withColumn("g", col("id") % 5)
+      graft.spark.Analytics.convexHullPerGroup(pts, "g")
+    }),
+    "q30_stats_profile" -> ((s, dir) => {
+      Ops.statsProfile(Tables.pages(s, dir))
+    }),
+    "q31_subsample" -> ((s, dir) => {
+      val pts = Tables.pages(s, dir)
+      Ops.subsample(pts, "doc_id", bits = 6)
+    }),
+    "q32_range_histogram" -> ((s, dir) => {
+      Ops.rangeHistogram(Tables.pages(s, dir), bits = 6)
+    }),
   )
 
   // ---- DuckDB twins of the portable integer hashing in TextOps ----
@@ -345,5 +383,129 @@ object SparkEntry {
          |SELECT doc_id AS id, min(h) AS fp_min, max(h) AS fp_max, bit_xor(h) AS fp_xor
          |FROM grams GROUP BY 1""".stripMargin
     },
+    "q24_kmeans" -> kmeansSql(3),
+    "q25_dbscan" -> dbscanSql(eps = 0.4, minPts = 4),
+    "q26_kde" -> kdeSql(bits = 5),
+    "q27_tile_cover" -> {
+      val bins = 64
+      s"""WITH envs AS (SELECT * FROM (VALUES ${Tables.regionBoxesSqlValues(20)})
+         |  v(env_id, lon_min, lon_max, lat_min, lat_max)),
+         |b AS (SELECT env_id,
+         |  CAST(GREATEST(CEIL(((lon_min + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS x0,
+         |  CAST(GREATEST(CEIL(((lon_max + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS x1,
+         |  CAST(GREATEST(CEIL(((lat_min + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS y0,
+         |  CAST(GREATEST(CEIL(((lat_max + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS y1
+         |  FROM envs)
+         |SELECT env_id, xs.tx, ys.ty
+         |FROM b, LATERAL (SELECT unnest(range(x0, x1 + 1)) AS tx) xs,
+         |        LATERAL (SELECT unnest(range(y0, y1 + 1)) AS ty) ys""".stripMargin
+    },
+    "q28_tile_bounds" -> {
+      val bins = 64
+      s"""$pagesCte
+         |SELECT tx, ty,
+         |  CAST(tx AS DOUBLE) / $bins * 360 - 180 AS lon_min,
+         |  CAST(tx + 1 AS DOUBLE) / $bins * 360 - 180 AS lon_max,
+         |  GREATEST(CAST(ty AS DOUBLE) / $bins * 360 - 180, -90.0) AS lat_min,
+         |  LEAST(CAST(ty + 1 AS DOUBLE) / $bins * 360 - 180, 90.0) AS lat_max
+         |FROM (
+         |  SELECT DISTINCT
+         |    CAST(GREATEST(CEIL(((lon + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS tx,
+         |    CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty
+         |  FROM pages)""".stripMargin
+    },
+    "q30_stats_profile" ->
+      s"""$pagesCte
+         |SELECT COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_ids,
+         |  MIN(lon) AS min_lon, MAX(lon) AS max_lon,
+         |  MIN(lat) AS min_lat, MAX(lat) AS max_lat
+         |FROM pages""".stripMargin,
+    "q31_subsample" -> {
+      val bins = 64
+      s"""$pagesCte
+         |SELECT MIN(doc_id) AS doc_id, tx, ty FROM (
+         |  SELECT doc_id,
+         |    CAST(GREATEST(CEIL(((lon + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS tx,
+         |    CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty
+         |  FROM pages) GROUP BY tx, ty""".stripMargin
+    },
+    "q32_range_histogram" -> {
+      val bins = 64
+      s"""$pagesCte
+         |SELECT tx, ty, COUNT(*) AS cnt FROM (
+         |  SELECT
+         |    CAST(GREATEST(CEIL(((lon + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS tx,
+         |    CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty
+         |  FROM pages) GROUP BY tx, ty""".stripMargin
+    },
   )
+
+  /** unrolled Lloyd iterations mirroring Analytics.kmeans exactly. */
+  private def kmeansSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(pagesCte).append(",\n")
+    sb.append("c0 AS (SELECT doc_id AS cid, lon AS clon, lat AS clat FROM pages WHERE doc_id % 50 = 0)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |a$i AS (SELECT p.doc_id, p.lon, p.lat, c.cid,
+        |  ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY
+        |    (p.lon - c.clon) * (p.lon - c.clon) + (p.lat - c.clat) * (p.lat - c.clat), c.cid) AS rn
+        |  FROM pages p CROSS JOIN c${i - 1} c),
+        |s$i AS (SELECT cid, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(lon * 100) AS BIGINT)) AS BIGINT) AS sum_lon_c,
+        |  CAST(SUM(CAST(ROUND(lat * 100) AS BIGINT)) AS BIGINT) AS sum_lat_c
+        |  FROM a$i WHERE rn = 1 GROUP BY 1)""".stripMargin)
+      if (i < iters)
+        sb.append(s""",
+          |c$i AS (SELECT cid, CAST(sum_lon_c AS DOUBLE) / cnt / 100.0 AS clon,
+          |  CAST(sum_lat_c AS DOUBLE) / cnt / 100.0 AS clat FROM s$i)""".stripMargin)
+    }
+    sb.append(s"\nSELECT cid AS centroid_id, cnt, sum_lon_c, sum_lat_c FROM s$iters")
+    sb.toString
+  }
+
+  /** recursive-CTE min-label connected components over core-core edges. */
+  private def dbscanSql(eps: Double, minPts: Int): String = {
+    val e2 = eps * eps
+    s"""WITH RECURSIVE pages AS (
+       |  SELECT doc_id, ${Tables.pagesLonSql} AS lon, ${Tables.pagesLatSql} AS lat FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id FROM pages a, pages b
+       |  WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) <= $e2),
+       |core AS (SELECT a_id AS id FROM edges GROUP BY 1 HAVING COUNT(*) >= $minPts),
+       |ce AS (SELECT e.a_id, e.b_id FROM edges e
+       |       JOIN core x ON e.a_id = x.id JOIN core y ON e.b_id = y.id),
+       |reach(a, b) AS (
+       |  SELECT a_id, b_id FROM ce
+       |  UNION
+       |  SELECT r.a, e.b_id FROM reach r JOIN ce e ON r.b = e.a_id),
+       |lab AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY 1),
+       |border AS (
+       |  SELECT e.a_id AS id, MIN(l.cluster) AS cluster, 'border' AS role
+       |  FROM edges e JOIN lab l ON e.b_id = l.id
+       |  WHERE e.a_id NOT IN (SELECT id FROM core) GROUP BY 1)
+       |SELECT id, cluster, 'core' AS role FROM lab
+       |UNION ALL SELECT id, cluster, role FROM border
+       |UNION ALL SELECT doc_id AS id, CAST(-1 AS BIGINT) AS cluster, 'noise' AS role
+       |  FROM pages WHERE doc_id NOT IN (SELECT id FROM core)
+       |    AND doc_id NOT IN (SELECT id FROM border)""".stripMargin
+  }
+
+  /** integer 5x5 Gaussian splat + percent_rank, mirroring Analytics.kdeHeatmap. */
+  private def kdeSql(bits: Int): String = {
+    val bins = 1L << bits
+    val kern = graft.spark.Analytics.KdeKernel
+      .map { case (dx, dy, w) => s"($dx, $dy, $w)" }.mkString(", ")
+    s"""$pagesCte,
+       |cells AS (
+       |  SELECT
+       |    CAST(GREATEST(CEIL(((lon + 180) / 360) * $bins) - 1, 0) AS BIGINT) + k.dx AS tx,
+       |    CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) + k.dy AS ty,
+       |    k.w
+       |  FROM pages, (SELECT * FROM (VALUES $kern) v(dx, dy, w)) k)
+       |SELECT tx, ty, weight, PERCENT_RANK() OVER (ORDER BY weight, tx, ty) AS pr FROM (
+       |  SELECT tx, ty, CAST(SUM(w) AS BIGINT) AS weight FROM cells
+       |  WHERE tx >= 0 AND tx <= ${bins - 1} AND ty >= 0 AND ty <= ${bins - 1}
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 }

@@ -1,0 +1,179 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Clustering / density analytics — Spark-native re-expressions of the
+ * reference's MapReduce dataflows (SURVEY §2.6): KMeans
+ * (analytics/mapreduce/.../kmeans/KMeansMapReduce.java:62-308 +
+ * KMeansIterationsJobRunner.java:43), DBSCAN
+ * (dbscan/DBScanMapReduce.java:83-404), KDE heatmap
+ * (kde/KDEJobRunner.java:55-406, GaussianFilter.java:16-24), convex hull
+ * per cluster (clustering/ConvexHullMapReduce.java:68).
+ *
+ * Numeric discipline: all accumulations that feed comparisons are integer
+ * (centi-degree sums, quantized kernel weights) so results are exactly
+ * reproducible by a SQL oracle and invariant to partitioning/order — the
+ * property the reference gets from single-reducer determinism, kept here
+ * under full parallelism.
+ */
+object Analytics {
+
+  /** centi-degree integer coordinate (pages lie on a 0.01° grid). */
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  /**
+   * One Lloyd assignment pass against broadcast centroids: each point to
+   * its nearest centroid (ties → lowest centroid id), returning integer
+   * per-cluster stats (cnt, sum of centi-degree lon/lat) — the map +
+   * combine of KMeansMapReduce, as one aggregation.
+   */
+  def kmeansAssignStats(pts: DataFrame, centroids: Seq[(Long, Double, Double)]): DataFrame = {
+    val c = centroids.map { case (id, lon, lat) =>
+      struct(lit(id).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
+    }
+    val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
+      (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
+    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("c.cid"))
+    pts.select(col("id"), col("lon"), col("lat"), explode(array(c: _*)).as("c"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("c.cid").as("centroid_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("lon"))).as("sum_lon_c"),
+        sum(cents(col("lat"))).as("sum_lat_c"))
+  }
+
+  /** full Lloyd iterations: centroids refreshed from integer sums each
+    * round (new coord = sum_c / cnt / 100 — one double division, exactly
+    * reproducible). Driver loops on k-sized aggregates only. */
+  def kmeans(pts: DataFrame, init: Seq[(Long, Double, Double)], iters: Int): DataFrame = {
+    var centroids = init
+    var stats: DataFrame = null
+    for (_ <- 0 until iters) {
+      stats = kmeansAssignStats(pts, centroids)
+      centroids = stats.collect().map { r =>
+        (r.getLong(0),
+          r.getLong(2).toDouble / r.getLong(1) / 100.0,
+          r.getLong(3).toDouble / r.getLong(1) / 100.0)
+      }.toSeq.sortBy(_._1)
+    }
+    stats
+  }
+
+  /**
+   * DBSCAN: cell-partitioned eps-neighbor join (same tiling as
+   * Ops.distanceJoin), core points by neighbor count, clusters =
+   * connected components of the core-core graph via min-label
+   * propagation, borders attached to their lowest core cluster.
+   * Output: (id, cluster, role 'core'|'border'|'noise'); cluster = -1
+   * for noise. Driver loops on an aggregate change-count only.
+   */
+  def dbscan(pts: DataFrame, idCol: String, eps: Double, minPts: Int,
+             bits: Int = 6): DataFrame = {
+    require(360.0 / (1L << bits) >= eps, s"cell size at $bits bits must be >= eps=$eps")
+    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"))
+      .withColumn("cx", GeoFunctions.gw_tile_x(col("lon"), bits))
+      .withColumn("cy", GeoFunctions.gw_tile_y(col("lat"), bits))
+    val offs = Seq(-1L, 0L, 1L)
+    val neigh = offs.flatMap(dx => offs.map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy"))))
+    val a = base.select(col("id").as("a_id"), col("lon").as("a_lon"), col("lat").as("a_lat"),
+        explode(array(neigh: _*)).as("o"), col("cx"), col("cy"))
+      .select(col("a_id"), col("a_lon"), col("a_lat"),
+        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
+    val b = base.select(col("id").as("b_id"), col("lon").as("b_lon"),
+      col("lat").as("b_lat"), col("cx").as("jx"), col("cy").as("jy"))
+    val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
+      (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
+    // directed eps-edges including self-loops (counts the point itself)
+    val edges = a.join(b, Seq("jx", "jy"))
+      .where(d2 <= lit(eps * eps))
+      .select(col("a_id"), col("b_id"))
+      .cache()
+    val counts = edges.groupBy("a_id").agg(count(lit(1)).as("n"))
+    val core = counts.where(col("n") >= minPts).select(col("a_id").as("id")).cache()
+    // min-label propagation over core-core edges
+    val coreEdges = edges
+      .join(core.withColumnRenamed("id", "a_id"), "a_id")
+      .join(core.withColumnRenamed("id", "b_id"), "b_id")
+      .select("a_id", "b_id")
+      .cache()
+    var labels = core.withColumn("lbl", col("id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val next = coreEdges
+        .join(labels.withColumnRenamed("id", "b_id").withColumnRenamed("lbl", "b_lbl"), "b_id")
+        .groupBy(col("a_id").as("id"))
+        .agg(min(col("b_lbl")).as("next_lbl"))
+      val merged = labels.join(next, Seq("id"))
+        .select(col("id"), col("lbl"), least(col("lbl"), col("next_lbl")).as("new_lbl"))
+        .cache()
+      changed = merged.where(col("new_lbl") =!= col("lbl")).count()
+      labels = merged.select(col("id"), col("new_lbl").as("lbl")).cache()
+    }
+    val coreOut = labels.select(col("id"), col("lbl").as("cluster"), lit("core").as("role"))
+    // border: non-core with >= 1 core neighbor → lowest core cluster
+    val nonCore = base.select("id").join(core, Seq("id"), "left_anti")
+    val borderLbl = edges.withColumnRenamed("a_id", "id")
+      .join(nonCore, "id")
+      .join(labels.withColumnRenamed("id", "b_id").withColumnRenamed("lbl", "b_lbl"), "b_id")
+      .groupBy("id").agg(min("b_lbl").as("cluster"))
+      .withColumn("role", lit("border"))
+    val noise = base.select("id")
+      .join(core, Seq("id"), "left_anti")
+      .join(borderLbl.select("id"), Seq("id"), "left_anti")
+      .withColumn("cluster", lit(-1L)).withColumn("role", lit("noise"))
+    coreOut.unionByName(borderLbl).unionByName(noise)
+  }
+
+  /** 5x5 quantized Gaussian kernel (sigma=1), integer weights — the
+    * reference's GaussianFilter splat (kde/GaussianFilter.java:16-24,
+    * 62-140) with portable arithmetic. */
+  val KdeKernel: Seq[(Int, Int, Long)] = {
+    val raw = for (dx <- -2 to 2; dy <- -2 to 2) yield
+      (dx, dy, math.round(1000000.0 * math.exp(-(dx * dx + dy * dy) / 2.0)))
+    raw.toSeq
+  }
+
+  /**
+   * KDE heatmap: every point splats the 5x5 kernel onto its tile
+   * neighborhood; weights summed per cell (integer — order-free);
+   * percentile rank per cell over the level. Two chained aggregations —
+   * the reference's two MR jobs (KDEJobRunner.java:111-231).
+   */
+  def kdeHeatmap(pts: DataFrame, bits: Int): DataFrame = {
+    val maxIdx = (1L << bits) - 1
+    val kern = KdeKernel.map { case (dx, dy, w0) =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"), lit(w0).as("w"))
+    }
+    val cells = pts
+      .select(GeoFunctions.gw_tile_x(col("lon"), bits).as("cx"),
+        GeoFunctions.gw_tile_y(col("lat"), bits).as("cy"))
+      .select(explode(array(kern: _*)).as("k"), col("cx"), col("cy"))
+      .select((col("cx") + col("k.dx")).as("tx"), (col("cy") + col("k.dy")).as("ty"),
+        col("k.w").as("w"))
+      .where(col("tx") >= 0 && col("tx") <= maxIdx && col("ty") >= 0 && col("ty") <= maxIdx)
+    cells.groupBy("tx", "ty").agg(sum("w").as("weight"))
+      .withColumn("pr", percent_rank().over(Window.orderBy(col("weight"), col("tx"), col("ty"))))
+  }
+
+  /** convex hull WKT per group: groupBy → collect coordinates → JTS hull
+    * (ConvexHullMapReduce semantics; JTS ConvexHull is deterministic). */
+  def convexHullPerGroup(df: DataFrame, groupCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("long").as("g"), col("lon"), col("lat"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (g, it) =>
+        val gf = new org.locationtech.jts.geom.GeometryFactory()
+        val coords = it.map(t => new org.locationtech.jts.geom.Coordinate(t._2, t._3)).toArray
+        val hull = new org.locationtech.jts.algorithm.ConvexHull(coords, gf).getConvexHull
+        (g, hull.getNumPoints.toLong, hull.getArea, hull.toText)
+      }
+      .toDF("group_id", "n_vertices", "area", "wkt")
+  }
+}

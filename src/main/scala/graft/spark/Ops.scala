@@ -198,4 +198,39 @@ object Ops {
 
   private def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  // ------------------------------------------------------- stats & pruning
+
+  /** one-pass global profile — the ingest-maintained statistics bundle
+    * (StatsCompositionTool; Count/BoundingBox/TimeRange statistics). */
+  def statsProfile(pts: DataFrame, tsCol: Option[String] = None): DataFrame = {
+    val base = Seq(
+      count(lit(1)).as("cnt"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"),
+      min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"))
+    val withTs = tsCol.map(c => Seq(min(col(c)).as("min_ts"), max(col(c)).as("max_ts")))
+      .getOrElse(Seq.empty)
+    val all = base ++ withTs
+    pts.agg(all.head, all.tail: _*)
+  }
+
+  /** resolution subsampling: keep exactly one row (lowest id) per occupied
+    * tile at `bits` — FixedCardinalitySkippingIterator semantics
+    * (QueryOptions.maxResolutionSubsamplingPerDimension). */
+  def subsample(pts: DataFrame, idCol: String, bits: Int): DataFrame = {
+    val w = Window.partitionBy(col("tx"), col("ty")).orderBy(col(idCol))
+    pts.withColumn("tx", GeoFunctions.gw_tile_x(col("lon"), bits))
+      .withColumn("ty", GeoFunctions.gw_tile_y(col("lat"), bits))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("tx"), col("ty"))
+  }
+
+  /** rows per tile at `bits` — the row-range histogram that drives split
+    * sizing (RowRangeHistogramStatistics / SplitsProvider). */
+  def rangeHistogram(pts: DataFrame, bits: Int): DataFrame =
+    pts.select(GeoFunctions.gw_tile_x(col("lon"), bits).as("tx"),
+        GeoFunctions.gw_tile_y(col("lat"), bits).as("ty"))
+      .groupBy("tx", "ty").agg(count(lit(1)).as("cnt"))
 }

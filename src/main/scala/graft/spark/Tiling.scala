@@ -1,0 +1,140 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Raster↔vector tiling (SURVEY §2.11): deterministic tile IDs = single-tier
+ * SFC insertion ids, tile bounds = Hilbert-cell denormalized ranges
+ * (reference: RasterDataAdapter.convertToIndex,
+ * extensions/adapters/raster/.../RasterDataAdapter.java:454-586;
+ * MosaicPerPyramidLevelBuilder:613-664), pyramid level choice :503-553,
+ * mosaic merge via NoDataMergeStrategy
+ * (extensions/adapters/raster/.../NoDataMergeStrategy.java:17).
+ */
+object Tiling {
+
+  /** Hilbert tile id from grid coordinates (tx, ty) at `bits`/dim. */
+  case class TileIdFromXY(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(tx: Any, ty: Any): Any =
+      GeoCodec.curve2d(bits).index(Array(tx.asInstanceOf[Long], ty.asInstanceOf[Long]))
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (tx, ty) =>
+        s"graft.spark.GeoCodec.curve2d($bits).index(new long[]{$tx, $ty})")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** multi-tier tiered insertion ids of an envelope — the UDTF-shaped
+    * 1-record→N-rows encode (IndexDependentDataAdapter.convertToIndex);
+    * duplicates at coarse tiers included, per TieredSFCIndexStrategy
+    * semantics (already golden-tested in graft.index). */
+  case class CellIdsForEnvelope(first: Expression, second: Expression,
+                                third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(lonMin: Any, lonMax: Any, latMin: Any, latMax: Any): Any = {
+      val ids = GeoCodec.spatial.getInsertionIds(Array(
+        graft.index.NumericData(lonMin.asInstanceOf[Double], lonMax.asInstanceOf[Double]),
+        graft.index.NumericData(latMin.asInstanceOf[Double], latMax.asInstanceOf[Double])))
+      new GenericArrayData(ids.toArray[Any])
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                   t: Expression, q: Expression): Expression =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  def gw_tile_id_xy(tx: Column, ty: Column, bits: Int): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(TileIdFromXY(expression(tx), expression(ty), bits))
+  }
+
+  def gw_cell_ids_envelope(lonMin: Column, lonMax: Column,
+                           latMin: Column, latMax: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(CellIdsForEnvelope(expression(lonMin), expression(lonMax),
+      expression(latMin), expression(latMax)))
+  }
+
+  /**
+   * Grid tiles covering each envelope at `bits`/dim: the per-level tile
+   * assignment of the mosaic builder. Envelope df must carry
+   * (env_id, lon_min, lon_max, lat_min, lat_max). Output one row per
+   * (env_id, tx, ty) + Hilbert tile id.
+   */
+  def tileCover(envs: DataFrame, bits: Int): DataFrame = {
+    val x0 = GeoFunctions.gw_tile_x(col("lon_min"), bits)
+    val x1 = GeoFunctions.gw_tile_x(col("lon_max"), bits)
+    val y0 = GeoFunctions.gw_tile_y(col("lat_min"), bits)
+    val y1 = GeoFunctions.gw_tile_y(col("lat_max"), bits)
+    envs
+      .withColumn("tx", explode(sequence(x0, x1)))
+      .withColumn("ty", explode(sequence(y0, y1)))
+      .withColumn("tile_id", gw_tile_id_xy(col("tx"), col("ty"), bits))
+      .select(col("env_id"), col("tx"), col("ty"), col("tile_id"))
+  }
+
+  /** occupied tiles of a point set with their denormalized cell bounds —
+    * raster→vector polygonization of the tile grid. */
+  def occupiedTileBounds(pts: DataFrame, bits: Int): DataFrame = {
+    val bins = (1L << bits).toDouble
+    pts.select(GeoFunctions.gw_tile_x(col("lon"), bits).as("tx"),
+        GeoFunctions.gw_tile_y(col("lat"), bits).as("ty"))
+      .distinct()
+      .withColumn("lon_min", col("tx").cast("double") / bins * 360 - 180)
+      .withColumn("lon_max", (col("tx") + 1).cast("double") / bins * 360 - 180)
+      .withColumn("lat_min", greatest(col("ty").cast("double") / bins * 360 - 180, lit(-90.0)))
+      .withColumn("lat_max", least((col("ty") + 1).cast("double") / bins * 360 - 180, lit(90.0)))
+  }
+
+  /** pyramid level (bits/dim) whose cell span best matches the coverage's
+    * native resolution: finest tier with cellSpan >= pixelSpan*tileSize/(1+eps)
+    * (reference: RasterDataAdapter.java:503-553 floor rule). */
+  def pyramidLevel(envWidthDeg: Double, pixelsWide: Long, tileSize: Int,
+                   maxBits: Int = 31, eps: Double = 1e-10): Int = {
+    val tileSpanDeg = envWidthDeg / pixelsWide * tileSize // degrees per tile at native res
+    var bits = 0
+    while (bits < maxBits && 360.0 / (1L << (bits + 1)) >= tileSpanDeg * (1 - eps)) bits += 1
+    bits
+  }
+
+  /** mosaic merge of equally-sized tile payloads: per-byte no-data(0)
+    * override — RowMergingDataAdapter/NoDataMergeStrategy as a typed
+    * Aggregator (commutative + associative, safe for partial agg). */
+  val noDataMerge: Aggregator[Array[Byte], Array[Byte], Array[Byte]] =
+    new Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+      override def zero: Array[Byte] = Array.emptyByteArray
+      private def merge2(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+        if (a.isEmpty) return b
+        if (b.isEmpty) return a
+        val out = new Array[Byte](math.max(a.length, b.length))
+        var i = 0
+        while (i < out.length) {
+          val av: Byte = if (i < a.length) a(i) else 0
+          out(i) = if (av != 0) av else (if (i < b.length) b(i) else 0: Byte)
+          i += 1
+        }
+        out
+      }
+      override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] = merge2(buf, in)
+      override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = merge2(x, y)
+      override def finish(buf: Array[Byte]): Array[Byte] = buf
+      override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+      override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+
+  /** group tiles by id and mosaic-merge payloads. */
+  def mosaicMerge(tiles: DataFrame, tileCol: String, payloadCol: String): DataFrame =
+    tiles.groupBy(col(tileCol))
+      .agg(udaf(noDataMerge, Encoders.BINARY).apply(col(payloadCol)).as("payload"))
+}
