@@ -160,6 +160,27 @@ object SparkEntry {
     "q32_range_histogram" -> ((s, dir) => {
       Ops.rangeHistogram(Tables.pages(s, dir), bits = 6)
     }),
+    "q33_media_features" -> ((s, dir) => {
+      val media = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.spark.Multimodal.extractFeatures(media, "doc_id", "payload")
+        .toDF().select(col("id"), col("nBytes").as("n_bytes"),
+          col("headByte").cast("long").as("head_byte"), col("checksum"))
+    }),
+    "q34_stream_ingest" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q34")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      // the file stream source needs a directory; stage the parquet into one
+      val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val addGeo = (df: DataFrame) => df
+        .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
+        .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
+      graft.streaming.StreamIngest.runFileIngest(
+        s, inDir.toString, ev.schema, addGeo, s"$tmp/out", s"$tmp/ck", bits = 8)
+      s.read.parquet(s"$tmp/out").select("event_id", "tx", "ty")
+    }),
   )
 
   // ---- DuckDB twins of the portable integer hashing in TextOps ----
@@ -438,7 +459,21 @@ object SparkEntry {
          |    CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty
          |  FROM pages) GROUP BY tx, ty""".stripMargin
     },
+    "q33_media_features" -> q33Sql,
+    "q34_stream_ingest" -> q34Sql,
   )
+
+  private val q33Sql: String =
+    s"""SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_bytes,
+       |  CAST(ord(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+       |  ${duckHash("text")} AS checksum
+       |FROM documents""".stripMargin
+
+  private val q34Sql: String =
+    s"""SELECT event_id,
+       |  CAST(GREATEST(CEIL(((${Tables.eventsLonSql} + 180) / 360) * 256) - 1, 0) AS BIGINT) AS tx,
+       |  CAST(GREATEST(CEIL(((${Tables.eventsLatSql} + 180) / 360) * 256) - 1, 0) AS BIGINT) AS ty
+       |FROM events""".stripMargin
 
   /** unrolled Lloyd iterations mirroring Analytics.kmeans exactly. */
   private def kmeansSql(iters: Int): String = {

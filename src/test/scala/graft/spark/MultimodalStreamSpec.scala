@@ -1,0 +1,91 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class MultimodalStreamSpec extends SparkTestBase {
+
+  private lazy val pages = Tables.synthPages(spark, 400).cache()
+
+  test("extractFeatures: checksum matches portable hash of the bytes") {
+    val media = pages.select(col("doc_id"), col("html"))
+    val got = Multimodal.extractFeatures(media, "doc_id", "html").collect()
+      .map(f => f.id -> f).toMap
+    val local = media.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    for ((id, p) <- local) {
+      val want = p.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % TextOps.P)
+      assert(got(id).checksum == want)
+      assert(got(id).nBytes == p.length)
+      assert(got(id).headByte == (p(0) & 0xff))
+      assert(got(id).vec.length == 8 && got(id).vec.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+
+  test("sampleFrames emits every stride-th frame with deterministic checksums") {
+    val media = pages.limit(20).select(col("doc_id"), col("html"),
+      (col("doc_id") % 7 + 3).as("n_frames"))
+    val got = Multimodal.sampleFrames(media, "doc_id", "html", "n_frames", stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byId = got.groupBy(_._1)
+    for (r <- media.collect()) {
+      val id = r.getLong(0); val n = r.getLong(2).toInt
+      assert(byId(id).map(_._2).sorted.sameElements(0 until n by 2), s"id $id")
+    }
+    // determinism: same call → same checksums
+    val again = Multimodal.sampleFrames(media, "doc_id", "html", "n_frames", stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSet == again.toSet)
+  }
+
+  test("resizePayload: fixed output size, nearest-sample determinism") {
+    val media = pages.limit(20).select(col("doc_id"), col("html"))
+    val got = Multimodal.resizePayload(media, "doc_id", "html", outBytes = 16).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val local = media.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toMap
+    for ((id, tile) <- got) {
+      val p = local(id)
+      assert(tile.length == 16)
+      for (i <- 0 until 16) assert(tile(i) == p((i.toLong * p.length / 16).toInt))
+    }
+  }
+
+  test("streaming file ingest == batch encode; restart is incremental") {
+    import graft.streaming.StreamIngest
+    val tmp = Files.createTempDirectory("graft-stream")
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.limit(300).write.parquet(inDir)
+
+    val addGeo = (df: org.apache.spark.sql.DataFrame) => df
+      .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
+      .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
+    StreamIngest.runFileIngest(spark, inDir, ev.schema, addGeo, outDir, ckDir, bits = 8)
+    val got1 = spark.read.parquet(outDir)
+    assert(got1.count() == 300)
+    // batch equivalence on (event_id, tx, ty)
+    val batch = StreamIngest.encode(addGeo(spark.read.parquet(inDir)), 8)
+      .select("event_id", "tx", "ty").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotSet = got1.select("event_id", "tx", "ty").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotSet == batch)
+
+    // append a second file; restart processes only the new data
+    ev.where(col("event_id") >= 300 && col("event_id") < 400)
+      .coalesce(1).write.mode("append").parquet(inDir)
+    StreamIngest.runFileIngest(spark, inDir, ev.schema, addGeo, outDir, ckDir, bits = 8)
+    val got2 = spark.read.parquet(outDir)
+    assert(got2.select("event_id").distinct().count() == got2.count(), "no reprocessing duplicates")
+    assert(got2.count() >= 390 && got2.count() <= 400)
+  }
+
+  test("windowed tile counts with watermark (batch-mode semantics check)") {
+    import graft.streaming.StreamIngest
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
+      .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
+    // windowed agg plan works identically on a batch DF (no watermark drop)
+    val got = StreamIngest.windowedTileCounts(ev, "ts", bits = 4, "1 hour", "10 minutes")
+    val total = got.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == ev.count())
+  }
+}
