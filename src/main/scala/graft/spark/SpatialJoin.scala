@@ -53,12 +53,19 @@ object SpatialJoin {
       t
     }
     @transient private lazy val gf = new GeometryFactory()
+    // expression instances are task-local: reuse one mutable point/envelope
+    // per task instead of allocating per row (GC off the hot path)
+    @transient private lazy val pt = gf.createPoint(new Coordinate(0, 0))
+    @transient private lazy val env = new Envelope()
 
     override def nullSafeEval(lonA: Any, latA: Any): Any = {
       val lon = lonA.asInstanceOf[Double]
       val lat = latA.asInstanceOf[Double]
-      val pt = gf.createPoint(new Coordinate(lon, lat))
-      val hits = tree.query(new Envelope(lon, lon, lat, lat))
+      val c = pt.getCoordinate
+      c.x = lon; c.y = lat
+      pt.geometryChanged()
+      env.init(lon, lon, lat, lat)
+      val hits = tree.query(env)
       if (hits.isEmpty) new GenericArrayData(Array.empty[Any])
       else {
         val out = new java.util.ArrayList[String](hits.size())

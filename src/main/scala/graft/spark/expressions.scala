@@ -138,13 +138,42 @@ case class STCoversPoint(left: Expression, right: Expression, wkb: Array[Byte], 
   @transient private lazy val prepared: PreparedGeometry =
     PreparedGeometryFactory.prepare(new WKBReader().read(wkb))
   @transient private lazy val gf = new GeometryFactory()
+  // task-local reusable point (expression instances are per-task)
+  @transient private lazy val pt = gf.createPoint(new Coordinate(0, 0))
 
   override def nullSafeEval(lon: Any, lat: Any): Any = {
-    val pt = gf.createPoint(new Coordinate(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+    val c = pt.getCoordinate
+    c.x = lon.asInstanceOf[Double]
+    c.y = lat.asInstanceOf[Double]
+    pt.geometryChanged()
     if (contains) prepared.contains(pt) else prepared.intersects(pt)
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/**
+ * General geometry fine-filter: stored WKB geometry vs constant query
+ * polygon. `contains=false` → OVERLAPS (prepared.intersects),
+ * `contains=true` → CONTAINS (prepared.contains) — the exact semantics of
+ * the reference's SpatialQueryFilter.CompareOperation
+ * (core/geotime/.../store/filter/SpatialQueryFilter.java:50-80), pinned by
+ * the ported SpatialQueryTest truth table.
+ */
+case class STGeomPredicate(child: Expression, wkb: Array[Byte], contains: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val prepared: PreparedGeometry =
+    PreparedGeometryFactory.prepare(new WKBReader().read(wkb))
+  @transient private lazy val reader = new WKBReader()
+
+  override def nullSafeEval(geomWkb: Any): Any = {
+    val g = reader.read(geomWkb.asInstanceOf[Array[Byte]])
+    if (contains) prepared.contains(g) else prepared.intersects(g)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** 2-D WKB point constructor (matches the reference's JTS 2-D WKB encoding,
@@ -180,6 +209,8 @@ object GeoFunctions {
     column(STCoversPoint(expression(lon), expression(lat), wkb, contains))
   def st_point_wkb(lon: Column, lat: Column): Column =
     column(STPointWkb(expression(lon), expression(lat)))
+  def st_geom_predicate(geomWkb: Column, queryWkb: Array[Byte], contains: Boolean = false): Column =
+    column(STGeomPredicate(expression(geomWkb), queryWkb, contains))
 
   /** register SQL-callable names on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
