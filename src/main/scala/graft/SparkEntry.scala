@@ -181,6 +181,32 @@ object SparkEntry {
         s, inDir.toString, ev.schema, addGeo, s"$tmp/out", s"$tmp/ck", bits = 8)
       s.read.parquet(s"$tmp/out").select("event_id", "tx", "ty")
     }),
+    "q35_haversine" -> ((s, dir) => {
+      import graft.spark.GeoFunctions.st_distance_haversine
+      val p = Tables.pages(s, dir)
+      val a = p.where(col("doc_id") % 101 === 0)
+        .select(col("doc_id").as("a_id"), col("lon").as("a_lon"), col("lat").as("a_lat"))
+      val b = p.where(col("doc_id") % 103 === 0)
+        .select(col("doc_id").as("b_id"), col("lon").as("b_lon"), col("lat").as("b_lat"))
+      a.crossJoin(b).select(col("a_id"), col("b_id"),
+        round(st_distance_haversine(col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat")))
+          .cast("long").as("dist_m"))
+    }),
+    "q36_time_bin" -> ((s, dir) => {
+      import graft.spark.GeoFunctions.gw_time_bin
+      s.read.parquet(s"$dir/events.parquet").select(col("event_id"),
+        gw_time_bin(col("ts")).as("bin_y"),
+        gw_time_bin(col("ts"), graft.index.TimeUnits.Month).as("bin_m"))
+    }),
+    "q37_kde_compare" -> ((s, dir) => {
+      val p = Tables.pages(s, dir)
+      graft.spark.Analytics.kdeCompare(
+        p.where(col("doc_id") % 2 === 0), p.where(col("doc_id") % 2 === 1), bits = 5)
+    }),
+    "q38_text_search" -> ((s, dir) => {
+      graft.spark.TextOps.ngramSearch(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "scan merge")
+    }),
   )
 
   // ---- DuckDB twins of the portable integer hashing in TextOps ----
@@ -461,6 +487,43 @@ object SparkEntry {
     },
     "q33_media_features" -> q33Sql,
     "q34_stream_ingest" -> q34Sql,
+    "q35_haversine" ->
+      s"""$pagesCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(ROUND(2.0 * 6371008.8 * ASIN(SQRT(
+         |    SIN(RADIANS(b.lat - a.lat) / 2) * SIN(RADIANS(b.lat - a.lat) / 2) +
+         |    COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
+         |    SIN(RADIANS(b.lon - a.lon) / 2) * SIN(RADIANS(b.lon - a.lon) / 2)))) AS BIGINT) AS dist_m
+         |FROM (SELECT * FROM pages WHERE doc_id % 101 = 0) a,
+         |     (SELECT * FROM pages WHERE doc_id % 103 = 0) b""".stripMargin,
+    "q36_time_bin" ->
+      """SELECT event_id, CAST(year(ts) AS VARCHAR) AS bin_y,
+        |  CAST(year(ts) AS VARCHAR) || '_' || lpad(CAST(month(ts) - 1 AS VARCHAR), 2, '0') AS bin_m
+        |FROM events""".stripMargin,
+    "q37_kde_compare" -> {
+      val bins = 32
+      val kern = graft.spark.Analytics.KdeKernel
+        .map { case (dx, dy, w) => s"($dx, $dy, $w)" }.mkString(", ")
+      def splat(pred: String) =
+        s"""SELECT tx, ty, CAST(SUM(w) AS BIGINT) AS weight FROM (
+           |  SELECT
+           |    CAST(GREATEST(CEIL(((lon + 180) / 360) * $bins) - 1, 0) AS BIGINT) + k.dx AS tx,
+           |    CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) + k.dy AS ty,
+           |    k.w
+           |  FROM pages, (SELECT * FROM (VALUES $kern) v(dx, dy, w)) k
+           |  WHERE $pred)
+           |WHERE tx >= 0 AND tx <= ${bins - 1} AND ty >= 0 AND ty <= ${bins - 1}
+           |GROUP BY 1, 2""".stripMargin
+      s"""$pagesCte,
+         |wa AS (${splat("doc_id % 2 = 0")}),
+         |wb AS (${splat("doc_id % 2 = 1")})
+         |SELECT COALESCE(wa.tx, wb.tx) AS tx, COALESCE(wa.ty, wb.ty) AS ty,
+         |  COALESCE(wa.weight, 0) AS w_a, COALESCE(wb.weight, 0) AS w_b,
+         |  COALESCE(wa.weight, 0) - COALESCE(wb.weight, 0) AS diff
+         |FROM wa FULL OUTER JOIN wb ON wa.tx = wb.tx AND wa.ty = wb.ty""".stripMargin
+    },
+    "q38_text_search" ->
+      "SELECT doc_id AS id FROM documents WHERE text LIKE '%scan merge%'",
   )
 
   private val q33Sql: String =

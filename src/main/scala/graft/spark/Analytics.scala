@@ -144,7 +144,8 @@ object Analytics {
    * percentile rank per cell over the level. Two chained aggregations —
    * the reference's two MR jobs (KDEJobRunner.java:111-231).
    */
-  def kdeHeatmap(pts: DataFrame, bits: Int): DataFrame = {
+  /** the splat + per-cell sum (job 1 of the KDE pipeline). */
+  def kdeWeights(pts: DataFrame, bits: Int): DataFrame = {
     val maxIdx = (1L << bits) - 1
     val kern = KdeKernel.map { case (dx, dy, w0) =>
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"), lit(w0).as("w"))
@@ -157,7 +158,23 @@ object Analytics {
         col("k.w").as("w"))
       .where(col("tx") >= 0 && col("tx") <= maxIdx && col("ty") >= 0 && col("ty") <= maxIdx)
     cells.groupBy("tx", "ty").agg(sum("w").as("weight"))
+  }
+
+  def kdeHeatmap(pts: DataFrame, bits: Int): DataFrame =
+    kdeWeights(pts, bits)
       .withColumn("pr", percent_rank().over(Window.orderBy(col("weight"), col("tx"), col("ty"))))
+
+  /** two-dataset KDE difference on the shared cell grid (the reference's
+    * seasonal ComparisonStatsJobRunner): full-outer join of the two
+    * heatmaps, missing cells count as 0. */
+  def kdeCompare(ptsA: DataFrame, ptsB: DataFrame, bits: Int): DataFrame = {
+    val a = kdeWeights(ptsA, bits).select(col("tx"), col("ty"), col("weight").as("w_a"))
+    val b = kdeWeights(ptsB, bits).select(col("tx"), col("ty"), col("weight").as("w_b"))
+    a.join(b, Seq("tx", "ty"), "full_outer")
+      .select(col("tx"), col("ty"),
+        coalesce(col("w_a"), lit(0L)).as("w_a"),
+        coalesce(col("w_b"), lit(0L)).as("w_b"),
+        (coalesce(col("w_a"), lit(0L)) - coalesce(col("w_b"), lit(0L))).as("diff"))
   }
 
   /** convex hull WKT per group: groupBy → collect coordinates → JTS hull

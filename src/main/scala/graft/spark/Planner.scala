@@ -93,14 +93,22 @@ object SpatialPlanner {
     out.toSeq
   }
 
-  /** coarse predicate on a cell-id column from decomposed ranges. */
+  /** coarse predicate on a cell-id column from decomposed ranges. Small
+    * sets become an OR-chain of BETWEENs (pushes into the parquet scan as
+    * row-group min/max pruning); large sets use the binary-search
+    * [[CellInRanges]] expression AND-ed with the bounding [min,max]
+    * envelope so the scan still prunes files/row-groups even though the
+    * search itself can't be pushed. */
   def rangesPredicate(cellCol: Column, ranges0: Seq[(Array[Byte], Array[Byte])]): Column = {
     require(ranges0.nonEmpty, "no query ranges")
     val ranges = mergeRanges(ranges0)
     if (ranges.size <= OrChainLimit)
       ranges.map { case (s, e) => cellCol >= lit(s) && cellCol <= lit(e) }.reduce(_ || _)
-    else
-      GeoFunctions.gw_cell_in_ranges(cellCol, ranges.map(_._1).toArray, ranges.map(_._2).toArray)
+    else {
+      val bound = cellCol >= lit(ranges.head._1) && cellCol <= lit(ranges.last._2)
+      bound && GeoFunctions.gw_cell_in_ranges(cellCol,
+        ranges.map(_._1).toArray, ranges.map(_._2).toArray)
+    }
   }
 
   /** exact box predicate (the reference's per-dimension OVERLAPS MBR test on

@@ -214,6 +214,24 @@ object TextOps {
       size(filter(split(col(textCol), " "), w => length(w) > 0)).cast("long").as("n_words"),
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_tokens"))
 
+  /**
+   * Substring search through a char-3-gram inverted index: candidates
+   * contain the pattern's first 3-gram, exact `contains` verifies — the
+   * reference's secondary text index (Lucene NGramTokenizer grams as keys
+   * + LikeFilter re-check, core/store/.../index/text/TextIndexStrategy
+   * .java:21-130). The exact filter makes the result independent of the
+   * candidate generator, so parity holds by construction.
+   */
+  def ngramSearch(docs: DataFrame, idCol: String, textCol: String,
+                  pattern: String): DataFrame = {
+    require(pattern.length >= 3, "pattern must be >= 3 chars for the 3-gram index")
+    val gram = pattern.substring(0, 3)
+    docs
+      .where(col(textCol).contains(gram)) // index probe stand-in (gram postings)
+      .where(col(textCol).contains(pattern)) // exact verification
+      .select(col(idCol).as("id"))
+  }
+
   /** document fingerprint: min/max/xor over portable rolling hashes of all
     * char k-grams (winnowing-style signature). Docs shorter than k chars
     * are dropped. */

@@ -190,6 +190,22 @@ case class STPointWkb(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** GMT calendar-unit time bin id ("YYYY", "YYYY_MM" with 0-based month —
+  * java.util.Calendar semantics, matching the reference's
+  * TemporalBinningStrategy.getBinId, TemporalBinningStrategy.java:258-288).
+  * Input is a timestamp in microseconds (Spark internal). */
+case class TimeBinId(child: Expression, unit: graft.index.TimeUnits.Value)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val binning = graft.index.TemporalBinning(unit)
+  override def nullSafeEval(tsMicros: Any): Any = {
+    val millis = Math.floorDiv(tsMicros.asInstanceOf[Long], 1000L)
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(binning.binnedValue(millis)._1)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column wrappers. */
 object GeoFunctions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -211,6 +227,20 @@ object GeoFunctions {
     column(STPointWkb(expression(lon), expression(lat)))
   def st_geom_predicate(geomWkb: Column, queryWkb: Array[Byte], contains: Boolean = false): Column =
     column(STGeomPredicate(expression(geomWkb), queryWkb, contains))
+  def gw_time_bin(ts: Column, unit: graft.index.TimeUnits.Value = graft.index.TimeUnits.Year): Column =
+    column(TimeBinId(expression(ts), unit))
+
+  /** great-circle distance in meters (haversine, sphere R=6371008.8) —
+    * pure built-in column arithmetic, so it stays in whole-stage codegen
+    * (reference: CoordinateCircleDistanceFn geodetic meters). */
+  def st_distance_haversine(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = sin(dLat) * sin(dLat) +
+      cos(radians(lat1)) * cos(radians(lat2)) * sin(dLon) * sin(dLon)
+    lit(2.0 * 6371008.8) * asin(sqrt(a))
+  }
 
   /** register SQL-callable names on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
