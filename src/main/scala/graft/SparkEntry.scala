@@ -207,6 +207,18 @@ object SparkEntry {
       graft.spark.TextOps.ngramSearch(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "scan merge")
     }),
+    "q39_zorder" -> ((s, dir) => {
+      import graft.spark.GeoFunctions._
+      Tables.pages(s, dir).select(col("doc_id"),
+        graft.spark.Tiling.gw_zorder_id_xy(
+          gw_tile_x(col("lon"), 8), gw_tile_y(col("lat"), 8), 8).as("zid"))
+    }),
+    "q40_multilevel_kmeans" -> ((s, dir) => {
+      val pts = Tables.pages(s, dir).select(col("doc_id").as("id"), col("lon"), col("lat"))
+      val init = pts.where(col("id") % 150 === 0).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
+      graft.spark.Analytics.multiLevelKmeans(pts, init, childK = 3, iters = 2)
+    }),
   )
 
   // ---- DuckDB twins of the portable integer hashing in TextOps ----
@@ -524,6 +536,19 @@ object SparkEntry {
     },
     "q38_text_search" ->
       "SELECT doc_id AS id FROM documents WHERE text LIKE '%scan merge%'",
+    "q39_zorder" -> {
+      val bins = 256
+      // morton interleave, x-major: x bit b → out bit 2b+1, y bit b → 2b
+      val interleave = (0 until 8).map { b =>
+        s"(((tx >> $b) & 1) << ${2 * b + 1}) + (((ty >> $b) & 1) << ${2 * b})"
+      }.mkString(" + ")
+      s"""$pagesCte
+         |SELECT doc_id, CAST($interleave AS BIGINT) AS zid FROM (
+         |  SELECT doc_id,
+         |    CAST(GREATEST(CEIL(((lon + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS tx,
+         |    CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty
+         |  FROM pages)""".stripMargin
+    },
   )
 
   private val q33Sql: String =

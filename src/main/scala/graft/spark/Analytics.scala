@@ -164,6 +164,91 @@ object Analytics {
     kdeWeights(pts, bits)
       .withColumn("pr", percent_rank().over(Window.orderBy(col("weight"), col("tx"), col("ty"))))
 
+  /** average assignment cost (mean min-d² to the given centroids) — the
+    * distortion input of the reference's KMeansDistortionMapReduce. */
+  def kmeansCost(pts: DataFrame, centroids: Seq[(Long, Double, Double)]): Double = {
+    val c = centroids.map { case (id, lon, lat) =>
+      struct(lit(id).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
+    }
+    val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
+      (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
+    pts.select(col("id"), col("lon"), col("lat"), explode(array(c: _*)).as("c"))
+      .withColumn("d2", d2)
+      .groupBy("id").agg(min("d2").as("best"))
+      .agg(avg("best")).collect()(0).getDouble(0)
+  }
+
+  /** KMeans-jump k selection: run kmeans per candidate k, distortion
+    * transform cost^(-dims/2) (dims=2 → 1/cost), pick the k with the
+    * largest jump (reference: KMeansJumpJobRunner.java:53-130,
+    * DistortionGroupManagement). Returns (bestK, per-k distortions). */
+  def kmeansJump(pts: DataFrame, initFor: Int => Seq[(Long, Double, Double)],
+                 ks: Seq[Int], iters: Int): (Int, Seq[(Int, Double)]) = {
+    val distortions = ks.map { k =>
+      val stats = kmeans(pts, initFor(k), iters)
+      val cents = stats.collect().map { r =>
+        (r.getLong(0), r.getLong(2).toDouble / r.getLong(1) / 100.0,
+          r.getLong(3).toDouble / r.getLong(1) / 100.0)
+      }.toSeq
+      k -> (1.0 / kmeansCost(pts, cents))
+    }
+    val jumps = distortions.zip(0.0 +: distortions.map(_._2))
+      .map { case ((k, d), prev) => (k, d - prev) }
+    (jumps.maxBy(_._2)._1, distortions)
+  }
+
+  /** drop weak centroids by the largest relative gap in sorted counts
+    * (reference: StripWeakCentroidsRunner.java:27 sorted-gap heuristic). */
+  def stripWeakCentroids(stats: Seq[(Long, Long)]): Seq[Long] = {
+    if (stats.size <= 1) return stats.map(_._1)
+    val sorted = stats.sortBy(-_._2)
+    val gaps = sorted.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+      (i, a._2 - b._2)
+    }.toSeq
+    val cut = gaps.maxBy(_._2)._1
+    sorted.take(cut + 1).map(_._1)
+  }
+
+  /** multi-level (zoom) clustering: kmeans at level 1, then kmeans again
+    * within each level-1 cluster (reference: MultiLevelKMeansClustering
+    * JobRunner, GroupAssignmentMapReduce ZOOM_LEVEL regrouping). Output:
+    * (parent_id, centroid_id, cnt, sum_lon_c, sum_lat_c). */
+  def multiLevelKmeans(pts: DataFrame, init1: Seq[(Long, Double, Double)],
+                       childK: Int, iters: Int): DataFrame = {
+    // level 1: final assignment of every point to a parent
+    var centroids = init1
+    for (_ <- 0 until iters) {
+      val stats = kmeansAssignStats(pts, centroids)
+      centroids = stats.collect().map { r =>
+        (r.getLong(0), r.getLong(2).toDouble / r.getLong(1) / 100.0,
+          r.getLong(3).toDouble / r.getLong(1) / 100.0)
+      }.toSeq.sortBy(_._1)
+    }
+    val c = centroids.map { case (id, lon, lat) =>
+      struct(lit(id).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
+    }
+    val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
+      (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
+    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("c.cid"))
+    val assigned = pts.select(col("id"), col("lon"), col("lat"), explode(array(c: _*)).as("c"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("c.cid").as("parent_id"), col("id"), col("lon"), col("lat"))
+      .cache()
+    // level 2 within each parent group (driver loop over k1 groups, like
+    // the reference's per-zoom-level job chain)
+    val parents = assigned.select("parent_id").distinct().collect().map(_.getLong(0)).sorted
+    parents.map { p =>
+      val sub = assigned.where(col("parent_id") === p).drop("parent_id")
+      val ids = sub.select("id").orderBy("id").limit(childK).collect().map(_.getLong(0))
+      val init = sub.where(col("id").isin(ids: _*)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
+      kmeans(sub, init, iters).withColumn("parent_id", lit(p))
+    }.reduce(_.unionByName(_))
+      .select("parent_id", "centroid_id", "cnt", "sum_lon_c", "sum_lat_c")
+  }
+
   /** two-dataset KDE difference on the shared cell grid (the reference's
     * seasonal ComparisonStatsJobRunner): full-outer join of the two
     * heatmaps, missing cells count as 0. */

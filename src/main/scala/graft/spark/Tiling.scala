@@ -54,9 +54,29 @@ object Tiling {
       copy(first = f, second = s, third = t, fourth = q)
   }
 
+  /** Z-order (Morton) tile id from grid coordinates — the alternative
+    * curve (reference: core/index/.../sfc/zorder/ZOrderSFC.java:62-160). */
+  case class ZOrderIdFromXY(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val sfc = new graft.index.ZOrderSFC(Array(
+      graft.index.SFCDimension(graft.index.BasicDim(-180, 180), bits),
+      graft.index.SFCDimension(graft.index.BasicDim(-90, 90), bits)))
+    override def nullSafeEval(tx: Any, ty: Any): Any =
+      sfc.index(Array(tx.asInstanceOf[Long], ty.asInstanceOf[Long]))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   def gw_tile_id_xy(tx: Column, ty: Column, bits: Int): Column = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     column(TileIdFromXY(expression(tx), expression(ty), bits))
+  }
+
+  def gw_zorder_id_xy(tx: Column, ty: Column, bits: Int): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(ZOrderIdFromXY(expression(tx), expression(ty), bits))
   }
 
   def gw_cell_ids_envelope(lonMin: Column, lonMax: Column,
@@ -137,4 +157,30 @@ object Tiling {
   def mosaicMerge(tiles: DataFrame, tileCol: String, payloadCol: String): DataFrame =
     tiles.groupBy(col(tileCol))
       .agg(udaf(noDataMerge, Encoders.BINARY).apply(col(payloadCol)).as("payload"))
+
+  /**
+   * Re-tile a coverage to a new grid level: each source tile (tx, ty at
+   * `bitsOld`) maps onto the target tiles its bounds cover at `bitsNew`,
+   * payloads mosaic-merged per target tile (reference:
+   * RasterTileResizeJobRunner.java:38 map→combine→reduce). The payload
+   * resample itself is the stubbed byte transform (no codecs in this
+   * container); the tile-key algebra and the merge are real.
+   */
+  def resizeTiles(tiles: DataFrame, bitsOld: Int, bitsNew: Int): DataFrame = {
+    val binsOld = (1L << bitsOld).toDouble
+    val envs = tiles
+      .withColumn("lon_min", col("tx").cast("double") / binsOld * 360 - 180)
+      .withColumn("lon_max", ((col("tx") + 1).cast("double") / binsOld * 360 - 180) - lit(1e-9))
+      .withColumn("lat_min", greatest(col("ty").cast("double") / binsOld * 360 - 180, lit(-90.0)))
+      .withColumn("lat_max", least(((col("ty") + 1).cast("double") / binsOld * 360 - 180) - lit(1e-9), lit(90.0)))
+    val x0 = GeoFunctions.gw_tile_x(col("lon_min"), bitsNew)
+    val x1 = GeoFunctions.gw_tile_x(col("lon_max"), bitsNew)
+    val y0 = GeoFunctions.gw_tile_y(col("lat_min"), bitsNew)
+    val y1 = GeoFunctions.gw_tile_y(col("lat_max"), bitsNew)
+    val covered = envs
+      .withColumn("ntx", explode(sequence(x0, x1)))
+      .withColumn("nty", explode(sequence(y0, y1)))
+      .withColumn("new_tile", gw_tile_id_xy(col("ntx"), col("nty"), bitsNew))
+    mosaicMerge(covered, "new_tile", "payload")
+  }
 }

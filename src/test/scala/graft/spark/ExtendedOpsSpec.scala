@@ -1,0 +1,120 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.index.{BasicDim, Lexicoders, SFCDimension, ZOrderSFC}
+
+/** Lexicoders, Z-order curve, clustering extensions, raster resize,
+  * export sink. Property-style checks use a seeded RNG. */
+class ExtendedOpsSpec extends SparkTestBase {
+
+  private val rnd = new scala.util.Random(42)
+
+  // ---- lexicoders: unsigned byte order == numeric order ----
+
+  test("lexicoders are sort-preserving (seeded property)") {
+    import graft.index.ByteUtils.compareUnsigned
+    val longs = Seq(Long.MinValue, -1L, 0L, 1L, Long.MaxValue) ++
+      Seq.fill(500)(rnd.nextLong())
+    for (a <- longs.take(60); b <- longs.take(60)) {
+      assert(math.signum(compareUnsigned(Lexicoders.encodeLong(a), Lexicoders.encodeLong(b))) ==
+        math.signum(java.lang.Long.compare(a, b)))
+    }
+    for (a <- longs) assert(Lexicoders.decodeLong(Lexicoders.encodeLong(a)) == a)
+
+    val doubles = Seq(-1e300, -1.5, -0.0, 0.0, 1.5, 1e300) ++
+      Seq.fill(60)(rnd.nextDouble() * 2e12 - 1e12)
+    for (a <- doubles; b <- doubles) {
+      assert(math.signum(compareUnsigned(Lexicoders.encodeDouble(a), Lexicoders.encodeDouble(b))) ==
+        math.signum(java.lang.Double.compare(a, b)), s"$a vs $b")
+      assert(Lexicoders.decodeDouble(Lexicoders.encodeDouble(a)) == a)
+    }
+
+    val ints = Seq(Int.MinValue, -1, 0, 1, Int.MaxValue) ++ Seq.fill(60)(rnd.nextInt())
+    for (a <- ints; b <- ints) {
+      assert(math.signum(compareUnsigned(Lexicoders.encodeInt(a), Lexicoders.encodeInt(b))) ==
+        math.signum(Integer.compare(a, b)))
+      assert(Lexicoders.decodeInt(Lexicoders.encodeInt(a)) == a)
+    }
+  }
+
+  // ---- z-order curve ----
+
+  test("z-order: interleave/deinterleave roundtrip and quadrant order") {
+    val sfc = new ZOrderSFC(Array(
+      SFCDimension(BasicDim(-180, 180), 16), SFCDimension(BasicDim(-90, 90), 16)))
+    for (_ <- 0 until 500) {
+      val x = rnd.nextLong().abs % (1L << 16)
+      val y = rnd.nextLong().abs % (1L << 16)
+      val z = sfc.index(Array(x, y))
+      assert(sfc.indexInverse(z).sameElements(Array(x, y)), s"($x,$y)")
+    }
+    val z00 = sfc.index(Array(0L, 0L))
+    val z10 = sfc.index(Array(1L << 15, 0L))
+    val z01 = sfc.index(Array(0L, 1L << 15))
+    val z11 = sfc.index(Array(1L << 15, 1L << 15))
+    assert(Seq(z00, z01, z10, z11).sorted == Seq(z00, z01, z10, z11),
+      "quadrants ordered x-major")
+    // getId bucket rule matches the Hilbert edge rule
+    assert(sfc.getId(Array(-180.0, -90.0)) == sfc.index(Array(0L, 0L)))
+  }
+
+  // ---- clustering extensions ----
+
+  private lazy val pts = Tables.synthPages(spark, 800)
+    .select(col("doc_id").as("id"), col("lon"), col("lat")).cache()
+
+  test("kmeansJump picks a k and reports positive distortions") {
+    val local = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def initFor(k: Int) = local.sortBy(_._1).take(k).toSeq
+    val (bestK, dists) = Analytics.kmeansJump(pts, initFor, Seq(2, 4, 8), iters = 2)
+    assert(Seq(2, 4, 8).contains(bestK))
+    assert(dists.map(_._2).forall(_ > 0))
+    assert(dists.last._2 > dists.head._2, "more clusters should cut cost")
+  }
+
+  test("stripWeakCentroids drops below the largest count gap") {
+    val stats = Seq((1L, 500L), (2L, 480L), (3L, 30L), (4L, 20L))
+    assert(Analytics.stripWeakCentroids(stats).toSet == Set(1L, 2L))
+    assert(Analytics.stripWeakCentroids(Seq((9L, 5L))) == Seq(9L))
+  }
+
+  test("multiLevelKmeans: child stats nest inside parent assignment") {
+    val local = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val init1 = local.sortBy(_._1).take(3).toSeq
+    val out = Analytics.multiLevelKmeans(pts, init1, childK = 2, iters = 2).collect()
+    val parents = out.map(_.getLong(0)).distinct
+    assert(parents.length == 3)
+    assert(out.map(_.getLong(2)).sum == 800L, "every point in exactly one child cluster")
+  }
+
+  // ---- raster resize ----
+
+  test("resizeTiles: coarser level aggregates children; payloads merged") {
+    import spark.implicits._
+    // disjoint non-zero byte positions → merge result is order-independent
+    val src = Seq(
+      (0L, 0L, Array[Byte](1, 0, 0)), (1L, 0L, Array[Byte](0, 2, 0)),
+      (0L, 1L, Array[Byte](0, 0, 3)), (3L, 3L, Array[Byte](0, 4, 0)))
+      .toDF("tx", "ty", "payload")
+    val out = Tiling.resizeTiles(src, bitsOld = 2, bitsNew = 1).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val newId00 = GeoCodec.curve2d(1).index(Array(0L, 0L))
+    val newId11 = GeoCodec.curve2d(1).index(Array(1L, 1L))
+    assert(out.keySet == Set(newId00, newId11))
+    assert(out(newId00) == Seq[Byte](1, 2, 3))
+    assert(out(newId11) == Seq[Byte](0, 4, 0))
+  }
+
+  // ---- export sink ----
+
+  test("export to ORC round-trips (the reference's local export path)") {
+    val dir = Files.createTempDirectory("graft-export").toString
+    val df = pts.limit(100)
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == 100)
+    assert(back.select("id").collect().map(_.getLong(0)).toSet ==
+      df.select("id").collect().map(_.getLong(0)).toSet)
+  }
+}
