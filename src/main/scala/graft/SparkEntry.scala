@@ -219,6 +219,13 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
       graft.spark.Analytics.multiLevelKmeans(pts, init, childK = 3, iters = 2)
     }),
+    "q41_distance_join_m" -> ((s, dir) => {
+      val pts = Tables.pages(s, dir).where(abs(col("lat")) <= 85)
+        .select(col("doc_id").as("id"), col("lon"), col("lat"))
+      Ops.distanceJoinMeters(pts, "id", dMeters = 100000.0, bits = 7)
+        .select(col("a_id"), col("b_id"),
+          round(col("dist_m")).cast("long").as("dist_m"))
+    }),
   )
 
   // ---- DuckDB twins of the portable integer hashing in TextOps ----
@@ -536,6 +543,20 @@ object SparkEntry {
     },
     "q38_text_search" ->
       "SELECT doc_id AS id FROM documents WHERE text LIKE '%scan merge%'",
+    "q41_distance_join_m" ->
+      s"""$pagesCte
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(ROUND(2.0 * 6371008.8 * ASIN(SQRT(
+         |    SIN(RADIANS(b.lat - a.lat) / 2) * SIN(RADIANS(b.lat - a.lat) / 2) +
+         |    COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
+         |    SIN(RADIANS(b.lon - a.lon) / 2) * SIN(RADIANS(b.lon - a.lon) / 2)))) AS BIGINT) AS dist_m
+         |FROM (SELECT * FROM pages WHERE ABS(lat) <= 85) a,
+         |     (SELECT * FROM pages WHERE ABS(lat) <= 85) b
+         |WHERE a.doc_id < b.doc_id
+         |  AND 2.0 * 6371008.8 * ASIN(SQRT(
+         |    SIN(RADIANS(b.lat - a.lat) / 2) * SIN(RADIANS(b.lat - a.lat) / 2) +
+         |    COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
+         |    SIN(RADIANS(b.lon - a.lon) / 2) * SIN(RADIANS(b.lon - a.lon) / 2))) < 100000.0""".stripMargin,
     "q39_zorder" -> {
       val bins = 256
       // morton interleave, x-major: x bit b → out bit 2b+1, y bit b → 2b

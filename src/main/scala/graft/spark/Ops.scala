@@ -95,6 +95,46 @@ object Ops {
   }
 
   /**
+   * Distance self-join in METERS (haversine): pairs within `dMeters`.
+   * Tile neighborhood sized from the meters radius at the worst-case
+   * latitude in the data: degrees-per-meter grows with |lat|, so the
+   * lon expansion uses 1/cos(maxAbsLat) — the reference's orthodromic
+   * buffering (OrthodromicDistancePartitioner.java:210-240 meters→degrees
+   * via geodetic calc), done as a static worst-case bound so the join
+   * stays a single equi-join. Exact haversine re-check after the join.
+   */
+  def distanceJoinMeters(pts: DataFrame, idCol: String, dMeters: Double,
+                         bits: Int, maxAbsLatDeg: Double = 85.0): DataFrame = {
+    val mPerDegEquator = 2 * math.Pi * 6371008.8 / 360.0
+    val latDeg = dMeters / mPerDegEquator
+    val lonDeg = latDeg / math.cos(math.toRadians(maxAbsLatDeg))
+    val cellDeg = 360.0 / (1L << bits)
+    // neighborhood half-width in cells per axis
+    val kx = math.ceil(lonDeg / cellDeg).toLong
+    val ky = math.ceil(latDeg / cellDeg).toLong
+    require(kx <= 8 && ky <= 8, s"radius spans too many cells at $bits bits (kx=$kx, ky=$ky)")
+    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"))
+      .withColumn("cx", gw_tile_x(col("lon"), bits))
+      .withColumn("cy", gw_tile_y(col("lat"), bits))
+    val neigh = (for (dx <- -kx to kx; dy <- -ky to ky)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))).toSeq
+    val a = base.select(
+        col("id").as("a_id"), col("lon").as("a_lon"), col("lat").as("a_lat"),
+        explode(array(neigh: _*)).as("o"), col("cx"), col("cy"))
+      .select(col("a_id"), col("a_lon"), col("a_lat"),
+        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
+    val b = base.select(col("id").as("b_id"), col("lon").as("b_lon"),
+      col("lat").as("b_lat"), col("cx").as("jx"), col("cy").as("jy"))
+    val dist = GeoFunctions.st_distance_haversine(
+      col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"))
+    a.join(b, Seq("jx", "jy"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dist_m", dist)
+      .where(col("dist_m") < lit(dMeters))
+      .select(col("a_id"), col("b_id"), col("dist_m"))
+  }
+
+  /**
    * kNN to centroids: every point scored against every (broadcast) centroid,
    * top-k per centroid by (distance², id).
    * (reference: AnalyticRecipes.searchKNearestNeighbor, AnalyticRecipes.scala:38-41)

@@ -82,6 +82,28 @@ class OpsSpec extends SparkTestBase {
     assert(want.nonEmpty, "fixture must produce at least one close pair")
   }
 
+  test("distanceJoinMeters == brute-force haversine all-pairs") {
+    val pts = pages.where(abs(col("lat")) <= 85).limit(800)
+      .select(col("doc_id").as("id"), col("lon"), col("lat"))
+    val dM = 150000.0 // 150 km
+    val got = Ops.distanceJoinMeters(pts, "id", dM, bits = 7)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val dLat = math.toRadians(b._3 - a._3) / 2
+      val dLon = math.toRadians(b._2 - a._2) / 2
+      val s = math.sin(dLat) * math.sin(dLat) +
+        math.cos(math.toRadians(a._3)) * math.cos(math.toRadians(b._3)) *
+          math.sin(dLon) * math.sin(dLon)
+      2 * 6371008.8 * math.asin(math.sqrt(s))
+    }
+    val want = (for {
+      a <- local; b <- local if a._1 < b._1 && hav(a, b) < dM
+    } yield (a._1, b._1)).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("knnToCentroids: k per centroid, matches brute force") {
     val cents = pages.where(col("doc_id") % 200 === 0)
     val k = 10
