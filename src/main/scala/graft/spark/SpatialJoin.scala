@@ -128,7 +128,8 @@ object SpatialJoin {
    */
   def knnRing(pts: DataFrame, idCol: String, queries: DataFrame, qIdCol: String,
               k: Int, startBits: Int = 6): DataFrame = {
-    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"))
+    // every round rescans the points; cache once for the loop
+    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat")).cache()
     var remaining = queries.select(col(qIdCol).as("q_id"),
       col("lon").as("q_lon"), col("lat").as("q_lat"))
     var acc: DataFrame = null

@@ -242,12 +242,27 @@ object GeoFunctions {
     lit(2.0 * 6371008.8) * asin(sqrt(a))
   }
 
-  /** register SQL-callable names on a session. */
+  /** register SQL-callable names on a session (bits/unit arguments must be
+    * foldable literals). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intLit(e: Expression): Int =
+      e.eval(InternalRow.empty).asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("gw_cell_id",
       es => CellIdSpatial(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("gw_cell_id_st",
       es => CellIdSpatialTemporal(es.head, es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("gw_tile_x",
+      es => TileX(es.head, intLit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("gw_tile_y",
+      es => TileY(es.head, intLit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("gw_tile_id",
+      es => TileId(es.head, es(1), intLit(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("gw_tile_bounds",
+      es => TileBounds(es.head, intLit(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("gw_time_bin",
+      es => TimeBinId(es.head, graft.index.TimeUnits.Year), "scala_udf")
+    reg.createOrReplaceTempFunction("st_point_wkb",
+      es => STPointWkb(es.head, es(1)), "scala_udf")
   }
 }
