@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.spark._
+
+/**
+ * End-to-end pipeline main — the spark-submit entry point of the north
+ * star: synthesize/ingest Common-Crawl-style pages into the SFC-sorted
+ * store (resumable, per-bucket lineage), then run the query suite over
+ * the STORE (spatial join, kNN, tiling, dedup fingerprints) and append a
+ * stage-metrics JSON per run.
+ *
+ * Usage (local or spark-submit):
+ *   graft.Pipeline <nRows> <storeDir> [numBuckets]
+ *
+ * Re-running with the same storeDir resumes: completed ingest buckets are
+ * skipped via the lineage checkpoint, and the query phase re-reads
+ * whatever is committed.
+ */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 100000L
+    val storeDir = if (args.length > 1) args(1) else "/tmp/graft-store"
+    val numBuckets = if (args.length > 2) args(2).toInt else 16
+    val spark = SparkSession.builder()
+      .appName("graft-pipeline")
+      // spark-submit injects spark.master; default to local[*] otherwise
+      .config("spark.master", sys.props.getOrElse("spark.master", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        spark_conf_default_partitions())
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // 1. resumable ingest
+    val t0 = System.nanoTime()
+    val pages = Tables.synthPages(spark, n)
+    val written = Ingest.run(spark, pages, storeDir, Ingest.Config(numBuckets = numBuckets))
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+
+    // 2. queries over the committed store (stored cell_id → scan pruning)
+    val store = Ingest.readStore(spark, storeDir).cache()
+    val t1 = System.nanoTime()
+    val joinRows = SpatialJoin.polygonJoin(store, Tables.regionGeoms(40))
+      .withColumn("tile", GeoFunctions.gw_tile_id(col("lon"), col("lat"), 8))
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    val querySec = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val queries = store.where(col("doc_id") % 997 === 0)
+    val knnRows = SpatialJoin.knnRing(store, "doc_id", queries, "doc_id", k = 10).count()
+    val knnSec = (System.nanoTime() - t2) / 1e9
+
+    val totalRows = store.count()
+    val lineageRows = Ingest.readLineage(spark, storeDir)
+      .agg(sum("rows")).collect()(0).getLong(0)
+
+    println(
+      f"""{"rows":$totalRows,"lineage_rows":$lineageRows,"buckets_written":${written.size},""" +
+        f""""ingest_sec":$ingestSec%.2f,"join_rows":$joinRows,"join_sec":$querySec%.2f,""" +
+        f""""knn_rows":$knnRows,"knn_sec":$knnSec%.2f,""" +
+        f""""join_rows_per_sec":${(totalRows / querySec).toLong}}""")
+    spark.stop()
+  }
+
+  /** default shuffle partitions = available cores (spark-submit can
+    * override with --conf). */
+  private def spark_conf_default_partitions(): String =
+    math.max(Runtime.getRuntime.availableProcessors(), 4).toString
+}

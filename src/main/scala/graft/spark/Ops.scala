@@ -38,10 +38,19 @@ object Ops {
       if (pts.columns.contains(cellCol)) pts
       else pts.withColumn(cellCol, gw_cell_id(col("lon"), col("lat")))
     val ranges = SpatialPlanner.spatialGeometryRanges(geom)
-    val wkb = new org.locationtech.jts.io.WKBWriter(2).write(geom)
-    withCell
-      .where(SpatialPlanner.rangesPredicate(col(cellCol), ranges))
-      .where(st_covers_point(col("lon"), col("lat"), wkb))
+    val coarse = withCell.where(SpatialPlanner.rangesPredicate(col(cellCol), ranges))
+    if (geom.isRectangle) {
+      // residual-filter elision: the geometry IS its envelope, so the MBR
+      // test alone decides — no prepared-geometry work per row
+      // (reference: BasicQuery.constraintsMatchGeometry / equalsTopo check,
+      // IndexOnlySpatialQuery.java:30-39)
+      val e = geom.getEnvelopeInternal
+      coarse.where(SpatialPlanner.boxPredicate(col("lon"), col("lat"),
+        e.getMinX, e.getMaxX, e.getMinY, e.getMaxY))
+    } else {
+      val wkb = new org.locationtech.jts.io.WKBWriter(2).write(geom)
+      coarse.where(st_covers_point(col("lon"), col("lat"), wkb))
+    }
   }
 
   /** Spatial-temporal box query over the 20/20/20 YEAR-binned index. */

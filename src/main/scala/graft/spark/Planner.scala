@@ -111,10 +111,16 @@ object SpatialPlanner {
     }
   }
 
-  /** exact box predicate (the reference's per-dimension OVERLAPS MBR test on
-    * points, BasicQueryFilter.java:40-63). */
+  /** exact box predicate (the reference's per-dimension OVERLAPS MBR test
+    * on points, BasicQueryFilter.java:40-63). lonMin > lonMax means the
+    * box crosses the antimeridian and the longitude test wraps — the
+    * fine-filter twin of LongitudeDefinition's dateline bin split
+    * (LongitudeDefinition.java:38-60). */
   def boxPredicate(lonCol: Column, latCol: Column,
-                   lonMin: Double, lonMax: Double, latMin: Double, latMax: Double): Column =
-    lonCol >= lit(lonMin) && lonCol <= lit(lonMax) &&
-      latCol >= lit(latMin) && latCol <= lit(latMax)
+                   lonMin: Double, lonMax: Double, latMin: Double, latMax: Double): Column = {
+    val lonTest =
+      if (lonMin <= lonMax) lonCol >= lit(lonMin) && lonCol <= lit(lonMax)
+      else lonCol >= lit(lonMin) || lonCol <= lit(lonMax)
+    lonTest && latCol >= lit(latMin) && latCol <= lit(latMax)
+  }
 }

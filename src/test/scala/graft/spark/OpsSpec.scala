@@ -52,6 +52,36 @@ class OpsSpec extends SparkTestBase {
     assert(want.nonEmpty)
   }
 
+  test("dateline-crossing box query wraps (LongitudeDefinition split)") {
+    // box lon [175, -175] crosses the antimeridian; synthPages plants ~1%
+    // of points hugging +-180
+    val got = Ops.spatialBoxQuery(pages, 175.0, -175.0, -90.0, 90.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = localPts.collect {
+      case (id, lon, _) if lon >= 175.0 || lon <= -175.0 => id
+    }.toSet
+    assert(got == want)
+    assert(want.exists(id => localPts.find(_._1 == id).get._2 > 175),
+      "east-side points present")
+    assert(want.exists(id => localPts.find(_._1 == id).get._2 < -175),
+      "west-side points present")
+  }
+
+  test("rectangle geometry query elides the exact predicate (index-only path)") {
+    val gf = new GeometryFactory()
+    val rect = gf.createPolygon(Array(
+      new Coordinate(-10, -5), new Coordinate(40, -5), new Coordinate(40, 30),
+      new Coordinate(-10, 30), new Coordinate(-10, -5)))
+    val q = Ops.spatialGeometryQuery(pages, rect)
+    assert(!q.queryExecution.executedPlan.toString.contains("stcoverspoint"),
+      "rectangle should skip the prepared-geometry filter")
+    val got = q.select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = localPts.collect {
+      case (id, lon, lat) if lon >= -10 && lon <= 40 && lat >= -5 && lat <= 30 => id
+    }.toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("stBoxQuery == brute-force spatial-temporal filter") {
     val ev = pages.select(col("doc_id").as("event_id"), col("lon"), col("lat"),
       col("warc_ts").as("ts"))
