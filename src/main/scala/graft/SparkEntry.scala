@@ -215,7 +215,8 @@ object SparkEntry {
     }),
     "q40_multilevel_kmeans" -> ((s, dir) => {
       val pts = Tables.pages(s, dir).select(col("doc_id").as("id"), col("lon"), col("lat"))
-      val init = pts.where(col("id") % 150 === 0).collect()
+      // fixed 4-parent init (scale-independent: the driver loop is per parent)
+      val init = pts.where(col("id").isin(0L, 150L, 300L, 450L)).collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
       graft.spark.Analytics.multiLevelKmeans(pts, init, childK = 3, iters = 2)
     }),

@@ -88,6 +88,18 @@ object GeoCodec {
     out
   }
 
+  /** integer dot product over two long-array columns — the hot inner loop
+    * of embedding similarity, called from generated code (no per-row
+    * allocation, stays in whole-stage codegen). */
+  def dotLong(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
   /** Year-bin epochs cached; GMT calendar-year semantics
     * (reference: TemporalBinningStrategy.java:126-171, YEAR unit). */
   private val yearEpochs = new java.util.concurrent.ConcurrentHashMap[Integer, Long]()

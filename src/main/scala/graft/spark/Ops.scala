@@ -226,18 +226,16 @@ object Ops {
    */
   def annBruteForce(emb: DataFrame, idCol: String, vecCol: String,
                     queryIds: Seq[Long], k: Int): DataFrame = {
+    // per-vector quantization and norms computed once per side pre-join;
+    // the q_ids × n join only pays the dot product
     val q = emb.where(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val qi = quantize(col("q_vec"))
-    val vi = quantize(col(vecCol))
-    val dot = aggregate(zip_with(col("qv"), col("vv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
-    val joined = emb.select(col(idCol).as("vec_id"), col(vecCol))
+      .select(col(idCol).as("q_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", GeoFunctions.dot_long(col("qv"), col("qv")))
+    val dot = GeoFunctions.dot_long(col("qv"), col("vv"))
+    val joined = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("vv"))
+      .withColumn("vn", GeoFunctions.dot_long(col("vv"), col("vv")))
       .join(broadcast(q))
-      .withColumn("qv", qi)
-      .withColumn("vv", vi)
       .withColumn("dot", dot)
-      .withColumn("qn", aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
-      .withColumn("vn", aggregate(zip_with(col("vv"), col("vv"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
       .withColumn("cos", col("dot").cast("double") / sqrt(col("qn").cast("double") * col("vn").cast("double")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     joined.withColumn("rn", row_number().over(w).cast("long"))

@@ -128,15 +128,15 @@ object TextOps {
     * and thresholding are portable. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             tau: Double): DataFrame = {
+    // norms are per-vector: compute them once BEFORE the pair join, not
+    // per pair (the n² side only pays the dot product)
     val q = emb.select(col(idCol).as("id"),
-      transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("v"))
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
-    val norm = (v: Column) =>
-      aggregate(zip_with(v, v, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+        transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .withColumn("n2", GeoFunctions.dot_long(col("v"), col("v")))
+    val dot = GeoFunctions.dot_long(col("a.v"), col("b.v"))
     q.as("a").join(q.as("b"), col("a.id") < col("b.id"))
       .withColumn("cos", dot.cast("double") /
-        sqrt(norm(col("a.v")).cast("double") * norm(col("b.v")).cast("double")))
+        sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
       .where(col("cos") >= tau)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("cos"))
   }
@@ -163,15 +163,13 @@ object TextOps {
                         dims: Int, bits: Int, tau: Double): DataFrame = {
     val q = emb.select(col(idCol).as("id"),
         transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .withColumn("n2", GeoFunctions.dot_long(col("v"), col("v")))
       .withColumn("bucket", hyperplaneSig(col("v"), dims, bits))
-    val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
-      lit(0L), (acc, x) => acc + x)
-    val norm = (v: Column) =>
-      aggregate(zip_with(v, v, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val dot = GeoFunctions.dot_long(col("a.v"), col("b.v"))
     q.as("a").join(q.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", dot.cast("double") /
-        sqrt(norm(col("a.v")).cast("double") * norm(col("b.v")).cast("double")))
+        sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
       .where(col("cos") >= tau)
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("a.bucket").as("bucket"), col("cos"))
   }

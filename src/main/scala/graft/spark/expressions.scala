@@ -206,6 +206,21 @@ case class TimeBinId(child: Expression, unit: graft.index.TimeUnits.Value)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** integer dot product of two array<bigint> columns (codegen'd static
+  * call — the embedding-similarity hot loop). */
+case class DotLongArrays(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GeoCodec.dotLong(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.spark.GeoCodec.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers. */
 object GeoFunctions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -225,6 +240,8 @@ object GeoFunctions {
     column(STCoversPoint(expression(lon), expression(lat), wkb, contains))
   def st_point_wkb(lon: Column, lat: Column): Column =
     column(STPointWkb(expression(lon), expression(lat)))
+  def dot_long(a: Column, b: Column): Column =
+    column(DotLongArrays(expression(a), expression(b)))
   def st_geom_predicate(geomWkb: Column, queryWkb: Array[Byte], contains: Boolean = false): Column =
     column(STGeomPredicate(expression(geomWkb), queryWkb, contains))
   def gw_time_bin(ts: Column, unit: graft.index.TimeUnits.Value = graft.index.TimeUnits.Year): Column =
