@@ -220,6 +220,13 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
       graft.spark.Analytics.multiLevelKmeans(pts, init, childK = 3, iters = 2)
     }),
+    "q42_envelope_query" -> ((s, dir) => {
+      import s.implicits._
+      val geoms = Tables.regionBoxes(60)
+        .toDF("rid", "env_lon_min", "env_lon_max", "env_lat_min", "env_lat_max")
+      val store = Ops.encodeEnvelopes(geoms, "rid")
+      Ops.spatialBoxQueryEnvelopes(store, "rid", -50, 50, -40, 40).select("rid")
+    }),
     "q41_distance_join_m" -> ((s, dir) => {
       val pts = Tables.pages(s, dir).where(abs(col("lat")) <= 85)
         .select(col("doc_id").as("id"), col("lon"), col("lat"))
@@ -558,6 +565,10 @@ object SparkEntry {
          |    SIN(RADIANS(b.lat - a.lat) / 2) * SIN(RADIANS(b.lat - a.lat) / 2) +
          |    COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
          |    SIN(RADIANS(b.lon - a.lon) / 2) * SIN(RADIANS(b.lon - a.lon) / 2))) < 100000.0""".stripMargin,
+    "q42_envelope_query" ->
+      s"""SELECT region_id AS rid
+         |FROM (VALUES ${Tables.regionBoxesSqlValues(60)}) v(region_id, lon_min, lon_max, lat_min, lat_max)
+         |WHERE lon_max >= -50 AND lon_min <= 50 AND lat_max >= -40 AND lat_min <= 40""".stripMargin,
     "q39_zorder" -> {
       val bins = 256
       // morton interleave, x-major: x bit b → out bit 2b+1, y bit b → 2b

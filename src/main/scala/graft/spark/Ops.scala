@@ -53,6 +53,43 @@ object Ops {
     }
   }
 
+  /**
+   * Box query over an ENVELOPE-indexed store: rows carry one row per
+   * insertion id (multi-tier, coarse tiers hold duplicates), so the scan
+   * fans ranges across every tier and dedupes by data id — the
+   * reference's full tier fan-out + DedupeFilter pipeline
+   * (TieredSFCIndexStrategy.getQueryRanges:78-161; DedupeFilter.java:18-60;
+   * dedupe gated on the store's duplicate count like ConstraintsQuery
+   * .java:47-49). The fine filter is the envelope-overlap MBR test.
+   */
+  def spatialBoxQueryEnvelopes(store: DataFrame, idCol: String,
+                               lonMin: Double, lonMax: Double,
+                               latMin: Double, latMax: Double,
+                               hasDuplicates: Boolean = true): DataFrame = {
+    val ranges = SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax,
+      pointOnly = false)
+    val overlaps = // OVERLAPS on stored envelopes (BasicQueryFilter.java:40-63)
+      col("env_lon_max") >= lit(lonMin) && col("env_lon_min") <= lit(lonMax) &&
+        col("env_lat_max") >= lit(latMin) && col("env_lat_min") <= lit(latMax)
+    val hits = store
+      .where(SpatialPlanner.rangesPredicate(col("cell_id"), ranges))
+      .where(overlaps)
+    if (hasDuplicates) hits.dropDuplicates(idCol) else hits
+  }
+
+  /** envelope-store encode: one row per tiered insertion id, with the
+    * geometry envelope and the duplicate count carried along
+    * (EntryRowID.numDuplicates semantics). */
+  def encodeEnvelopes(geoms: DataFrame, idCol: String): DataFrame = {
+    val cells = graft.spark.Tiling.gw_cell_ids_envelope(
+      col("env_lon_min"), col("env_lon_max"), col("env_lat_min"), col("env_lat_max"))
+    geoms
+      .withColumn("cells", cells)
+      .withColumn("num_duplicates", size(col("cells")) - 1)
+      .withColumn("cell_id", explode(col("cells")))
+      .drop("cells")
+  }
+
   /** Spatial-temporal box query over the 20/20/20 YEAR-binned index. */
   def stBoxQuery(evts: DataFrame, lonMin: Double, lonMax: Double,
                  latMin: Double, latMax: Double,
