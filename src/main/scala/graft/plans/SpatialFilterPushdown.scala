@@ -1,0 +1,49 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.spark.{STCoversPoint, SpatialPlanner}
+
+/**
+ * Optimizer rule: a `Filter` whose condition contains the exact
+ * prepared-geometry predicate ([[STCoversPoint]]) over a relation that
+ * carries a stored `cell_id` column gets the SFC range prefilter AND-ed
+ * in automatically. The added comparisons are plain binary-column
+ * predicates, so Catalyst pushes them into the parquet/Iceberg scan —
+ * users querying the store with only the exact predicate still get
+ * row-group pruning.
+ *
+ * This is the Spark-native form of the reference's CQL → optimal-query
+ * rewrite (ExtractGeometryFilterVisitor → SpatialQuery constraints,
+ * extensions/adapters/vector/.../CQLQuery.java:63-240): extract the
+ * geometry from the rich filter, decompose it into key ranges, keep the
+ * original filter as the residual.
+ *
+ * Fixpoint-safe: the rewrite only fires when the condition does not
+ * already reference the cell_id attribute.
+ */
+object SpatialFilterPushdown extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val cellAttr: Option[Attribute] = child.output.find(_.name == "cell_id")
+      val covers = cond.collectFirst { case c: STCoversPoint => c }
+      (cellAttr, covers) match {
+        case (Some(attr), Some(c)) if !cond.references.contains(attr) =>
+          val geom = new org.locationtech.jts.io.WKBReader().read(c.wkb)
+          val ranges = SpatialPlanner.spatialGeometryRanges(geom)
+          val rangePred: Expression = SpatialPlanner.rangesPredicateExpr(attr, ranges)
+          Filter(And(rangePred, cond), child)
+        case _ => f
+      }
+  }
+}
+
+/** spark-submit entry: `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  * For an existing session use
+  * `spark.experimental.extraOptimizations ++= Seq(SpatialFilterPushdown)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    extensions.injectOptimizerRule(_ => SpatialFilterPushdown)
+}

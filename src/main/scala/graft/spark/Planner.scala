@@ -111,6 +111,24 @@ object SpatialPlanner {
     }
   }
 
+  /** Expression-level twin of [[rangesPredicate]] for optimizer rules
+    * (Column-built trees are unresolved post-analysis in Spark 4). */
+  def rangesPredicateExpr(cellAttr: org.apache.spark.sql.catalyst.expressions.Expression,
+                          ranges0: Seq[(Array[Byte], Array[Byte])])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.BinaryType
+    require(ranges0.nonEmpty, "no query ranges")
+    val ranges = mergeRanges(ranges0)
+    def geq(b: Array[Byte]) = GreaterThanOrEqual(cellAttr, Literal(b, BinaryType))
+    def leq(b: Array[Byte]) = LessThanOrEqual(cellAttr, Literal(b, BinaryType))
+    if (ranges.size <= OrChainLimit)
+      ranges.map { case (s, e) => And(geq(s), leq(e)): Expression }.reduce(Or(_, _))
+    else
+      And(And(geq(ranges.head._1), leq(ranges.last._2)),
+        CellInRanges(cellAttr, ranges.map(_._1).toArray, ranges.map(_._2).toArray))
+  }
+
   /** exact box predicate (the reference's per-dimension OVERLAPS MBR test
     * on points, BasicQueryFilter.java:40-63). lonMin > lonMax means the
     * box crosses the antimeridian and the longitude test wraps — the

@@ -206,6 +206,31 @@ case class TimeBinId(child: Expression, unit: graft.index.TimeUnits.Value)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** envelope [minX, maxX, minY, maxY] of a WKB geometry
+  * (reference: GeometryUtils envelope constraints, GeometryUtils.java:82-145). */
+case class STEnvelope(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val reader = new WKBReader()
+  override def nullSafeEval(wkb: Any): Any = {
+    val e = reader.read(wkb.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+    new GenericArrayData(Array(e.getMinX, e.getMaxX, e.getMinY, e.getMaxY))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** centroid [x, y] of a WKB geometry. */
+case class STCentroid(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val reader = new WKBReader()
+  override def nullSafeEval(wkb: Any): Any = {
+    val c = reader.read(wkb.asInstanceOf[Array[Byte]]).getCentroid
+    new GenericArrayData(Array(c.getX, c.getY))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** integer dot product of two array<bigint> columns (codegen'd static
   * call — the embedding-similarity hot loop). */
 case class DotLongArrays(left: Expression, right: Expression)
@@ -242,6 +267,8 @@ object GeoFunctions {
     column(STPointWkb(expression(lon), expression(lat)))
   def dot_long(a: Column, b: Column): Column =
     column(DotLongArrays(expression(a), expression(b)))
+  def st_envelope(wkb: Column): Column = column(STEnvelope(expression(wkb)))
+  def st_centroid(wkb: Column): Column = column(STCentroid(expression(wkb)))
   def st_geom_predicate(geomWkb: Column, queryWkb: Array[Byte], contains: Boolean = false): Column =
     column(STGeomPredicate(expression(geomWkb), queryWkb, contains))
   def gw_time_bin(ts: Column, unit: graft.index.TimeUnits.Value = graft.index.TimeUnits.Year): Column =

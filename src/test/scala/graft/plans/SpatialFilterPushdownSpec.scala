@@ -1,0 +1,68 @@
+package graft.plans
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.io.{WKBWriter, WKTReader}
+import graft.spark.{GeoFunctions, Ingest, SparkTestBase, Tables}
+
+/** The optimizer rule injects the SFC range prefilter when a user filters
+  * the store with only the exact geometry predicate. */
+class SpatialFilterPushdownSpec extends SparkTestBase {
+
+  private lazy val storeDir: String = {
+    val dir = Files.createTempDirectory("graft-rule").toString
+    Ingest.run(spark, Tables.synthPages(spark, 4000), dir,
+      Ingest.Config(numBuckets = 4, batchSize = 4))
+    dir
+  }
+
+  test("rule adds pushable cell_id ranges to a bare exact-geometry filter") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SpatialFilterPushdown
+    try {
+      val geom = new WKTReader().read(
+        "POLYGON ((-30 -20, 40 -25, 55 35, -10 45, -30 -20))")
+      val wkb = new WKBWriter(2).write(geom)
+      val store = Ingest.readStore(spark, storeDir)
+      val q = store.where(GeoFunctions.st_covers_point(col("lon"), col("lat"), wkb))
+      val plan = q.queryExecution.executedPlan.toString
+      val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+      assert(pushed.contains("GreaterThanOrEqual(cell_id"),
+        s"rule did not inject pushable ranges:\n${plan.take(1500)}")
+      // results identical to the un-optimized query
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SpatialFilterPushdown)
+      val want = store.where(GeoFunctions.st_covers_point(col("lon"), col("lat"), wkb))
+        .select("url").collect().map(_.getString(0)).toSet
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SpatialFilterPushdown
+      val got = q.select("url").collect().map(_.getString(0)).toSet
+      assert(got == want && got.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SpatialFilterPushdown)
+    }
+  }
+
+  test("rule is a no-op without a cell_id column or when already ranged") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SpatialFilterPushdown
+    try {
+      val geom = new WKTReader().read("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+      val wkb = new WKBWriter(2).write(geom)
+      // no cell_id column → untouched, still correct
+      val pts = Tables.synthPages(spark, 500)
+      val got = pts.where(GeoFunctions.st_covers_point(col("lon"), col("lat"), wkb))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
+      val want = pts.select("doc_id", "lon", "lat").collect().collect {
+        case r if geom.intersects(gf.createPoint(
+          new org.locationtech.jts.geom.Coordinate(r.getDouble(1), r.getDouble(2)))) => r.getLong(0)
+      }.toSet
+      assert(got == want)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SpatialFilterPushdown)
+    }
+  }
+}

@@ -30,6 +30,23 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("st_envelope / st_centroid over WKB geometries") {
+    import spark.implicits._
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val writer = new org.locationtech.jts.io.WKBWriter(2)
+    val poly = gf.createPolygon(Array(
+      new org.locationtech.jts.geom.Coordinate(0, 0),
+      new org.locationtech.jts.geom.Coordinate(10, 0),
+      new org.locationtech.jts.geom.Coordinate(10, 4),
+      new org.locationtech.jts.geom.Coordinate(0, 4),
+      new org.locationtech.jts.geom.Coordinate(0, 0)))
+    val df = Seq((1L, writer.write(poly))).toDF("id", "geom")
+    val r = df.select(GeoFunctions.st_envelope(col("geom")).as("env"),
+      GeoFunctions.st_centroid(col("geom")).as("c")).collect()(0)
+    assert(r.getSeq[Double](0) == Seq(0.0, 10.0, 0.0, 4.0))
+    assert(r.getSeq[Double](1) == Seq(5.0, 2.0))
+  }
+
   test("pyramidLevel picks the finest tier coarser than native tile span") {
     // world-wide coverage, 65536 px wide, 256-px tiles → tile span =
     // 360/65536*256 = 1.40625° → finest grid with cell >= that is bits=8
