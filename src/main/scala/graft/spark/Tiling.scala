@@ -54,6 +54,38 @@ object Tiling {
       copy(first = f, second = s, third = t, fourth = q)
   }
 
+  /** spatial-temporal insertion ids for a (point, time-range) record —
+    * the TimeRange data model (core/geotime/.../store/dimension/Time.java,
+    * TimeDescriptors startRange/endRange): a range spanning calendar years
+    * expands to one bin per year (BinnedNumericDataset.applyBins cross
+    * product) before the tiered decomposition. Timestamps in micros
+    * (Spark internal). */
+  case class CellIdsForTimeRange(first: Expression, second: Expression,
+                                 third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(lon: Any, lat: Any, tsStart: Any, tsEnd: Any): Any = {
+      val startMs = Math.floorDiv(tsStart.asInstanceOf[Long], 1000L)
+      val endMs = Math.floorDiv(tsEnd.asInstanceOf[Long], 1000L)
+      val ids = GeoCodec.spatialTemporal.getInsertionIds(Array(
+        graft.index.NumericData(lon.asInstanceOf[Double], lon.asInstanceOf[Double]),
+        graft.index.NumericData(lat.asInstanceOf[Double], lat.asInstanceOf[Double]),
+        graft.index.NumericData(startMs.toDouble, endMs.toDouble)))
+      new GenericArrayData(ids.toArray[Any])
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                   t: Expression, q: Expression): Expression =
+      copy(first = f, second = s, third = t, fourth = q)
+  }
+
+  def gw_cell_ids_time_range(lon: Column, lat: Column,
+                             tsStart: Column, tsEnd: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(CellIdsForTimeRange(expression(lon), expression(lat),
+      expression(tsStart), expression(tsEnd)))
+  }
+
   /** Z-order (Morton) tile id from grid coordinates — the alternative
     * curve (reference: core/index/.../sfc/zorder/ZOrderSFC.java:62-160). */
   case class ZOrderIdFromXY(left: Expression, right: Expression, bits: Int)
