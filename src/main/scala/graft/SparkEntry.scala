@@ -220,6 +220,10 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
       graft.spark.Analytics.multiLevelKmeans(pts, init, childK = 3, iters = 2)
     }),
+    "q43_ann_ivf" -> ((s, dir) => {
+      Ops.annIvf(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        nlist = 16, nProbe = 4, queryIds = Seq(0L, 100L, 200L, 300L, 400L), k = 10)
+    }),
     "q42_envelope_query" -> ((s, dir) => {
       import s.implicits._
       val geoms = Tables.regionBoxes(60)
@@ -565,6 +569,24 @@ object SparkEntry {
          |    SIN(RADIANS(b.lat - a.lat) / 2) * SIN(RADIANS(b.lat - a.lat) / 2) +
          |    COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
          |    SIN(RADIANS(b.lon - a.lon) / 2) * SIN(RADIANS(b.lon - a.lon) / 2))) < 100000.0""".stripMargin,
+    "q43_ann_ivf" ->
+      s"""WITH $quantCte,
+         |qn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM quant),
+         |cents AS (SELECT vec_id AS cid, v AS cv, n2 AS cn2 FROM qn WHERE vec_id < 16),
+         |ranked AS (
+         |  SELECT q.vec_id, q.v, q.n2, c.cid, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |    q.n2 + c.cn2 - 2 * CAST(list_sum(list_transform(list_zip(q.v, c.cv), t -> t[1] * t[2])) AS BIGINT),
+         |    c.cid) AS crn
+         |  FROM qn q CROSS JOIN cents c),
+         |lists AS (SELECT vec_id, cid, v AS vv, n2 AS vn2 FROM ranked WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, cid, v AS qv, n2 AS qn2 FROM ranked
+         |           WHERE crn <= 4 AND vec_id IN (0, 100, 200, 300, 400))
+         |SELECT q_id, vec_id, rn FROM (
+         |  SELECT p.q_id, l.vec_id, ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+         |    CAST(list_sum(list_transform(list_zip(p.qv, l.vv), t -> t[1] * t[2])) AS DOUBLE) /
+         |      SQRT(CAST(p.qn2 AS DOUBLE) * CAST(l.vn2 AS DOUBLE)) DESC, l.vec_id) AS rn
+         |  FROM probes p JOIN lists l USING (cid)
+         |) WHERE rn <= 10""".stripMargin,
     "q42_envelope_query" ->
       s"""SELECT region_id AS rid
          |FROM (VALUES ${Tables.regionBoxesSqlValues(60)}) v(region_id, lon_min, lon_max, lat_min, lat_max)

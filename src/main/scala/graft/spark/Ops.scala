@@ -283,6 +283,41 @@ object Ops {
   private def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
+  /**
+   * IVF approximate nearest neighbor: vectors are assigned to their
+   * closest coarse centroid (integer L2 via d² = |v|² + |c|² − 2·v·c,
+   * exact), queries probe the `nProbe` nearest inverted lists and rank
+   * candidates by quantized cosine. Deterministic coarse quantizer (the
+   * first `nlist` vectors; swap in Analytics.kmeans centroids off-oracle)
+   * so the oracle reproduces the exact candidate sets. The list join is a
+   * bucket equi-join — the scale path next to the LSH variant.
+   */
+  def annIvf(emb: DataFrame, idCol: String, vecCol: String,
+             nlist: Int, nProbe: Int, queryIds: Seq[Long], k: Int): DataFrame = {
+    import GeoFunctions.dot_long
+    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("n2", dot_long(col("v"), col("v")))
+    val cents = q.where(col("id") < nlist)
+      .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    val d2 = col("n2") + col("cn2") - lit(2L) * dot_long(col("v"), col("cv"))
+    val assignW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+    val ranked = q.join(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("crn", row_number().over(assignW))
+    val lists = ranked.where(col("crn") === 1)
+      .select(col("id").as("vec_id"), col("cid"), col("v").as("vv"), col("n2").as("vn2"))
+    val probes = ranked.where(col("crn") <= nProbe && col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("cid"), col("v").as("qv"), col("n2").as("qn2"))
+    val cos = dot_long(col("qv"), col("vv")).cast("double") /
+      sqrt(col("qn2").cast("double") * col("vn2").cast("double"))
+    val topkW = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(lists, "cid")
+      .withColumn("cos", cos)
+      .withColumn("rn", row_number().over(topkW).cast("long"))
+      .where(col("rn") <= k)
+      .select(col("q_id"), col("vec_id"), col("rn"))
+  }
+
   // ------------------------------------------------------- stats & pruning
 
   /** one-pass global profile — the ingest-maintained statistics bundle

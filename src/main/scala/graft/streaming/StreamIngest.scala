@@ -43,6 +43,27 @@ object StreamIngest {
     q.awaitTermination()
   }
 
+  /** running per-tile event counts with custom state — a
+    * KeyValueGroupedDataset.mapGroupsWithState operator (arbitrary state
+    * the reference's ingest-time statistics callbacks approximate): state
+    * survives across micro-batches, every batch emits the updated total. */
+  def runningTileCounts(stream: DataFrame, bits: Int)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    encode(stream, bits)
+      .select(col("tx") * (1L << bits) + col("ty"))
+      .as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (tile: Long, events: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + events.size
+          state.update(total)
+          (tile, total)
+      }
+  }
+
   /** watermarked tumbling-window per-tile counts (event-time semantics the
     * reference's temporal binning approximates at the index layer). */
   def windowedTileCounts(stream: DataFrame, tsCol: String, bits: Int,

@@ -78,6 +78,34 @@ class MultimodalStreamSpec extends SparkTestBase {
     assert(got2.count() >= 390 && got2.count() <= 400)
   }
 
+  test("mapGroupsWithState running tile counts accumulate across micro-batches") {
+    import graft.streaming.StreamIngest
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, lit}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double, Double)]
+    val stream = mem.toDF().toDF("event_id", "lon", "lat")
+    val counts = StreamIngest.runningTileCounts(stream, bits = 2)
+      .toDF("tile", "cnt")
+    val q = counts.writeStream.format("memory").queryName("tile_counts")
+      .outputMode("update").start()
+    try {
+      // batch 1: 3 events in the same cell, 1 in another
+      mem.addData((1L, 10.0, 10.0), (2L, 10.1, 10.1), (3L, 10.2, 10.2), (4L, -120.0, -50.0))
+      q.processAllAvailable()
+      val b1 = spark.table("tile_counts").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).max }
+      assert(b1.values.toSeq.sorted == Seq(1L, 3L))
+      // batch 2: two more events in the hot cell → state carries to 5
+      mem.addData((5L, 10.05, 10.05), (6L, 10.15, 10.15))
+      q.processAllAvailable()
+      val b2 = spark.table("tile_counts").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).map { case (t, rs) => t -> rs.map(_._2).max }
+      assert(b2.values.toSeq.sorted == Seq(1L, 5L))
+    } finally q.stop()
+  }
+
   test("windowed tile counts with watermark (batch-mode semantics check)") {
     import graft.streaming.StreamIngest
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -94,6 +94,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("annIvf: k rows per query, self is top-1, candidates from probed lists only") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(16)(d => (((i * 31 + d * 7) % 19) - 9).toFloat / 9f).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Ops.annIvf(emb, "vec_id", "embedding",
+        nlist = 8, nProbe = 3, queryIds = Seq(0L, 50L, 120L), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 50L, 120L))
+    for ((q, rows) <- byQ) {
+      assert(rows.length == 5)
+      val top1 = rows.minBy(_._3)._2
+      // the query's own vector lives in its closest list, which is probed
+      // first → cos=1 top hit (ties to the lowest id among identical vectors)
+      val qVec = vecs.find(_._1 == q).get._2
+      val top1Vec = vecs.find(_._1 == top1).get._2
+      assert(top1Vec == qVec, s"query $q top-1 $top1 is not an identical vector")
+    }
+  }
+
   test("languageId picks the marker-dominant language") {
     val got = TextOps.languageId(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(r.length - 1))).toMap
