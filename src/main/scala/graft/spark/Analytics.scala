@@ -164,6 +164,51 @@ object Analytics {
     kdeWeights(pts, bits)
       .withColumn("pr", percent_rank().over(Window.orderBy(col("weight"), col("tx"), col("ty"))))
 
+  /**
+   * Deterministic k-means|| initialization (Bahman et al.): `rounds`
+   * oversampling passes, each admitting points with pseudo-probability
+   * l·cost(x)/totalCost (the coin flip is a hash of (id, round), so the
+   * sample is reproducible and partition-independent), then keep the k
+   * admitted points with the largest attracted population — the
+   * KSamplerMapReduce + BahmanEtAlSampleProbabilityFn + strip-weak chain
+   * (analytics/mapreduce/.../kmeans/KSamplerMapReduce.java:105,
+   * BahmanEtAlSampleProbabilityFn.java:11-28,
+   * StripWeakCentroidsRunner.java:27).
+   */
+  def kmeansParallelInit(pts: DataFrame, k: Int, rounds: Int = 3,
+                         l: Double = 4.0): Seq[(Long, Double, Double)] = {
+    val PREC = 1000000L
+    // seed: the lowest-id point
+    var cents = pts.orderBy("id").limit(1).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    for (round <- 1 to rounds) {
+      val c = cents.map { case (id, lon, lat) =>
+        struct(lit(id).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
+      }
+      val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
+        (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
+      val cost = pts.select(col("id"), col("lon"), col("lat"),
+          explode(array(c: _*)).as("c"))
+        .withColumn("d2", d2)
+        .groupBy("id").agg(min("d2").as("cost"),
+          first("lon").as("lon"), first("lat").as("lat"))
+        .cache()
+      val total = cost.agg(sum("cost")).collect()(0).getDouble(0)
+      if (total > 0) {
+        val p = least(col("cost") * (l * k) / total, lit(1.0))
+        val admitted = cost
+          .where(pmod(xxhash64(col("id"), lit(round)), lit(PREC)).cast("double") < p * PREC)
+          .select("id", "lon", "lat").collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        cents = (cents ++ admitted).distinctBy(_._1)
+      }
+    }
+    // strip: keep the k candidates with the largest attracted population
+    val weights = kmeansAssignStats(pts, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    cents.sortBy { case (id, _, _) => (-weights.getOrElse(id, 0L), id) }.take(k)
+  }
+
   /** average assignment cost (mean min-d² to the given centroids) — the
     * distortion input of the reference's KMeansDistortionMapReduce. */
   def kmeansCost(pts: DataFrame, centroids: Seq[(Long, Double, Double)]): Double = {

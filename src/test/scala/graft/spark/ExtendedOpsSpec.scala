@@ -73,6 +73,53 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(dists.last._2 > dists.head._2, "more clusters should cut cost")
   }
 
+  test("kmeansParallelInit: deterministic, k data-point centroids, decent quality") {
+    val k = 8
+    val init1 = Analytics.kmeansParallelInit(pts, k)
+    val init2 = Analytics.kmeansParallelInit(pts, k)
+    assert(init1 == init2, "sampling must be reproducible")
+    assert(init1.size == k)
+    val local = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(init1.forall(local.contains), "centroids are actual data points")
+    // quality contract is post-Lloyd (the reference runs full kmeans from
+    // the stripped sample): after 3 iterations the ||-init must be in the
+    // same ballpark as naive-first-k init
+    def refined(init: Seq[(Long, Double, Double)]): Double = {
+      val stats = Analytics.kmeans(pts, init, iters = 3).collect()
+      val cents = stats.map { r =>
+        (r.getLong(0), r.getLong(2).toDouble / r.getLong(1) / 100.0,
+          r.getLong(3).toDouble / r.getLong(1) / 100.0)
+      }.toSeq
+      Analytics.kmeansCost(pts, cents)
+    }
+    val naive = local.toSeq.sortBy(_._1).take(k)
+    val costPar = refined(init1)
+    val costNaive = refined(naive)
+    assert(costPar < costNaive * 2.0, s"par=$costPar naive=$costNaive")
+  }
+
+  test("results are invariant to shuffle parallelism") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(): (Set[(Long, Long, Long)], Map[Long, Long]) = {
+      val km = Analytics.kmeans(pts,
+          pts.orderBy("id").limit(4).collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sh = TextOps.simhash(
+          Tables.synthPages(spark, 300), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      (km, sh)
+    }
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val (km1, sh1) = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val (km7, sh7) = run()
+      assert(km1 == km7, "kmeans stats must not depend on partitioning")
+      assert(sh1 == sh7, "simhash must not depend on partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("stripWeakCentroids drops below the largest count gap") {
     val stats = Seq((1L, 500L), (2L, 480L), (3L, 30L), (4L, 20L))
     assert(Analytics.stripWeakCentroids(stats).toSet == Set(1L, 2L))
