@@ -307,9 +307,12 @@ object Analytics {
         (coalesce(col("w_a"), lit(0L)) - coalesce(col("w_b"), lit(0L))).as("diff"))
   }
 
-  /** convex hull WKT per group: groupBy → collect coordinates → JTS hull
-    * (ConvexHullMapReduce semantics; JTS ConvexHull is deterministic). */
-  def convexHullPerGroup(df: DataFrame, groupCol: String): DataFrame = {
+  /** convex (or concave, lengthRatio<1) hull WKT per group: groupBy →
+    * collect coordinates → JTS hull (ConvexHullMapReduce semantics; the
+    * concave variant mirrors GeometryHullTool's Park&Oh concave hull,
+    * analytics/api/.../GeometryHullTool.java:37, via JTS ConcaveHull). */
+  def convexHullPerGroup(df: DataFrame, groupCol: String,
+                         concaveLengthRatio: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(groupCol).cast("long").as("g"), col("lon"), col("lat"))
@@ -318,7 +321,12 @@ object Analytics {
       .mapGroups { (g, it) =>
         val gf = new org.locationtech.jts.geom.GeometryFactory()
         val coords = it.map(t => new org.locationtech.jts.geom.Coordinate(t._2, t._3)).toArray
-        val hull = new org.locationtech.jts.algorithm.ConvexHull(coords, gf).getConvexHull
+        val hull =
+          if (concaveLengthRatio >= 1.0)
+            new org.locationtech.jts.algorithm.ConvexHull(coords, gf).getConvexHull
+          else
+            org.locationtech.jts.algorithm.hull.ConcaveHull.concaveHullByLengthRatio(
+              gf.createMultiPointFromCoords(coords), concaveLengthRatio)
         (g, hull.getNumPoints.toLong, hull.getArea, hull.toText)
       }
       .toDF("group_id", "n_vertices", "area", "wkt")

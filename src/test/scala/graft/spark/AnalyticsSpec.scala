@@ -107,6 +107,24 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("concave hull per group: contained in convex hull, covers all points") {
+    val grouped = pts.limit(500).withColumn("g", col("id") % 2)
+    val convex = Analytics.convexHullPerGroup(grouped, "g").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val concave = Analytics.convexHullPerGroup(grouped, "g", concaveLengthRatio = 0.3)
+      .collect().map(r => (r.getLong(0), (r.getDouble(2), r.getString(3)))).toMap
+    val reader = new org.locationtech.jts.io.WKTReader()
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val local = pts.limit(500).collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    for (g <- 0L until 2L) {
+      assert(concave(g)._1 <= convex(g) + 1e-9, s"group $g concave area must be <= convex")
+      val hull = reader.read(concave(g)._2)
+      for ((id, lon, lat) <- local if id % 2 == g)
+        assert(hull.covers(gf.createPoint(new org.locationtech.jts.geom.Coordinate(lon, lat))),
+          s"point $id outside concave hull of group $g")
+    }
+  }
+
   test("tileCover covers exactly the grid cells intersecting each envelope") {
     import spark.implicits._
     val envs = Tables.regionBoxes(10).map { case (id, a, b, c, d) => (id, a, b, c, d) }
