@@ -220,6 +220,10 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
       graft.spark.Analytics.multiLevelKmeans(pts, init, childK = 3, iters = 2)
     }),
+    "q44_minhash_sigs" -> ((s, dir) => {
+      graft.spark.TextOps.minhashSignatures(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, numHashes = 16)
+    }),
     "q43_ann_ivf" -> ((s, dir) => {
       Ops.annIvf(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
         nlist = 16, nProbe = 4, queryIds = Seq(0L, 100L, 200L, 300L, 400L), k = 10)
@@ -569,6 +573,13 @@ object SparkEntry {
          |    SIN(RADIANS(b.lat - a.lat) / 2) * SIN(RADIANS(b.lat - a.lat) / 2) +
          |    COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
          |    SIN(RADIANS(b.lon - a.lon) / 2) * SIN(RADIANS(b.lon - a.lon) / 2))) < 100000.0""".stripMargin,
+    "q44_minhash_sigs" -> {
+      val sigCols = (0 until 16)
+        .map(j => s"min((${2 * j + 1} * h + ${12345L * j + 1}) % 2147483647) AS sig$j").mkString(", ")
+      s"""WITH $shCte,
+         |shh AS (SELECT doc_id, ${duckHash("shingle")} AS h FROM sh)
+         |SELECT doc_id AS id, $sigCols FROM shh GROUP BY doc_id""".stripMargin
+    },
     "q43_ann_ivf" ->
       s"""WITH $quantCte,
          |qn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM quant),
