@@ -294,6 +294,34 @@ object Analytics {
       .select("parent_id", "centroid_id", "cnt", "sum_lon_c", "sum_lat_c")
   }
 
+  /**
+   * KDE raster tiles: the heatmap cells assembled into tileSide² grids
+   * per parent tile with two bands — raw weight and global percentile —
+   * the reference's 3-band tile emit (AccumuloKDEReducer.java:20-256;
+   * tile x/y from cell position, row-major within the tile). Assembly is
+   * a map-from-entries lookup per position, so it is order-independent.
+   */
+  def kdeTiles(pts: DataFrame, cellBits: Int, tileBits: Int): DataFrame = {
+    require(tileBits < cellBits)
+    val k = cellBits - tileBits
+    val tileSide = 1 << k
+    val mask = (tileSide - 1).toLong
+    val cells = kdeHeatmap(pts, cellBits)
+    val positions = sequence(lit(0), lit(tileSide * tileSide - 1))
+    cells
+      .withColumn("tile_x", expr(s"shiftright(tx, $k)"))
+      .withColumn("tile_y", expr(s"shiftright(ty, $k)"))
+      .withColumn("pos", (col("ty").bitwiseAND(mask) * tileSide + col("tx").bitwiseAND(mask)).cast("int"))
+      .groupBy("tile_x", "tile_y")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("weight")))).as("wm"),
+        map_from_entries(collect_list(struct(col("pos"), col("pr")))).as("pm"))
+      .select(col("tile_x"), col("tile_y"),
+        transform(positions, i => coalesce(element_at(col("wm"), i.cast("int")), lit(0L)))
+          .as("band_weight"),
+        transform(positions, i => coalesce(element_at(col("pm"), i.cast("int")), lit(0.0)))
+          .as("band_pct"))
+  }
+
   /** two-dataset KDE difference on the shared cell grid (the reference's
     * seasonal ComparisonStatsJobRunner): full-outer join of the two
     * heatmaps, missing cells count as 0. */

@@ -94,6 +94,30 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(got(maxCell)._2 - 1.0) < 1e-12)
   }
 
+  test("kdeTiles: row-major tile assembly matches the cell heatmap") {
+    val cellBits = 5; val tileBits = 2
+    val tileSide = 1 << (cellBits - tileBits)
+    val cells = Analytics.kdeHeatmap(pts, cellBits).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val tiles = Analytics.kdeTiles(pts, cellBits, tileBits).collect()
+    assert(tiles.nonEmpty)
+    var checked = 0
+    for (t <- tiles) {
+      val (tx0, ty0) = (t.getLong(0) << (cellBits - tileBits), t.getLong(1) << (cellBits - tileBits))
+      val bw = t.getSeq[Long](2)
+      val bp = t.getSeq[Double](3)
+      assert(bw.length == tileSide * tileSide && bp.length == tileSide * tileSide)
+      for (oy <- 0 until tileSide; ox <- 0 until tileSide) {
+        val cell = cells.get((tx0 + ox, ty0 + oy))
+        val pos = oy * tileSide + ox
+        assert(bw(pos) == cell.map(_._1).getOrElse(0L), s"tile $t pos $pos")
+        assert(bp(pos) == cell.map(_._2).getOrElse(0.0))
+        if (cell.isDefined) checked += 1
+      }
+    }
+    assert(checked == cells.size, "every heatmap cell appears in exactly one tile")
+  }
+
   test("convexHullPerGroup matches direct JTS hull") {
     val grouped = pts.withColumn("g", col("id") % 5)
     val got = Analytics.convexHullPerGroup(grouped, "g").collect()
