@@ -220,6 +220,13 @@ object SparkEntry {
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
       graft.spark.Analytics.multiLevelKmeans(pts, init, childK = 3, iters = 2)
     }),
+    "q45_st_distance_join" -> ((s, dir) => {
+      Ops.distanceJoinST(Tables.geoEvents(s, dir).withColumnRenamed("event_id", "id"),
+        "id", "ts", d = 1.0, dtMillis = 3600000L, bits = 8)
+    }),
+    "q46_region_counts" -> ((s, dir) => {
+      Ops.regionCounts(Tables.pages(s, dir), Tables.regionGeoms(40))
+    }),
     "q44_minhash_sigs" -> ((s, dir) => {
       graft.spark.TextOps.minhashSignatures(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, numHashes = 16)
@@ -573,6 +580,20 @@ object SparkEntry {
          |    SIN(RADIANS(b.lat - a.lat) / 2) * SIN(RADIANS(b.lat - a.lat) / 2) +
          |    COS(RADIANS(a.lat)) * COS(RADIANS(b.lat)) *
          |    SIN(RADIANS(b.lon - a.lon) / 2) * SIN(RADIANS(b.lon - a.lon) / 2))) < 100000.0""".stripMargin,
+    "q45_st_distance_join" ->
+      s"""$eventsCte
+         |SELECT a.event_id AS a_id, b.event_id AS b_id
+         |FROM ev a JOIN ev b ON a.event_id < b.event_id
+         |WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) < 1.0
+         |  AND ABS(CAST(epoch(a.ts) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)) <= 3600""".stripMargin,
+    "q46_region_counts" ->
+      s"""$pagesCte
+         |SELECT r.region_id, COUNT(*) AS cnt
+         |FROM pages p
+         |JOIN (VALUES ${Tables.regionBoxesSqlValues(40)}) r(region_id, lon_min, lon_max, lat_min, lat_max)
+         |  ON p.lon >= r.lon_min AND p.lon <= r.lon_max
+         | AND p.lat >= r.lat_min AND p.lat <= r.lat_max
+         |GROUP BY 1""".stripMargin,
     "q44_minhash_sigs" -> {
       val sigCols = (0 until 16)
         .map(j => s"min((${2 * j + 1} * h + ${12345L * j + 1}) % 2147483647) AS sig$j").mkString(", ")

@@ -181,6 +181,46 @@ object Ops {
   }
 
   /**
+   * Spatio-temporal distance self-join: pairs within euclidean degree
+   * distance `d` AND within `dtMillis` of each other in event time — the
+   * join form of SpatialTemporalQuery (space and time constraints
+   * composed, SpatialTemporalQuery.java:132-164). Same tile equi-join as
+   * [[distanceJoin]]; the time test rides in the join filter.
+   */
+  def distanceJoinST(pts: DataFrame, idCol: String, tsCol: String,
+                     d: Double, dtMillis: Long, bits: Int): DataFrame = {
+    require(360.0 / (1L << bits) >= d, s"cell size at $bits bits must be >= d=$d")
+    // NTZ timestamps need an intermediate cast; session TZ is UTC
+    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"),
+        col(tsCol).cast("timestamp").cast("long").as("ts_s"))
+      .withColumn("cx", gw_tile_x(col("lon"), bits))
+      .withColumn("cy", gw_tile_y(col("lat"), bits))
+    val offs = Seq(-1L, 0L, 1L)
+    val neigh = offs.flatMap(dx => offs.map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy"))))
+    val a = base.select(col("id").as("a_id"), col("lon").as("a_lon"),
+        col("lat").as("a_lat"), col("ts_s").as("a_ts"),
+        explode(array(neigh: _*)).as("o"), col("cx"), col("cy"))
+      .select(col("a_id"), col("a_lon"), col("a_lat"), col("a_ts"),
+        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
+    val b = base.select(col("id").as("b_id"), col("lon").as("b_lon"),
+      col("lat").as("b_lat"), col("ts_s").as("b_ts"), col("cx").as("jx"), col("cy").as("jy"))
+    val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
+      (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
+    val dt = abs(col("a_ts") - col("b_ts"))
+    a.join(b, Seq("jx", "jy"))
+      .where(col("a_id") < col("b_id") && d2 < lit(d * d) && dt <= lit(dtMillis / 1000))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** per-region counts over the point-in-polygon join — server-side
+    * aggregation pushdown composed with the spatial join
+    * (CountAggregation over a SpatialQuery scan). */
+  def regionCounts(pts: DataFrame,
+                   regions: Seq[(String, org.locationtech.jts.geom.Geometry)]): DataFrame =
+    SpatialJoin.polygonJoin(pts, regions)
+      .groupBy("region_id").agg(count(lit(1)).as("cnt"))
+
+  /**
    * kNN to centroids: every point scored against every (broadcast) centroid,
    * top-k per centroid by (distance², id).
    * (reference: AnalyticRecipes.searchKNearestNeighbor, AnalyticRecipes.scala:38-41)
