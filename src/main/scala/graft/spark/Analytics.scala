@@ -76,20 +76,10 @@ object Analytics {
              bits: Int = 6): DataFrame = {
     require(360.0 / (1L << bits) >= eps, s"cell size at $bits bits must be >= eps=$eps")
     val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"))
-      .withColumn("cx", GeoFunctions.gw_tile_x(col("lon"), bits))
-      .withColumn("cy", GeoFunctions.gw_tile_y(col("lat"), bits))
-    val offs = Seq(-1L, 0L, 1L)
-    val neigh = offs.flatMap(dx => offs.map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy"))))
-    val a = base.select(col("id").as("a_id"), col("lon").as("a_lon"), col("lat").as("a_lat"),
-        explode(array(neigh: _*)).as("o"), col("cx"), col("cy"))
-      .select(col("a_id"), col("a_lon"), col("a_lat"),
-        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
-    val b = base.select(col("id").as("b_id"), col("lon").as("b_lon"),
-      col("lat").as("b_lat"), col("cx").as("jx"), col("cy").as("jy"))
     val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
       (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
     // directed eps-edges including self-loops (counts the point itself)
-    val edges = a.join(b, Seq("jx", "jy"))
+    val edges = Ops.neighborhoodSelfJoin(base, bits)
       .where(d2 <= lit(eps * eps))
       .select(col("a_id"), col("b_id"))
       .cache()

@@ -107,6 +107,33 @@ object Ops {
   // ---------------------------------------------------------------- joins
 
   /**
+   * Shared scaffold for cell-partitioned self-joins: every left row
+   * expands to its (2kx+1)×(2ky+1) tile neighborhood at `bits`, the right
+   * side keys by its own tile, so any pair within one neighborhood meets
+   * on exactly one key. Input columns are prefixed `a_`/`b_` in the
+   * output. This is the reference's partitioner-shuffle
+   * (AbstractPartitioner.getCubeIdentifiers + NNMapReduce keying) as one
+   * equi-join; AQE splits hot cells at runtime.
+   */
+  private[spark] def neighborhoodSelfJoin(pts: DataFrame, bits: Int,
+                                          kx: Long = 1, ky: Long = 1): DataFrame = {
+    val cols = pts.columns
+    val base = pts
+      .withColumn("cx", gw_tile_x(col("lon"), bits))
+      .withColumn("cy", gw_tile_y(col("lat"), bits))
+    val neigh = (for (dx <- -kx to kx; dy <- -ky to ky)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))).toSeq
+    val a = base
+      .select(cols.map(c => col(c).as(s"a_$c")) ++
+        Seq(explode(array(neigh: _*)).as("o"), col("cx"), col("cy")): _*)
+      .select(cols.map(c => col(s"a_$c")) ++
+        Seq((col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy")): _*)
+    val b = base.select(cols.map(c => col(c).as(s"b_$c")) ++
+      Seq(col("cx").as("jx"), col("cy").as("jy")): _*)
+    a.join(b, Seq("jx", "jy")).drop("jx", "jy")
+  }
+
+  /**
    * Distance self-join: all pairs (a, b), a.id < b.id, within euclidean
    * degree distance `d`. Cell-partitioned: each left point expands to its
    * 3x3 tile neighborhood at a tier whose cell size >= d, the right side is
@@ -121,21 +148,9 @@ object Ops {
    */
   def distanceJoin(pts: DataFrame, idCol: String, d: Double, bits: Int): DataFrame = {
     require(360.0 / (1L << bits) >= d, s"cell size at $bits bits must be >= d=$d")
-    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"))
-      .withColumn("cx", gw_tile_x(col("lon"), bits))
-      .withColumn("cy", gw_tile_y(col("lat"), bits))
-    val offs = Seq(-1L, 0L, 1L)
-    val neigh = offs.flatMap(dx => offs.map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy"))))
-    val a = base.select(
-        col("id").as("a_id"), col("lon").as("a_lon"), col("lat").as("a_lat"),
-        explode(array(neigh: _*)).as("o"), col("cx"), col("cy"))
-      .select(col("a_id"), col("a_lon"), col("a_lat"),
-        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
-    val b = base.select(col("id").as("b_id"), col("lon").as("b_lon"),
-      col("lat").as("b_lat"), col("cx").as("jx"), col("cy").as("jy"))
     val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
       (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
-    a.join(b, Seq("jx", "jy"))
+    neighborhoodSelfJoin(pts.select(col(idCol).as("id"), col("lon"), col("lat")), bits)
       .where(col("a_id") < col("b_id") && d2 < lit(d * d))
       .select(col("a_id"), col("b_id"))
   }
@@ -159,21 +174,10 @@ object Ops {
     val kx = math.ceil(lonDeg / cellDeg).toLong
     val ky = math.ceil(latDeg / cellDeg).toLong
     require(kx <= 8 && ky <= 8, s"radius spans too many cells at $bits bits (kx=$kx, ky=$ky)")
-    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"))
-      .withColumn("cx", gw_tile_x(col("lon"), bits))
-      .withColumn("cy", gw_tile_y(col("lat"), bits))
-    val neigh = (for (dx <- -kx to kx; dy <- -ky to ky)
-      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))).toSeq
-    val a = base.select(
-        col("id").as("a_id"), col("lon").as("a_lon"), col("lat").as("a_lat"),
-        explode(array(neigh: _*)).as("o"), col("cx"), col("cy"))
-      .select(col("a_id"), col("a_lon"), col("a_lat"),
-        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
-    val b = base.select(col("id").as("b_id"), col("lon").as("b_lon"),
-      col("lat").as("b_lat"), col("cx").as("jx"), col("cy").as("jy"))
     val dist = GeoFunctions.st_distance_haversine(
       col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"))
-    a.join(b, Seq("jx", "jy"))
+    neighborhoodSelfJoin(pts.select(col(idCol).as("id"), col("lon"), col("lat")),
+        bits, kx, ky)
       .where(col("a_id") < col("b_id"))
       .withColumn("dist_m", dist)
       .where(col("dist_m") < lit(dMeters))
@@ -190,24 +194,12 @@ object Ops {
   def distanceJoinST(pts: DataFrame, idCol: String, tsCol: String,
                      d: Double, dtMillis: Long, bits: Int): DataFrame = {
     require(360.0 / (1L << bits) >= d, s"cell size at $bits bits must be >= d=$d")
-    // NTZ timestamps need an intermediate cast; session TZ is UTC
-    val base = pts.select(col(idCol).as("id"), col("lon"), col("lat"),
-        col(tsCol).cast("timestamp").cast("long").as("ts_s"))
-      .withColumn("cx", gw_tile_x(col("lon"), bits))
-      .withColumn("cy", gw_tile_y(col("lat"), bits))
-    val offs = Seq(-1L, 0L, 1L)
-    val neigh = offs.flatMap(dx => offs.map(dy => struct(lit(dx).as("dx"), lit(dy).as("dy"))))
-    val a = base.select(col("id").as("a_id"), col("lon").as("a_lon"),
-        col("lat").as("a_lat"), col("ts_s").as("a_ts"),
-        explode(array(neigh: _*)).as("o"), col("cx"), col("cy"))
-      .select(col("a_id"), col("a_lon"), col("a_lat"), col("a_ts"),
-        (col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy"))
-    val b = base.select(col("id").as("b_id"), col("lon").as("b_lon"),
-      col("lat").as("b_lat"), col("ts_s").as("b_ts"), col("cx").as("jx"), col("cy").as("jy"))
     val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
       (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
-    val dt = abs(col("a_ts") - col("b_ts"))
-    a.join(b, Seq("jx", "jy"))
+    val dt = abs(col("a_ts_s") - col("b_ts_s"))
+    // NTZ timestamps need an intermediate cast; session TZ is UTC
+    neighborhoodSelfJoin(pts.select(col(idCol).as("id"), col("lon"), col("lat"),
+        col(tsCol).cast("timestamp").cast("long").as("ts_s")), bits)
       .where(col("a_id") < col("b_id") && d2 < lit(d * d) && dt <= lit(dtMillis / 1000))
       .select(col("a_id"), col("b_id"))
   }
