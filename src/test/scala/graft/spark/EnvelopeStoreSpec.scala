@@ -82,6 +82,34 @@ class EnvelopeStoreSpec extends SparkTestBase {
     assert(out.filter(_._1 == 2L).map(_._2.toSeq).toSet == direct.map(_.toSeq).toSet)
   }
 
+  test("fuzz: 60 random stored boxes x 20 random queries == brute force") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val randBoxes = (0 until 60).map { i =>
+      val lonMin = rnd.nextDouble() * 340 - 175
+      val latMin = rnd.nextDouble() * 160 - 85
+      val w = math.pow(10, rnd.nextDouble() * 2.3 - 1) // 0.1°..~20°
+      val h = math.pow(10, rnd.nextDouble() * 2.3 - 1)
+      (f"f$i%03d", lonMin, math.min(lonMin + w, 180), latMin, math.min(latMin + h, 90))
+    }
+    val fuzzStore = Ops.encodeEnvelopes(
+      randBoxes.toDF("rid", "env_lon_min", "env_lon_max", "env_lat_min", "env_lat_max"),
+      "rid").cache()
+    for (_ <- 0 until 20) {
+      val lonMin = rnd.nextDouble() * 340 - 175
+      val latMin = rnd.nextDouble() * 160 - 85
+      val (lonMax, latMax) = (math.min(lonMin + 5 + rnd.nextDouble() * 80, 180),
+        math.min(latMin + 5 + rnd.nextDouble() * 60, 90))
+      val got = Ops.spatialBoxQueryEnvelopes(fuzzStore, "rid", lonMin, lonMax, latMin, latMax)
+        .select("rid").collect().map(_.getString(0)).toList
+      assert(got.distinct.length == got.length)
+      val want = randBoxes.collect {
+        case (rid, a, b, c, d) if b >= lonMin && a <= lonMax && d >= latMin && c <= latMax => rid
+      }.toSet
+      assert(got.toSet == want, s"query ($lonMin,$lonMax,$latMin,$latMax)")
+    }
+  }
+
   test("dedupe elision: single-tier stores skip dropDuplicates") {
     // a store with only single-id envelopes (num_duplicates == 0 rows)
     val single = store.where(col("num_duplicates") === 0)

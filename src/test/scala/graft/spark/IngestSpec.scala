@@ -40,4 +40,23 @@ class IngestSpec extends SparkTestBase {
     // a fresh run over a complete store is a no-op
     assert(Ingest.run(spark, pages, dir, cfg.copy(failAfterBatches = Int.MaxValue)).isEmpty)
   }
+
+  test("fuzz: crash at every batch boundary, resume always completes exactly") {
+    val pages = Tables.synthPages(spark, 800).cache()
+    val wantUrls = pages.select("url").collect().map(_.getString(0)).toSet
+    for (crashAt <- 0 to 3) {
+      val dir = Files.createTempDirectory(s"graft-ingest-fuzz$crashAt").toString
+      val cfg = Ingest.Config(numBuckets = 8, batchSize = 2, failAfterBatches = crashAt)
+      if (crashAt < 4) intercept[RuntimeException] { Ingest.run(spark, pages, dir, cfg) }
+      // possibly crash once more mid-resume
+      if (crashAt <= 1) intercept[RuntimeException] {
+        Ingest.run(spark, pages, dir, cfg.copy(failAfterBatches = 1))
+      }
+      Ingest.run(spark, pages, dir, cfg.copy(failAfterBatches = Int.MaxValue))
+      val store = Ingest.readStore(spark, dir)
+      assert(store.count() == 800, s"crashAt=$crashAt")
+      assert(store.select("url").collect().map(_.getString(0)).toSet == wantUrls)
+      assert(Ingest.completedBuckets(dir) == (0 until 8).toSet)
+    }
+  }
 }
