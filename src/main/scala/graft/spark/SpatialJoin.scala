@@ -84,6 +84,58 @@ object SpatialJoin {
       copy(left = l, right = r)
   }
 
+  /** per-row WKB geometry vs (lon, lat) point intersection — the exact
+    * test for joins whose geometry side is NOT a constant (distributed
+    * polygon tables). */
+  case class WkbCoversPoint(first: Expression, second: Expression, third: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+      with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val reader = new WKBReader()
+    @transient private lazy val gf = new GeometryFactory()
+    @transient private lazy val pt = gf.createPoint(new Coordinate(0, 0))
+    override def nullSafeEval(wkb: Any, lon: Any, lat: Any): Any = {
+      val g = reader.read(wkb.asInstanceOf[Array[Byte]])
+      val c = pt.getCoordinate
+      c.x = lon.asInstanceOf[Double]; c.y = lat.asInstanceOf[Double]
+      pt.geometryChanged()
+      g.intersects(pt)
+    }
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                   t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  def st_wkb_covers_point(wkb: Column, lon: Column, lat: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(WkbCoversPoint(expression(wkb), expression(lon), expression(lat)))
+  }
+
+  /**
+   * Point-in-polygon join for a LARGE (distributed, non-broadcastable)
+   * polygon table: each polygon explodes to its covering grid tiles at
+   * `bits`, points key by their tile, candidates meet on a standard tile
+   * equi-join (AQE splits hot tiles), and the per-row WKB exact test
+   * decides. Same output contract as [[polygonJoin]] — (point cols +
+   * region_id) — chosen when the dim side exceeds broadcast size.
+   * `regions` must carry (region_id, geom WKB, lon_min, lon_max,
+   * lat_min, lat_max).
+   */
+  def polygonJoinLarge(pts: DataFrame, regions: DataFrame, bits: Int = 6): DataFrame = {
+    val cover = Tiling.tileCover(
+        regions.select(col("region_id").as("env_id"), col("lon_min"), col("lon_max"),
+          col("lat_min"), col("lat_max")), bits)
+      .select(col("env_id").as("region_id"), col("tx"), col("ty"))
+      .join(regions.select(col("region_id"), col("geom")), Seq("region_id"))
+    val keyed = pts
+      .withColumn("tx", GeoFunctions.gw_tile_x(col("lon"), bits))
+      .withColumn("ty", GeoFunctions.gw_tile_y(col("lat"), bits))
+    keyed.join(cover, Seq("tx", "ty"))
+      .where(st_wkb_covers_point(col("geom"), col("lon"), col("lat")))
+      .drop("tx", "ty", "geom")
+  }
+
   /**
    * (point, region) pairs for all polygons a point falls in.
    * Output: input columns + `region_id`, one row per match.

@@ -45,6 +45,24 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(want.nonEmpty)
   }
 
+  test("polygonJoinLarge (distributed dim) == broadcast polygonJoin") {
+    import spark.implicits._
+    val writer = new org.locationtech.jts.io.WKBWriter(2)
+    val regionsSeq = Tables.regionGeoms(40)
+    val regionsDf = regionsSeq.map { case (id, g) =>
+      val e = g.getEnvelopeInternal
+      (id, writer.write(g), e.getMinX, e.getMaxX, e.getMinY, e.getMaxY)
+    }.toDF("region_id", "geom", "lon_min", "lon_max", "lat_min", "lat_max")
+    val small = SpatialJoin.polygonJoin(pages, regionsSeq)
+      .select("doc_id", "region_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val large = SpatialJoin.polygonJoinLarge(pages, regionsDf)
+      .select("doc_id", "region_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(large == small)
+    assert(large.nonEmpty)
+  }
+
   test("knnRing == brute-force kNN for every query point") {
     val queries = pages.where(col("doc_id") % 163 === 0) // ~12 queries
     val k = 10
