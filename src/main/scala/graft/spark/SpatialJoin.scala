@@ -136,6 +136,22 @@ object SpatialJoin {
       .drop("tx", "ty", "geom")
   }
 
+  /** strategy selection for the point-in-polygon join — the join-level
+    * analogue of the reference's index-selection heuristics
+    * (ChooseBestMatchIndexQueryStrategy.java:27): a dim side under
+    * `maxBroadcast` rows ships inside the expression (shuffle-free),
+    * otherwise the tile-cover equi-join runs distributed. */
+  def polygonJoinAuto(pts: DataFrame, regions: DataFrame,
+                      maxBroadcast: Long = 100000, bits: Int = 6): DataFrame = {
+    val n = regions.count()
+    if (n <= maxBroadcast) {
+      val reader = new org.locationtech.jts.io.WKBReader()
+      val seq = regions.select("region_id", "geom").collect()
+        .map(r => (r.getString(0), reader.read(r.getAs[Array[Byte]](1)))).toSeq
+      polygonJoin(pts, seq).drop("cell_id")
+    } else polygonJoinLarge(pts, regions, bits)
+  }
+
   /**
    * (point, region) pairs for all polygons a point falls in.
    * Output: input columns + `region_id`, one row per match.

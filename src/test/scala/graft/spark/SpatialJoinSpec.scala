@@ -61,6 +61,13 @@ class SpatialJoinSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(large == small)
     assert(large.nonEmpty)
+    // auto-selection picks each strategy by dim size; results identical
+    for (threshold <- Seq(1L, 100000L)) {
+      val auto = SpatialJoin.polygonJoinAuto(pages, regionsDf, maxBroadcast = threshold)
+        .select("doc_id", "region_id").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(auto == small, s"threshold $threshold")
+    }
   }
 
   test("knnRing == brute-force kNN for every query point") {
