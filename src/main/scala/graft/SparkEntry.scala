@@ -92,13 +92,16 @@ object SparkEntry {
       graft.spark.SpatialJoin.knnRing(pts, "doc_id", queries, "doc_id", k = 10)
     }),
     "q16_ngram_jaccard" -> ((s, dir) => {
+      // maxDf=5 BINDS on this corpus (shingle df reaches 9): the scale
+      // guard is exercised, and the oracle applies the identical cap
       graft.spark.TextOps.ngramJaccardPairs(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, tau = 0.5)
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, tau = 0.5,
+        maxDf = 5)
     }),
     "q17_minhash_lsh" -> ((s, dir) => {
       graft.spark.TextOps.minhashLshPairs(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
-        n = 3, bands = 4, rowsPerBand = 4, tau = 0.5)
+        n = 3, bands = 4, rowsPerBand = 4, tau = 0.5, maxBucket = 10)
     }),
     "q18_simhash" -> ((s, dir) => {
       graft.spark.TextOps.simhash(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -148,7 +151,10 @@ object SparkEntry {
       val pts = Tables.pages(s, dir)
         .select(col("doc_id").as("id"), col("lon"), col("lat"))
         .withColumn("g", col("id") % 5)
+      // oracle-comparable projection: vertex count + exact-integer 2×area
+      // (the WKT itself is pinned by the JTS-oracle spec in AnalyticsSpec)
       graft.spark.Analytics.convexHullPerGroup(pts, "g")
+        .select(col("group_id"), col("n_vertices"), col("area_x2_c2"))
     }),
     "q30_stats_profile" -> ((s, dir) => {
       Ops.statsProfile(Tables.pages(s, dir))
@@ -249,14 +255,39 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"),
           round(col("dist_m")).cast("long").as("dist_m"))
     }),
+    "q47_polygon_join_dist" -> ((s, dir) => {
+      // the DISTRIBUTED polygon-join strategy (tile-cover equi-join +
+      // per-row WKB test), forced via maxBroadcast=0 through the auto
+      // selector — same contract and oracle as the broadcast path (q14)
+      import s.implicits._
+      val wkbW = new org.locationtech.jts.io.WKBWriter(2)
+      val regions = Tables.regionGeoms(40).map { case (id, g) =>
+        val e = g.getEnvelopeInternal
+        (id, wkbW.write(g), e.getMinX, e.getMaxX, e.getMinY, e.getMaxY)
+      }.toDF("region_id", "geom", "lon_min", "lon_max", "lat_min", "lat_max")
+      graft.spark.SpatialJoin.polygonJoinAuto(Tables.pages(s, dir), regions,
+        maxBroadcast = 0, bits = 6)
+        .select(col("doc_id"), col("region_id"))
+    }),
+    "q48_multi_index" -> ((s, dir) => {
+      // multi-index store (spatial + spatial-temporal keys) queried through
+      // the best-match chooser; same semantics and oracle as q03
+      val store = graft.spark.MultiIndex.encode(Tables.geoEvents(s, dir))
+      graft.spark.MultiIndex.queryBest(store, Box._1, Box._2, Box._3, Box._4,
+        Some(TsMin), Some(TsMax))._2
+        .select(col("event_id"), col("lon"), col("lat"), col("ts"))
+    }),
   )
 
   // ---- DuckDB twins of the portable integer hashing in TextOps ----
 
   /** fold of codepoints: (acc*31 + ord) mod p; DuckDB list_reduce seeds
-    * with the first element, which equals the 0-seeded fold. */
+    * with the first element, which equals the 0-seeded fold. Empty input is
+    * guarded (list_reduce errors on an empty list; the Spark fold yields
+    * its 0 seed). Parity holds for ASCII text — FIXTURES.md pins the
+    * documents fixture to ASCII, where bytes == chars == codepoints. */
   private def duckHash(e: String): String =
-    s"list_reduce(list_transform(range(1, length($e)+1), ch -> CAST(ord(substr($e, ch, 1)) AS BIGINT)), (a, x) -> (a * 31 + x) % 2147483647)"
+    s"(CASE WHEN length($e) = 0 THEN CAST(0 AS BIGINT) ELSE list_reduce(list_transform(range(1, length($e)+1), ch -> CAST(ord(substr($e, ch, 1)) AS BIGINT)), (a, x) -> (a * 31 + x) % 2147483647) END)"
 
   private val shCte =
     """sh AS (
@@ -277,10 +308,13 @@ object SparkEntry {
         .reduce((acc, s2) => s"(($acc) * 786433 + $s2) % 2147483647")
       s"SELECT id, $b AS band, $bucket AS bucket FROM sig"
     }.mkString(" UNION ALL ")
+    // hot-bucket cap mirrored from minhashLshPairs(maxBucket = 10)
     s"""WITH $shCte,
        |shh AS (SELECT doc_id, ${duckHash("shingle")} AS h FROM sh),
        |sig AS (SELECT doc_id AS id, $sigCols FROM shh GROUP BY doc_id),
-       |buckets AS ($bands),
+       |buckets0 AS ($bands),
+       |buckets AS (SELECT * FROM buckets0
+       |            QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= 10),
        |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id FROM buckets a
        |         JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
        |pairs AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM cand c
@@ -412,10 +446,17 @@ object SparkEntry {
          |  FROM pages p CROSS JOIN (SELECT * FROM pages WHERE doc_id % 97 = 0) q
          |) WHERE rn <= 10""".stripMargin,
     "q16_ngram_jaccard" ->
+      // hot-shingle cap (maxDf = 5) mirrored from ngramJaccardPairs:
+      // candidates only from rare shingles, exact inter over full sets
       s"""WITH $shCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |rareshingle AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 5),
+         |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN rareshingle USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM cand c
+         |          JOIN sh sa ON sa.doc_id = c.a_id
+         |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.shingle = sb.shingle
          |          GROUP BY 1, 2)
          |$jaccardTail""".stripMargin,
     "q17_minhash_lsh" -> minhashSql,
@@ -475,6 +516,34 @@ object SparkEntry {
     "q24_kmeans" -> kmeansSql(3),
     "q25_dbscan" -> dbscanSql(eps = 0.4, minPts = 4),
     "q26_kde" -> kdeSql(bits = 5),
+    // convex hull per group, oracled on exact integer geometry: a directed
+    // pair (a, b) is a minimal-hull edge iff every other point of the group
+    // is strictly left of line a→b, or collinear and strictly between a and
+    // b (so collinear boundary points are NOT vertices — JTS ConvexHull's
+    // cleanRing semantics). Vertices = edges; ring closes, so
+    // n_vertices = edges + 1; CCW edge walk gives 2×area via the shoelace.
+    // Coordinates lie on the 0.01° grid → centi-degree longs are exact.
+    "q29_hull" ->
+      s"""$pagesCte,
+         |hp AS (SELECT DISTINCT doc_id % 5 AS g,
+         |         CAST(ROUND(lon * 100) AS BIGINT) AS x,
+         |         CAST(ROUND(lat * 100) AS BIGINT) AS y
+         |       FROM pages),
+         |edges AS (
+         |  SELECT a.g, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS b_y
+         |  FROM hp a JOIN hp b ON a.g = b.g AND (a.x <> b.x OR a.y <> b.y)
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM hp c
+         |    WHERE c.g = a.g AND (c.x <> a.x OR c.y <> a.y) AND (c.x <> b.x OR c.y <> b.y)
+         |      AND NOT ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+         |        OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+         |            AND (b.x - a.x) * (c.x - a.x) + (b.y - a.y) * (c.y - a.y) > 0
+         |            AND (b.x - a.x) * (c.x - a.x) + (b.y - a.y) * (c.y - a.y)
+         |              < (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)))))
+         |SELECT g AS group_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_vertices,
+         |       CAST(SUM(ax * b_y - ay * bx) AS BIGINT) AS area_x2_c2
+         |FROM edges GROUP BY g""".stripMargin,
+    "q40_multilevel_kmeans" -> multiLevelKmeansSql(iters = 2, childK = 3),
     "q27_tile_cover" -> {
       val bins = 64
       s"""WITH envs AS (SELECT * FROM (VALUES ${Tables.regionBoxesSqlValues(20)})
@@ -623,6 +692,18 @@ object SparkEntry {
       s"""SELECT region_id AS rid
          |FROM (VALUES ${Tables.regionBoxesSqlValues(60)}) v(region_id, lon_min, lon_max, lat_min, lat_max)
          |WHERE lon_max >= -50 AND lon_min <= 50 AND lat_max >= -40 AND lat_min <= 40""".stripMargin,
+    "q47_polygon_join_dist" ->
+      s"""$pagesCte
+         |SELECT p.doc_id, r.region_id
+         |FROM pages p
+         |JOIN (VALUES ${Tables.regionBoxesSqlValues(40)}) r(region_id, lon_min, lon_max, lat_min, lat_max)
+         |  ON p.lon >= r.lon_min AND p.lon <= r.lon_max
+         | AND p.lat >= r.lat_min AND p.lat <= r.lat_max""".stripMargin,
+    "q48_multi_index" ->
+      s"""$eventsCte
+         |SELECT event_id, lon, lat, ts FROM ev
+         |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}
+         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     "q39_zorder" -> {
       val bins = 256
       // morton interleave, x-major: x bit b → out bit 2b+1, y bit b → 2b
@@ -671,6 +752,58 @@ object SparkEntry {
           |  CAST(sum_lat_c AS DOUBLE) / cnt / 100.0 AS clat FROM s$i)""".stripMargin)
     }
     sb.append(s"\nSELECT cid AS centroid_id, cnt, sum_lon_c, sum_lat_c FROM s$iters")
+    sb.toString
+  }
+
+  /** fully unrolled two-level Lloyd chain mirroring
+    * Analytics.multiLevelKmeans exactly: level-1 init = pages 0/150/300/450,
+    * `iters` centroid refreshes, parent assignment from the final
+    * centroids; level-2 init = childK lowest ids per parent, `iters`
+    * grouped iterations, final integer stats per (parent, centroid). */
+  private def multiLevelKmeansSql(iters: Int, childK: Int): String = {
+    val sb = new StringBuilder
+    sb.append(pagesCte).append(",\n")
+    sb.append("c0 AS (SELECT doc_id AS cid, lon AS clon, lat AS clat FROM pages WHERE doc_id IN (0, 150, 300, 450))")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |a$i AS (SELECT p.doc_id, p.lon, p.lat, c.cid,
+        |  ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY
+        |    (p.lon - c.clon) * (p.lon - c.clon) + (p.lat - c.clat) * (p.lat - c.clat), c.cid) AS rn
+        |  FROM pages p CROSS JOIN c${i - 1} c),
+        |s$i AS (SELECT cid, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(lon * 100) AS BIGINT)) AS BIGINT) AS sum_lon_c,
+        |  CAST(SUM(CAST(ROUND(lat * 100) AS BIGINT)) AS BIGINT) AS sum_lat_c
+        |  FROM a$i WHERE rn = 1 GROUP BY 1),
+        |c$i AS (SELECT cid, CAST(sum_lon_c AS DOUBLE) / cnt / 100.0 AS clon,
+        |  CAST(sum_lat_c AS DOUBLE) / cnt / 100.0 AS clat FROM s$i)""".stripMargin)
+    }
+    sb.append(s""",
+      |ap AS (SELECT cid AS parent, doc_id, lon, lat FROM (
+      |  SELECT p.doc_id, p.lon, p.lat, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY
+      |      (p.lon - c.clon) * (p.lon - c.clon) + (p.lat - c.clat) * (p.lat - c.clat), c.cid) AS rn
+      |  FROM pages p CROSS JOIN c$iters c) WHERE rn = 1),
+      |d0 AS (SELECT parent, doc_id AS cid, lon AS clon, lat AS clat FROM (
+      |  SELECT ap.*, ROW_NUMBER() OVER (PARTITION BY parent ORDER BY doc_id) AS irn FROM ap)
+      |  WHERE irn <= $childK)""".stripMargin)
+    for (i <- 1 to iters) {
+      sb.append(s""",
+        |b$i AS (SELECT p.parent, p.doc_id, p.lon, p.lat, c.cid,
+        |  ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY
+        |    (p.lon - c.clon) * (p.lon - c.clon) + (p.lat - c.clat) * (p.lat - c.clat), c.cid) AS rn
+        |  FROM ap p JOIN d${i - 1} c ON c.parent = p.parent),
+        |t$i AS (SELECT parent, cid, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(ROUND(lon * 100) AS BIGINT)) AS BIGINT) AS sum_lon_c,
+        |  CAST(SUM(CAST(ROUND(lat * 100) AS BIGINT)) AS BIGINT) AS sum_lat_c
+        |  FROM b$i WHERE rn = 1 GROUP BY 1, 2)""".stripMargin)
+      if (i < iters)
+        sb.append(s""",
+          |d$i AS (SELECT parent, cid, CAST(sum_lon_c AS DOUBLE) / cnt / 100.0 AS clon,
+          |  CAST(sum_lat_c AS DOUBLE) / cnt / 100.0 AS clat FROM t$i)""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT parent AS parent_id, cid AS centroid_id, cnt, sum_lon_c, sum_lat_c
+      |FROM t$iters""".stripMargin)
     sb.toString
   }
 

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.spark.{STCoversPoint, SpatialPlanner}
@@ -23,12 +23,21 @@ import graft.spark.{STCoversPoint, SpatialPlanner}
  *
  * Fixpoint-safe: the rewrite only fires when the condition does not
  * already reference the cell_id attribute.
+ *
+ * Soundness: the geometry predicate must be a TOP-LEVEL CONJUNCT of the
+ * filter condition. A predicate found under an OR or a NOT does NOT imply
+ * the SFC range prefilter — `st_covers_point(...) OR p` must keep rows
+ * outside the geometry's cell ranges that satisfy `p`, and
+ * `NOT st_covers_point(...)` keeps exactly those rows — so those shapes
+ * are left untouched.
  */
-object SpatialFilterPushdown extends Rule[LogicalPlan] {
+object SpatialFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
       val cellAttr: Option[Attribute] = child.output.find(_.name == "cell_id")
-      val covers = cond.collectFirst { case c: STCoversPoint => c }
+      // only a conjunct that IS the predicate (not one merely containing
+      // it under Or/Not/...) licenses AND-ing the range prefilter
+      val covers = splitConjunctivePredicates(cond).collectFirst { case c: STCoversPoint => c }
       (cellAttr, covers) match {
         case (Some(attr), Some(c)) if !cond.references.contains(attr) =>
           val geom = new org.locationtech.jts.io.WKBReader().read(c.wkb)

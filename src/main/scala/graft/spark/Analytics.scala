@@ -91,7 +91,11 @@ object Analytics {
       .join(core.withColumnRenamed("id", "b_id"), "b_id")
       .select("a_id", "b_id")
       .cache()
-    var labels = core.withColumn("lbl", col("id")).cache()
+    // loop hygiene: localCheckpoint each generation (eager) — truncates the
+    // plan lineage (otherwise it grows with every propagation round) and
+    // lets the previous generation's blocks be reclaimed; long
+    // label-propagation chains stay O(1) in plan size and executor memory.
+    var labels = core.withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
       val next = coreEdges
@@ -100,10 +104,11 @@ object Analytics {
         .agg(min(col("b_lbl")).as("next_lbl"))
       val merged = labels.join(next, Seq("id"))
         .select(col("id"), col("lbl"), least(col("lbl"), col("next_lbl")).as("new_lbl"))
-        .cache()
+        .localCheckpoint()
       changed = merged.where(col("new_lbl") =!= col("lbl")).count()
-      labels = merged.select(col("id"), col("new_lbl").as("lbl")).cache()
+      labels = merged.select(col("id"), col("new_lbl").as("lbl"))
     }
+    coreEdges.unpersist() // only the propagation loop reads core-core edges
     val coreOut = labels.select(col("id"), col("lbl").as("cluster"), lit("core").as("role"))
     // border: non-core with >= 1 core neighbor → lowest core cluster
     val nonCore = base.select("id").join(core, Seq("id"), "left_anti")
@@ -150,9 +155,35 @@ object Analytics {
     cells.groupBy("tx", "ty").agg(sum("w").as("weight"))
   }
 
-  def kdeHeatmap(pts: DataFrame, bits: Int): DataFrame =
-    kdeWeights(pts, bits)
-      .withColumn("pr", percent_rank().over(Window.orderBy(col("weight"), col("tx"), col("ty"))))
+  /**
+   * Heatmap = weights + per-cell percentile rank, computed as a
+   * DISTRIBUTED CDF: the only global sort runs over the tiny
+   * distinct-weight table (|weights| ≪ |cells|), whose cumulative counts
+   * broadcast-join back onto the cells; the per-cell tiebreak rank is a
+   * window PARTITIONED by weight. Output is bit-identical to
+   * `percent_rank() OVER (ORDER BY weight, tx, ty)` — rank(cell) =
+   * (#cells with smaller weight) + (rank within its weight by (tx, ty)) —
+   * without ever pulling all cells through one task (the reference runs
+   * this as a single sorted reduce per level, AccumuloKDEReducer.java:20-118;
+   * at render-grade grids that is the scale bottleneck this avoids).
+   */
+  def kdeHeatmap(pts: DataFrame, bits: Int): DataFrame = {
+    val w = kdeWeights(pts, bits).cache()
+    val tiny = Window.orderBy(col("weight"))
+    val cum = w.groupBy("weight").agg(count(lit(1)).as("wcnt"))
+      .withColumn("cum_before",
+        coalesce(sum(col("wcnt")).over(tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total",
+        sum(col("wcnt")).over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val withinW = Window.partitionBy(col("weight")).orderBy(col("tx"), col("ty"))
+    w.join(broadcast(cum), "weight")
+      .withColumn("rw", row_number().over(withinW).cast("long"))
+      .withColumn("pr",
+        when(col("total") === 1, lit(0.0))
+          .otherwise((col("cum_before") + col("rw") - 1).cast("double") /
+            (col("total") - 1).cast("double")))
+      .select(col("tx"), col("ty"), col("weight"), col("pr"))
+  }
 
   /**
    * Deterministic k-means|| initialization (Bahman et al.): `rounds`
@@ -214,18 +245,19 @@ object Analytics {
   }
 
   /** KMeans-jump k selection: run kmeans per candidate k, distortion
-    * transform cost^(-dims/2) (dims=2 → 1/cost), pick the k with the
-    * largest jump (reference: KMeansJumpJobRunner.java:53-130,
-    * DistortionGroupManagement). Returns (bestK, per-k distortions). */
+    * transform cost^(−dims/2) (the general Sugar–James formula the
+    * reference applies via DistortionGroupManagement.java:61; dims=2
+    * reduces to 1/cost), pick the k with the largest jump (reference:
+    * KMeansJumpJobRunner.java:53-130). Returns (bestK, per-k distortions). */
   def kmeansJump(pts: DataFrame, initFor: Int => Seq[(Long, Double, Double)],
-                 ks: Seq[Int], iters: Int): (Int, Seq[(Int, Double)]) = {
+                 ks: Seq[Int], iters: Int, dims: Int = 2): (Int, Seq[(Int, Double)]) = {
     val distortions = ks.map { k =>
       val stats = kmeans(pts, initFor(k), iters)
       val cents = stats.collect().map { r =>
         (r.getLong(0), r.getLong(2).toDouble / r.getLong(1) / 100.0,
           r.getLong(3).toDouble / r.getLong(1) / 100.0)
       }.toSeq
-      k -> (1.0 / kmeansCost(pts, cents))
+      k -> math.pow(kmeansCost(pts, cents), -dims / 2.0)
     }
     val jumps = distortions.zip(0.0 +: distortions.map(_._2))
       .map { case ((k, d), prev) => (k, d - prev) }
@@ -244,10 +276,41 @@ object Analytics {
     sorted.take(cut + 1).map(_._1)
   }
 
+  /** one grouped Lloyd assignment pass for ALL parents at once: each point
+    * scored only against its own parent's centroids (explode + same-parent
+    * filter), integer stats grouped by (parent_id, centroid_id). */
+  private def groupedAssignStats(assigned: DataFrame,
+                                 centroids: Seq[(Long, Long, Double, Double)]): DataFrame = {
+    val c = centroids.map { case (p, cid, lon, lat) =>
+      struct(lit(p).as("p"), lit(cid).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
+    }
+    val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
+      (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
+    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("c.cid"))
+    assigned
+      .select(col("parent_id"), col("id"), col("lon"), col("lat"),
+        explode(array(c: _*)).as("c"))
+      .where(col("c.p") === col("parent_id"))
+      .withColumn("d2", d2)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .groupBy(col("parent_id"), col("c.cid").as("centroid_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(cents(col("lon"))).as("sum_lon_c"),
+        sum(cents(col("lat"))).as("sum_lat_c"))
+  }
+
   /** multi-level (zoom) clustering: kmeans at level 1, then kmeans again
     * within each level-1 cluster (reference: MultiLevelKMeansClustering
     * JobRunner, GroupAssignmentMapReduce ZOOM_LEVEL regrouping). Output:
-    * (parent_id, centroid_id, cnt, sum_lon_c, sum_lat_c). */
+    * (parent_id, centroid_id, cnt, sum_lon_c, sum_lat_c).
+    *
+    * Level 2 runs every parent in the SAME job: child init is one
+    * windowed pass (childK lowest ids per parent), each Lloyd iteration
+    * is one [[groupedAssignStats]] aggregation over all parents, and the
+    * driver only ever collects k₁·childK-sized centroid aggregates — no
+    * per-parent job chains, so wall time is iters jobs regardless of k₁
+    * (the reference pays one MR chain per zoom group). */
   def multiLevelKmeans(pts: DataFrame, init1: Seq[(Long, Double, Double)],
                        childK: Int, iters: Int): DataFrame = {
     // level 1: final assignment of every point to a parent
@@ -271,17 +334,24 @@ object Analytics {
       .where(col("rn") === 1)
       .select(col("c.cid").as("parent_id"), col("id"), col("lon"), col("lat"))
       .cache()
-    // level 2 within each parent group (driver loop over k1 groups, like
-    // the reference's per-zoom-level job chain)
-    val parents = assigned.select("parent_id").distinct().collect().map(_.getLong(0)).sorted
-    parents.map { p =>
-      val sub = assigned.where(col("parent_id") === p).drop("parent_id")
-      val ids = sub.select("id").orderBy("id").limit(childK).collect().map(_.getLong(0))
-      val init = sub.where(col("id").isin(ids: _*)).collect()
-        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq.sortBy(_._1)
-      kmeans(sub, init, iters).withColumn("parent_id", lit(p))
-    }.reduce(_.unionByName(_))
-      .select("parent_id", "centroid_id", "cnt", "sum_lon_c", "sum_lat_c")
+    // level-2 init: the childK lowest point ids per parent, in one window
+    val initW = Window.partitionBy(col("parent_id")).orderBy(col("id"))
+    var cents2 = assigned
+      .withColumn("irn", row_number().over(initW))
+      .where(col("irn") <= childK)
+      .select("parent_id", "id", "lon", "lat").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    var stats: DataFrame = null
+    for (_ <- 0 until iters) {
+      stats = groupedAssignStats(assigned, cents2)
+      cents2 = stats.collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          r.getLong(3).toDouble / r.getLong(2) / 100.0,
+          r.getLong(4).toDouble / r.getLong(2) / 100.0)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    }
+    stats.select("parent_id", "centroid_id", "cnt", "sum_lon_c", "sum_lat_c")
   }
 
   /**
@@ -328,7 +398,12 @@ object Analytics {
   /** convex (or concave, lengthRatio<1) hull WKT per group: groupBy →
     * collect coordinates → JTS hull (ConvexHullMapReduce semantics; the
     * concave variant mirrors GeometryHullTool's Park&Oh concave hull,
-    * analytics/api/.../GeometryHullTool.java:37, via JTS ConcaveHull). */
+    * analytics/api/.../GeometryHullTool.java:37, via JTS ConcaveHull).
+    *
+    * `area_x2_c2` is twice the hull area in centi-degree² units, computed
+    * by an exact integer shoelace over the ring vertices (inputs lie on
+    * the 0.01° grid, so `round(coord*100)` is lossless) — the
+    * oracle-comparable twin of the double `area`. */
   def convexHullPerGroup(df: DataFrame, groupCol: String,
                          concaveLengthRatio: Double = 1.0): DataFrame = {
     val spark = df.sparkSession
@@ -345,8 +420,21 @@ object Analytics {
           else
             org.locationtech.jts.algorithm.hull.ConcaveHull.concaveHullByLengthRatio(
               gf.createMultiPointFromCoords(coords), concaveLengthRatio)
-        (g, hull.getNumPoints.toLong, hull.getArea, hull.toText)
+        // exact integer shoelace in centi-degrees over the ring (abs:
+        // JTS ring orientation is CW, the oracle's edge walk is CCW)
+        val ring =
+          if (hull.isInstanceOf[org.locationtech.jts.geom.Polygon]) hull.getCoordinates
+          else Array.empty[org.locationtech.jts.geom.Coordinate]
+        var s2 = 0L
+        var i = 0
+        while (i < ring.length - 1) {
+          val ax = math.round(ring(i).x * 100); val ay = math.round(ring(i).y * 100)
+          val bx = math.round(ring(i + 1).x * 100); val by = math.round(ring(i + 1).y * 100)
+          s2 += ax * by - ay * bx
+          i += 1
+        }
+        (g, hull.getNumPoints.toLong, hull.getArea, math.abs(s2), hull.toText)
       }
-      .toDF("group_id", "n_vertices", "area", "wkt")
+      .toDF("group_id", "n_vertices", "area", "area_x2_c2", "wkt")
   }
 }

@@ -77,31 +77,41 @@ object Ingest {
         throw new RuntimeException(s"[test hook] simulated crash before batch $bi")
       val t0 = System.nanoTime()
       val slice = encoded.where(col("bucket").isin(batch: _*))
+      // lineage metrics collected INSIDE the write pass via Dataset.observe
+      // (per-bucket conditional aggregates; batch is a small fixed set) —
+      // one scan per batch instead of write-then-re-aggregate
+      val obs = org.apache.spark.sql.Observation(s"ingest-$bi-${System.nanoTime()}")
+      val metricAggs = batch.flatMap { b =>
+        val in = col("bucket") === b
+        Seq(
+          count(when(in, 1)).as(s"rows_$b"),
+          min(when(in, col("cell_id"))).as(s"min_$b"),
+          max(when(in, col("cell_id"))).as(s"max_$b"),
+          expr(s"bit_xor(CASE WHEN bucket = $b THEN xxhash64(text) ELSE 0L END)").as(s"xor_$b"))
+      }
+      // the observation sits ABOVE the range exchange: RangePartitioner
+      // samples its child in a separate pass, which would double-count
+      // metrics attached below it
       slice
         .repartitionByRange(cfg.targetPartitions, col("salt"), col("cell_id"))
+        .observe(obs, metricAggs.head, metricAggs.tail: _*)
         .sortWithinPartitions(col("salt"), col("cell_id"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // only this batch's buckets
         .partitionBy("bucket")
         .parquet(s"$outDir/data")
-      // lineage metrics in one aggregation pass over the slice
-      val stats = slice.groupBy(col("bucket")).agg(
-        count(lit(1)).as("rows"),
-        min(col("cell_id")).as("min_cell"),
-        max(col("cell_id")).as("max_cell"),
-        expr("bit_xor(xxhash64(text))").as("text_xor")).collect()
+      val m = obs.get
       val wallMs = (System.nanoTime() - t0) / 1000000
-      for (r <- stats) {
-        val lin = BucketLineage(r.getInt(0), r.getLong(1),
-          graft.index.ByteUtils.toHex(r.getAs[Array[Byte]](2)),
-          graft.index.ByteUtils.toHex(r.getAs[Array[Byte]](3)),
-          r.getLong(4), wallMs)
-        commitLineage(outDir, lin)
-        written += lin
-      }
-      // buckets with zero rows in this batch still need a committed record
-      for (b <- batch if !stats.exists(_.getInt(0) == b)) {
-        val lin = BucketLineage(b, 0L, "", "", 0L, wallMs)
+      for (b <- batch) {
+        val rows = m(s"rows_$b").asInstanceOf[Long]
+        def hex(key: String): String = m(key) match {
+          case null => ""
+          case bytes: Array[Byte] => graft.index.ByteUtils.toHex(bytes)
+        }
+        val lin =
+          if (rows == 0) BucketLineage(b, 0L, "", "", 0L, wallMs)
+          else BucketLineage(b, rows, hex(s"min_$b"), hex(s"max_$b"),
+            m(s"xor_$b").asInstanceOf[Long], wallMs)
         commitLineage(outDir, lin)
         written += lin
       }
@@ -118,6 +128,17 @@ object Ingest {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, lineagePath(outDir, lin.bucket), StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** rotating per-writer partition prefix — the reference's
+    * RoundRobinKeyIndexStrategy (core/index/.../simple/
+    * RoundRobinKeyIndexStrategy.java:48,126-143: each writer cycles
+    * 0..n-1 in insertion order). `monotonically_increasing_id` is
+    * (partitionId << 33) | rowInPartition, so `mod n` rotates within every
+    * task independently — the same per-writer counter contract, computed
+    * with zero shuffle. Alternative to the hash salt when keys must spread
+    * evenly regardless of value skew (identical keys still land apart). */
+  def roundRobinSalt(n: Int): org.apache.spark.sql.Column =
+    pmod(monotonically_increasing_id(), lit(n.toLong)).cast("int")
 
   /** read back the bucket-partitioned store. */
   def readStore(spark: SparkSession, outDir: String): DataFrame =

@@ -176,7 +176,10 @@ object Ops {
     require(kx <= 8 && ky <= 8, s"radius spans too many cells at $bits bits (kx=$kx, ky=$ky)")
     val dist = GeoFunctions.st_distance_haversine(
       col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"))
-    neighborhoodSelfJoin(pts.select(col(idCol).as("id"), col("lon"), col("lat")),
+    // the lon-expansion bound is only valid up to maxAbsLatDeg; enforce it
+    // here (near-pole rows would otherwise silently miss qualifying pairs)
+    val inBand = pts.where(abs(col("lat")) <= lit(maxAbsLatDeg))
+    neighborhoodSelfJoin(inBand.select(col(idCol).as("id"), col("lon"), col("lat")),
         bits, kx, ky)
       .where(col("a_id") < col("b_id"))
       .withColumn("dist_m", dist)
@@ -294,7 +297,14 @@ object Ops {
    * for approximate-nearest-neighbor variants.
    */
   def annBruteForce(emb: DataFrame, idCol: String, vecCol: String,
-                    queryIds: Seq[Long], k: Int): DataFrame = {
+                    queryIds: Seq[Long], k: Int, maxQueries: Int = 1000): DataFrame = {
+    // scale guard: the query side broadcasts and every base vector is
+    // scored against every query — linear in |base| but linear in
+    // |queries| too. Large query sets belong on annIvf (probe only the
+    // nProbe nearest inverted lists).
+    require(queryIds.size <= maxQueries,
+      s"annBruteForce scores all ${queryIds.size} queries against every row (> maxQueries=$maxQueries): " +
+        "use annIvf for large query sets, or raise maxQueries explicitly")
     // per-vector quantization and norms computed once per side pre-join;
     // the q_ids × n join only pays the dot product
     val q = emb.where(col(idCol).isin(queryIds: _*))

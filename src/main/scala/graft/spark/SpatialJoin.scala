@@ -36,7 +36,7 @@ object SpatialJoin {
     * tree + prepared geometries built once per task, interned by WKB. */
   case class RegionsForPoint(left: Expression, right: Expression,
                              ids: Array[String], wkbs: Array[Array[Byte]])
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
@@ -58,9 +58,8 @@ object SpatialJoin {
     @transient private lazy val pt = gf.createPoint(new Coordinate(0, 0))
     @transient private lazy val env = new Envelope()
 
-    override def nullSafeEval(lonA: Any, latA: Any): Any = {
-      val lon = lonA.asInstanceOf[Double]
-      val lat = latA.asInstanceOf[Double]
+    /** codegen entry point: STRtree probe + prepared-geometry tests. */
+    def regionsFor(lon: Double, lat: Double): org.apache.spark.sql.catalyst.util.ArrayData = {
       val c = pt.getCoordinate
       c.x = lon; c.y = lat
       pt.geometryChanged()
@@ -80,6 +79,15 @@ object SpatialJoin {
         new GenericArrayData(arr.map(s => UTF8String.fromString(s): Any))
       }
     }
+
+    override def nullSafeEval(lonA: Any, latA: Any): Any =
+      regionsFor(lonA.asInstanceOf[Double], latA.asInstanceOf[Double])
+    override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                           ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("regionsForPoint", this, classOf[RegionsForPoint].getName)
+      defineCodeGen(ctx, ev, (lon, lat) => s"$ref.regionsFor($lon, $lat)")
+    }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
@@ -88,19 +96,30 @@ object SpatialJoin {
     * test for joins whose geometry side is NOT a constant (distributed
     * polygon tables). */
   case class WkbCoversPoint(first: Expression, second: Expression, third: Expression)
-      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
-      with CodegenFallback {
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
     override def dataType: DataType = org.apache.spark.sql.types.BooleanType
     override def nullIntolerant: Boolean = true
     @transient private lazy val reader = new WKBReader()
     @transient private lazy val gf = new GeometryFactory()
     @transient private lazy val pt = gf.createPoint(new Coordinate(0, 0))
-    override def nullSafeEval(wkb: Any, lon: Any, lat: Any): Any = {
-      val g = reader.read(wkb.asInstanceOf[Array[Byte]])
+
+    /** codegen entry point (per-row WKB parse is the dominant cost, but a
+      * fused stage still avoids the eval-mode row boxing). */
+    def test(wkb: Array[Byte], lon: Double, lat: Double): Boolean = {
+      val g = reader.read(wkb)
       val c = pt.getCoordinate
-      c.x = lon.asInstanceOf[Double]; c.y = lat.asInstanceOf[Double]
+      c.x = lon; c.y = lat
       pt.geometryChanged()
       g.intersects(pt)
+    }
+
+    override def nullSafeEval(wkb: Any, lon: Any, lat: Any): Any =
+      test(wkb.asInstanceOf[Array[Byte]], lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+    override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                           ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("wkbCoversPoint", this, classOf[WkbCoversPoint].getName)
+      defineCodeGen(ctx, ev, (wkb, lon, lat) => s"$ref.test($wkb, $lon, $lat)")
     }
     override protected def withNewChildrenInternal(f: Expression, s: Expression,
                                                    t: Expression): Expression =
@@ -195,13 +214,26 @@ object SpatialJoin {
    * (resolved counts), never on row data.
    */
   def knnRing(pts: DataFrame, idCol: String, queries: DataFrame, qIdCol: String,
-              k: Int, startBits: Int = 6): DataFrame = {
+              k: Int, startBits: Int = -1): DataFrame = {
     // every round rescans the points; cache once for the loop
     val base = pts.select(col(idCol).as("id"), col("lon"), col("lat")).cache()
     var remaining = queries.select(col(qIdCol).as("q_id"),
       col("lon").as("q_lon"), col("lat").as("q_lat"))
-    var acc: DataFrame = null
-    var bits = startBits
+    // empty-input-safe zero accumulator with the exact output schema
+    var acc: DataFrame = remaining.limit(0).select(col("q_id"))
+      .crossJoin(base.limit(0).select(col("id")))
+      .withColumn("rn", lit(0L))
+    // startBits < 0 → derive from density: pick the tier whose 3×3 tile
+    // neighborhood holds ~4k points under uniformity, so most queries
+    // resolve in round 1 instead of walking down from a fixed tier
+    // (skewed regions still fall through to coarser rounds correctly).
+    var bits =
+      if (startBits >= 0) startBits
+      else {
+        val nPts = base.count().toDouble
+        val target = math.max(1.0, 9.0 * nPts / (4.0 * k))
+        math.min(16, math.max(0, (math.log(target) / math.log(4.0)).toInt))
+      }
     while (bits >= 0 && !remaining.isEmpty) {
       val cellDeg = 360.0 / (1L << bits)
       val offs = Seq(-1L, 0L, 1L)
@@ -231,15 +263,19 @@ object SpatialJoin {
       val done =
         if (bits == 0) lit(true)
         else col("cnt") >= k && col("kth_d2") < lit(cellDeg * cellDeg)
+      // loop hygiene: localCheckpoint (eager) truncates the accumulated
+      // unionByName/anti-join lineage each round and lets the previous
+      // generation's blocks age out — no per-round cache() pile-up.
       val resolved = scored
         .where(done)
         .select(col("q_id"), col("id"), col("rn"))
-        .cache()
-      acc = if (acc == null) resolved else acc.unionByName(resolved)
+        .localCheckpoint()
+      acc = acc.unionByName(resolved)
       remaining = remaining.join(resolved.select("q_id").distinct(), Seq("q_id"), "left_anti")
-        .cache()
+        .localCheckpoint()
       bits -= 1
     }
+    base.unpersist() // acc is checkpoint-backed; the loop's scan cache can go
     acc
   }
 }

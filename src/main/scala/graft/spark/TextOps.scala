@@ -36,18 +36,47 @@ object TextOps {
 
   /**
    * Exact n-gram Jaccard near-dup pairs via inverted-index join: candidate
-   * pairs share >= 1 shingle, intersection counted in the join, union from
-   * per-doc set sizes. Output: (a_id, b_id, inter, size_a, size_b, jac)
-   * for jac >= tau.
+   * pairs share >= 1 shingle, intersection counted from the FULL shingle
+   * sets on candidates only, union from per-doc set sizes. Output:
+   * (a_id, b_id, inter, size_a, size_b, jac) for jac >= tau.
+   *
+   * `maxDf` is the hot-shingle guard: shingles whose document frequency
+   * exceeds it are dropped from CANDIDATE GENERATION (a stop-shingle with
+   * df=f would otherwise contribute f² join rows — the classic quadratic
+   * blowup at corpus scale; every production near-dup pipeline prefix-
+   * filters this way). Verification still uses the full shingle sets, so
+   * Jaccard values are exact; only pairs whose shared shingles are ALL
+   * hotter than maxDf can be missed. The dropped-shingle count is logged.
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, tau: Double): DataFrame = {
+                        n: Int, tau: Double, maxDf: Long = Long.MaxValue): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
+    val pairs =
+      if (maxDf == Long.MaxValue) {
+        // uncapped: the self-join IS both candidate generation and the
+        // exact intersection count (one pass)
+        sh.as("a").join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")).cache()
+        val dropped = dfCounts.where(col("df") > maxDf).count()
+        // scale guard telemetry: silent truncation would read as full coverage
+        println(s"[graft] ngramJaccardPairs: dropped $dropped shingles with df > $maxDf from candidate generation")
+        val rare = sh.join(dfCounts.where(col("df") <= maxDf).select("shingle"), "shingle")
+        val cand = rare.as("a").join(rare.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+          .distinct()
+        // exact intersection over the FULL shingle sets, candidates only
+        cand
+          .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("shingle", "s_a"), "a_id")
+          .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("shingle", "s_b"), "b_id")
+          .where(col("s_a") === col("s_b"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      }
     pairs
       .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "size_a"), "a_id")
       .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "size_b"), "b_id")
@@ -76,7 +105,8 @@ object TextOps {
    * [[ngramJaccardPairs]] restricted to LSH candidates.
    */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, bands: Int, rowsPerBand: Int, tau: Double): DataFrame = {
+                      n: Int, bands: Int, rowsPerBand: Int, tau: Double,
+                      maxBucket: Long = Long.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val B = 786433L
@@ -86,8 +116,25 @@ object TextOps {
         .reduce((acc, s) => (acc * B + s) % P)
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    val allBuckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // hot-bucket guard: a degenerate bucket with f members yields f² pairs
+    // in the self-join below. Buckets over `maxBucket` are dropped before
+    // candidate generation (the window shuffles on the same (band, bucket)
+    // key the join needs, so this adds no extra exchange).
+    val buckets =
+      if (maxBucket == Long.MaxValue) allBuckets
+      else {
+        val szW = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+        val kept = allBuckets
+          .withColumn("bsz", count(lit(1)).over(szW))
+          .where(col("bsz") <= maxBucket)
+          .drop("bsz")
+          .cache()
+        val droppedRows = allBuckets.count() - kept.count()
+        println(s"[graft] minhashLshPairs: dropped $droppedRows bucket memberships in buckets larger than $maxBucket")
+        kept
+      }
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -127,7 +174,16 @@ object TextOps {
     * cos >= tau); round(x*1000) integer arithmetic end-to-end so ranking
     * and thresholding are portable. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                            tau: Double): DataFrame = {
+                            tau: Double, maxRows: Long = 100000): DataFrame = {
+    // ALL-PAIRS guard: this is the exactness BASELINE (O(n²) theta join —
+    // a BroadcastNestedLoopJoin); at corpus scale use the bucketed paths.
+    // The guard mirrors polygonJoinAuto's strategy selection: fail loudly
+    // instead of silently launching an n² job.
+    val n = emb.count()
+    require(n <= maxRows,
+      s"embeddingNearDupPairs is the all-pairs exactness baseline ($n rows > maxRows=$maxRows): " +
+        "use embeddingLshPairs (hyperplane LSH buckets) or Ops.annIvf (inverted lists) at this scale, " +
+        "or raise maxRows explicitly if an exact quadratic pass is intended")
     // norms are per-vector: compute them once BEFORE the pair join, not
     // per pair (the n² side only pays the dot product)
     val q = emb.select(col(idCol).as("id"),

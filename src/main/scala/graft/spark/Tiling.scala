@@ -190,28 +190,115 @@ object Tiling {
     tiles.groupBy(col(tileCol))
       .agg(udaf(noDataMerge, Encoders.BINARY).apply(col(payloadCol)).as("payload"))
 
+  /** grid-cell world bounds (lonMin, lonMax, latMin, latMax) of (tx, ty)
+    * at `bits`/dim — lat on the half-range trick, clamped to ±90. */
+  private[spark] def cellBounds(tx: Long, ty: Long, bits: Int): (Double, Double, Double, Double) = {
+    val bins = (1L << bits).toDouble
+    (tx / bins * 360 - 180, (tx + 1) / bins * 360 - 180,
+      math.max(ty / bins * 360 - 180, -90.0), math.min((ty + 1) / bins * 360 - 180, 90.0))
+  }
+
+  /**
+   * Pure-JVM bilinear resample of one grayscale `tileSize`×`tileSize`
+   * byte raster (row-major; row 0 = south edge) from the source tile's
+   * world rect into the target tile's pixel grid — the world-to-screen
+   * affine resample of the reference's mosaic builder
+   * (RasterDataAdapter.java:665-733), with deterministic arithmetic
+   * (HALF_UP rounding) instead of a codec-backed GridCoverage op. Target
+   * pixels whose centers fall outside the source rect stay 0 (no-data) so
+   * overlapping source tiles compose via [[noDataMerge]].
+   */
+  def resampleTilePayload(src: Array[Byte], tileSize: Int,
+                          sLonMin: Double, sLonMax: Double, sLatMin: Double, sLatMax: Double,
+                          dLonMin: Double, dLonMax: Double, dLatMin: Double, dLatMax: Double)
+      : Array[Byte] = {
+    val out = new Array[Byte](tileSize * tileSize)
+    val sw = sLonMax - sLonMin
+    val sh = sLatMax - sLatMin
+    if (sw <= 0 || sh <= 0 || src.length < tileSize * tileSize) return out
+    var j = 0
+    while (j < tileSize) {
+      val wy = dLatMin + (j + 0.5) / tileSize * (dLatMax - dLatMin)
+      var i = 0
+      while (i < tileSize) {
+        val wx = dLonMin + (i + 0.5) / tileSize * (dLonMax - dLonMin)
+        if (wx >= sLonMin && wx < sLonMax && wy >= sLatMin && wy < sLatMax) {
+          // source pixel-center coordinates of the target pixel center
+          val u = (wx - sLonMin) / sw * tileSize - 0.5
+          val v = (wy - sLatMin) / sh * tileSize - 0.5
+          val u0 = math.max(0, math.min(tileSize - 1, math.floor(u).toInt))
+          val v0 = math.max(0, math.min(tileSize - 1, math.floor(v).toInt))
+          val u1 = math.min(tileSize - 1, u0 + 1)
+          val v1 = math.min(tileSize - 1, v0 + 1)
+          val fu = math.max(0.0, math.min(1.0, u - u0))
+          val fv = math.max(0.0, math.min(1.0, v - v0))
+          def px(x: Int, y: Int): Double = (src(y * tileSize + x) & 0xff).toDouble
+          val value = px(u0, v0) * (1 - fu) * (1 - fv) + px(u1, v0) * fu * (1 - fv) +
+            px(u0, v1) * (1 - fu) * fv + px(u1, v1) * fu * fv
+          val r = new java.math.BigDecimal(value)
+            .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+          out(j * tileSize + i) = math.max(0, math.min(255, r)).toByte
+        }
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /**
+   * Re-tile a coverage to a new grid level WITH real pixel resampling:
+   * each source tile maps onto the target tiles its bounds cover, every
+   * (source, target) pair bilinearly resamples the overlap region into
+   * target pixel space ([[resampleTilePayload]]), and overlapping
+   * contributions mosaic-merge per target tile (reference:
+   * RasterTileResizeJobRunner.java:38 map→combine→reduce over
+   * RasterDataAdapter's world-to-screen resample). One narrow map over the
+   * tile table plus a single merge aggregation — no driver-side pixels.
+   */
+  def resizeTilesResampled(tiles: DataFrame, bitsOld: Int, bitsNew: Int,
+                           tileSize: Int): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    // EXACT integer grid mapping between levels (cells nest by powers of
+    // two, so float boundary probing — where an edge point belongs to the
+    // lower cell — would leak phantom neighbor pairs): finer → the 2^d
+    // child range, coarser → the single ancestor.
+    val d = bitsNew - bitsOld
+    def span(c: Column): Column =
+      if (d >= 0) sequence(c * (1L << d), (c + 1) * (1L << d) - 1)
+      else sequence(shiftright(c, -d), shiftright(c, -d))
+    val covered = tiles
+      .withColumn("ntx", explode(span(col("tx"))))
+      .withColumn("nty", explode(span(col("ty"))))
+      .withColumn("new_tile", gw_tile_id_xy(col("ntx"), col("nty"), bitsNew))
+      .select(col("tx"), col("ty"), col("ntx"), col("nty"), col("new_tile"), col("payload"))
+      .as[(Long, Long, Long, Long, Long, Array[Byte])]
+    val resampled = covered.map { case (tx, ty, ntx, nty, ntile, p) =>
+      val s = cellBounds(tx, ty, bitsOld)
+      val d = cellBounds(ntx, nty, bitsNew)
+      (ntile, resampleTilePayload(p, tileSize, s._1, s._2, s._3, s._4, d._1, d._2, d._3, d._4))
+    }.toDF("new_tile", "payload")
+    mosaicMerge(resampled, "new_tile", "payload")
+  }
+
   /**
    * Re-tile a coverage to a new grid level: each source tile (tx, ty at
    * `bitsOld`) maps onto the target tiles its bounds cover at `bitsNew`,
    * payloads mosaic-merged per target tile (reference:
-   * RasterTileResizeJobRunner.java:38 map→combine→reduce). The payload
-   * resample itself is the stubbed byte transform (no codecs in this
-   * container); the tile-key algebra and the merge are real.
+   * RasterTileResizeJobRunner.java:38 map→combine→reduce). Key algebra
+   * only — [[resizeTilesResampled]] is the variant with real pixels.
    */
   def resizeTiles(tiles: DataFrame, bitsOld: Int, bitsNew: Int): DataFrame = {
-    val binsOld = (1L << bitsOld).toDouble
-    val envs = tiles
-      .withColumn("lon_min", col("tx").cast("double") / binsOld * 360 - 180)
-      .withColumn("lon_max", ((col("tx") + 1).cast("double") / binsOld * 360 - 180) - lit(1e-9))
-      .withColumn("lat_min", greatest(col("ty").cast("double") / binsOld * 360 - 180, lit(-90.0)))
-      .withColumn("lat_max", least(((col("ty") + 1).cast("double") / binsOld * 360 - 180) - lit(1e-9), lit(90.0)))
-    val x0 = GeoFunctions.gw_tile_x(col("lon_min"), bitsNew)
-    val x1 = GeoFunctions.gw_tile_x(col("lon_max"), bitsNew)
-    val y0 = GeoFunctions.gw_tile_y(col("lat_min"), bitsNew)
-    val y1 = GeoFunctions.gw_tile_y(col("lat_max"), bitsNew)
-    val covered = envs
-      .withColumn("ntx", explode(sequence(x0, x1)))
-      .withColumn("nty", explode(sequence(y0, y1)))
+    // exact integer level mapping (cells nest by powers of two) — float
+    // boundary probing would leak edge tiles into their lower neighbors
+    val d = bitsNew - bitsOld
+    def span(c: Column): Column =
+      if (d >= 0) sequence(c * (1L << d), (c + 1) * (1L << d) - 1)
+      else sequence(shiftright(c, -d), shiftright(c, -d))
+    val covered = tiles
+      .withColumn("ntx", explode(span(col("tx"))))
+      .withColumn("nty", explode(span(col("ty"))))
       .withColumn("new_tile", gw_tile_id_xy(col("ntx"), col("nty"), bitsNew))
     mosaicMerge(covered, "new_tile", "payload")
   }

@@ -104,13 +104,14 @@ case class TileBounds(child: Expression, bits: Int)
  * (reference: AccumuloConstraintsQuery scanner ranges, BaseDataStore.java:240-247)
  */
 case class CellInRanges(child: Expression, starts: Array[Array[Byte]], ends: Array[Array[Byte]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(cell: Any): Any = {
-    val id = cell.asInstanceOf[Array[Byte]]
-    // binary search for the last range whose start <= id
+  /** binary search for the last range whose start <= id, then end check;
+    * also the codegen entry point (static-shaped instance call keeps the
+    * filter stage inside whole-stage codegen). */
+  def contains(id: Array[Byte]): Boolean = {
     var lo = 0
     var hi = starts.length - 1
     var found = -1
@@ -120,6 +121,12 @@ case class CellInRanges(child: Expression, starts: Array[Array[Byte]], ends: Arr
       else hi = mid - 1
     }
     found >= 0 && java.util.Arrays.compareUnsigned(id, ends(found)) <= 0
+  }
+
+  override def nullSafeEval(cell: Any): Any = contains(cell.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellInRanges", this, classOf[CellInRanges].getName)
+    defineCodeGen(ctx, ev, cell => s"$ref.contains($cell)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -131,22 +138,33 @@ case class CellInRanges(child: Expression, starts: Array[Array[Byte]], ends: Arr
  * (reference: core/geotime/.../store/filter/SpatialQueryFilter.java:50-80,284-301).
  */
 case class STCoversPoint(left: Expression, right: Expression, wkb: Array[Byte], contains: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
 
   @transient private lazy val prepared: PreparedGeometry =
     PreparedGeometryFactory.prepare(new WKBReader().read(wkb))
   @transient private lazy val gf = new GeometryFactory()
-  // task-local reusable point (expression instances are per-task)
+  // task-local reusable point (expression instances are deserialized
+  // per task, in interpreted AND codegen mode — the codegen references
+  // array rides inside the task closure)
   @transient private lazy val pt = gf.createPoint(new Coordinate(0, 0))
 
-  override def nullSafeEval(lon: Any, lat: Any): Any = {
+  /** codegen entry point: prepared-geometry test with the task-local
+    * mutable point. */
+  def test(lon: Double, lat: Double): Boolean = {
     val c = pt.getCoordinate
-    c.x = lon.asInstanceOf[Double]
-    c.y = lat.asInstanceOf[Double]
+    c.x = lon
+    c.y = lat
     pt.geometryChanged()
     if (contains) prepared.contains(pt) else prepared.intersects(pt)
+  }
+
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    test(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stCoversPoint", this, classOf[STCoversPoint].getName)
+    defineCodeGen(ctx, ev, (lon, lat) => s"$ref.test($lon, $lat)")
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -305,7 +323,20 @@ object GeoFunctions {
     reg.createOrReplaceTempFunction("gw_tile_bounds",
       es => TileBounds(es.head, intLit(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("gw_time_bin",
-      es => TimeBinId(es.head, graft.index.TimeUnits.Year), "scala_udf")
+      es => {
+        // optional 2nd arg: unit name literal ('YEAR', 'MONTH', ...) —
+        // matching the Scala gw_time_bin(ts, unit) API
+        require(es.length <= 2, s"gw_time_bin takes (ts[, unit]); got ${es.length} args")
+        val unit =
+          if (es.length < 2) graft.index.TimeUnits.Year
+          else {
+            val name = es(1).eval(InternalRow.empty).toString.toLowerCase.capitalize
+            graft.index.TimeUnits.values.find(_.toString == name).getOrElse(
+              throw new IllegalArgumentException(
+                s"gw_time_bin: unknown unit '$name' (expected one of ${graft.index.TimeUnits.values.mkString(", ")})"))
+          }
+        TimeBinId(es.head, unit)
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("st_point_wkb",
       es => STPointWkb(es.head, es(1)), "scala_udf")
   }

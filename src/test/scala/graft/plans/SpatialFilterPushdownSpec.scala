@@ -44,6 +44,41 @@ class SpatialFilterPushdownSpec extends SparkTestBase {
     }
   }
 
+  test("rule must NOT fire on disjunctive or negated geometry predicates") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SpatialFilterPushdown
+    try {
+      val geom = new WKTReader().read("POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0))")
+      val wkb = new WKBWriter(2).write(geom)
+      val store = Ingest.readStore(spark, storeDir)
+      val covers = GeoFunctions.st_covers_point(col("lon"), col("lat"), wkb)
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
+      def localIn(lon: Double, lat: Double): Boolean =
+        geom.intersects(gf.createPoint(new org.locationtech.jts.geom.Coordinate(lon, lat)))
+      val local = store.select("url", "lon", "lat").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+
+      // OR: rows OUTSIDE the geometry's cell ranges that satisfy the other
+      // disjunct must survive (the rule AND-ing ranges would drop them)
+      val orQ = store.where(covers || col("lang") === "zh")
+      val wantOr = local.collect {
+        case (u, lon, lat) if localIn(lon, lat) => u
+      }.toSet ++ store.where(col("lang") === "zh").select("url").collect().map(_.getString(0))
+      assert(orQ.select("url").collect().map(_.getString(0)).toSet == wantOr)
+      assert(!"cell_id#\\d+ >=".r.findFirstIn(orQ.queryExecution.optimizedPlan.toString).isDefined,
+        "range prefilter must not be injected under a disjunction")
+
+      // NOT: exactly the rows outside the geometry must survive
+      val notQ = store.where(!covers)
+      val wantNot = local.collect { case (u, lon, lat) if !localIn(lon, lat) => u }.toSet
+      assert(notQ.select("url").collect().map(_.getString(0)).toSet == wantNot)
+      assert(wantNot.nonEmpty)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SpatialFilterPushdown)
+    }
+  }
+
   test("rule is a no-op without a cell_id column or when already ranged") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ SpatialFilterPushdown

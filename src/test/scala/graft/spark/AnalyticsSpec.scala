@@ -136,7 +136,7 @@ class AnalyticsSpec extends SparkTestBase {
     val convex = Analytics.convexHullPerGroup(grouped, "g").collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap
     val concave = Analytics.convexHullPerGroup(grouped, "g", concaveLengthRatio = 0.3)
-      .collect().map(r => (r.getLong(0), (r.getDouble(2), r.getString(3)))).toMap
+      .collect().map(r => (r.getLong(0), (r.getDouble(2), r.getString(4)))).toMap
     val reader = new org.locationtech.jts.io.WKTReader()
     val gf = new org.locationtech.jts.geom.GeometryFactory()
     val local = pts.limit(500).collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))

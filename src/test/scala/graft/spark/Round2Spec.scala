@@ -1,0 +1,243 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+
+/** Round-2 hardening: distributed KDE CDF, DBSCAN loop hygiene, scale
+  * guards, pole guard, multi-index chooser, codegen'd fine filters,
+  * round-robin prefix, real raster resample. */
+class Round2Spec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- KDE
+
+  test("kdeHeatmap: distributed CDF is bit-identical to global percent_rank") {
+    val pts = Tables.synthPages(spark, 4000).repartition(4)
+    val got = Analytics.kdeHeatmap(pts, bits = 5)
+    // the per-cell rank window must be PARTITIONED by weight (only the
+    // tiny distinct-weight aggregate may sort globally; AQE may still
+    // coalesce this test's small shuffle, so the plan shape is the pin)
+    val plan = got.queryExecution.executedPlan.toString
+    val rankLine = plan.linesIterator.find(_.contains("row_number()")).getOrElse("")
+    assert(rankLine.contains("windowspecdefinition(weight"),
+      s"cell-rank window must partition by weight:\n$rankLine")
+    // brute-force oracle: percent_rank over (weight, tx, ty)
+    val rows = got.collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val ordered = rows.toSeq.map { case ((tx, ty), (w, _)) => (w, tx, ty) }.sorted
+    val n = ordered.size
+    ordered.zipWithIndex.foreach { case ((w, tx, ty), idx) =>
+      val want = if (n == 1) 0.0 else idx.toDouble / (n - 1)
+      assert(rows((tx, ty))._2 == want, s"cell ($tx,$ty) pr mismatch")
+    }
+  }
+
+  // ------------------------------------------------------------- DBSCAN
+
+  test("dbscan: long label-propagation chain (>=10 rounds) stays correct") {
+    // a 25-point chain: min-label propagation advances one hop per round
+    val chain = (0 until 25).map(i => (i.toLong, 0.1 * i, 0.0)).toDF("id", "lon", "lat")
+    val out = Analytics.dbscan(chain, "id", eps = 0.15, minPts = 2).collect()
+    assert(out.length == 25)
+    assert(out.forall(_.getLong(1) == 0L), "single chain must converge to one cluster (min id 0)")
+    assert(out.forall(_.getString(2) == "core"))
+  }
+
+  // ------------------------------------------------------- scale guards
+
+  test("embeddingNearDupPairs guard trips above maxRows") {
+    val emb = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.embeddingNearDupPairs(emb, "vec_id", "embedding", tau = 0.5, maxRows = 2)
+    }
+    assert(e.getMessage.contains("embeddingLshPairs"))
+    // under the limit it still works
+    assert(TextOps.embeddingNearDupPairs(emb, "vec_id", "embedding", tau = 0.5, maxRows = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("annBruteForce guard trips above maxQueries") {
+    val emb = (0L until 5L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ops.annBruteForce(emb, "vec_id", "embedding", queryIds = Seq(0L, 1L, 2L), k = 2,
+        maxQueries = 2)
+    }
+    assert(e.getMessage.contains("annIvf"))
+  }
+
+  test("ngramJaccard df-cap drops hot shingles from candidates only") {
+    // doc 0/1 share a rare shingle; docs 2..9 all share one hot shingle
+    val hot = (2 until 10).map(i => (i.toLong, s"common common common tail$i x y"))
+    val docs = (Seq((0L, "alpha beta gamma delta"), (1L, "alpha beta gamma epsilon")) ++ hot)
+      .toDF("doc_id", "text")
+    val capped = TextOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.1, maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot 'common common common' shingle (df=8) is dropped: docs 2..9
+    // pair only if they share a rarer shingle ('common common tailX' etc are
+    // unique) — so only the rare-shingle pair (0,1) survives
+    assert(capped == Set((0L, 1L)))
+    val uncapped = TextOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((0L, 1L)) && uncapped.size > 1)
+  }
+
+  // ------------------------------------------------------------ knnRing
+
+  test("knnRing: empty query set returns an empty frame, not null") {
+    val pts = Tables.synthPages(spark, 200)
+      .select(col("doc_id").as("id"), col("lon"), col("lat"))
+    val out = SpatialJoin.knnRing(pts, "id", pts.where(lit(false)), "id", k = 3)
+    assert(out != null && out.count() == 0)
+    assert(out.columns.toSeq == Seq("q_id", "id", "rn"))
+  }
+
+  test("distanceJoinMeters excludes near-pole rows outside the latitude band") {
+    val pts = Seq(
+      (0L, 10.0, 89.0), (1L, 10.001, 89.0), // near-pole pair, outside band
+      (2L, 20.0, 0.0), (3L, 20.5, 0.0), // equatorial pair ~55 km apart
+      (4L, 120.0, 40.0) // isolated
+    ).toDF("id", "lon", "lat")
+    val got = Ops.distanceJoinMeters(pts, "id", dMeters = 100000.0, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 3L)))
+  }
+
+  // -------------------------------------------------------- multi-index
+
+  test("multi-index chooser: ST index for timed queries, spatial otherwise; results exact") {
+    val events = spark.range(3000)
+      .select(col("id").as("event_id"),
+        (((col("id") * col("id") * 3 + col("id") * 7919) % 36000L) / 100.0 - 180.0).as("lon"),
+        (((col("id") * col("id") * 7 + col("id") * 104729) % 17000L) / 100.0 - 85.0).as("lat"),
+        timestamp_seconds(lit(1704067200L) + pmod(col("id") * 86543L, lit(360L * 86400L))).as("ts"))
+    val store = MultiIndex.encode(events).cache()
+    val t0 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-10 00:00:00")
+    val (name, res) = MultiIndex.queryBest(store, -60, 60, -40, 40, Some(t0), Some(t1))
+    assert(name == "spatial_temporal", "a narrow time slice must route to the ST index")
+    val want = events.where(col("lon").between(-60, 60) && col("lat").between(-40, 40) &&
+        col("ts") >= lit(t0) && col("ts") <= lit(t1))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(res.select("event_id").collect().map(_.getLong(0)).toSet == want && want.nonEmpty)
+    val (name2, res2) = MultiIndex.queryBest(store, -60, 60, -40, 40)
+    assert(name2 == "spatial")
+    val want2 = events.where(col("lon").between(-60, 60) && col("lat").between(-40, 40))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(res2.select("event_id").collect().map(_.getLong(0)).toSet == want2)
+    store.unpersist()
+  }
+
+  // ---------------------------------------------------------- SQL surface
+
+  test("gw_time_bin SQL accepts a unit argument and rejects unknown units") {
+    GeoFunctions.register(spark)
+    spark.range(3)
+      .select(timestamp_seconds(lit(1700000000L) + col("id") * 3000000L).as("ts"))
+      .createOrReplaceTempView("r2_ts")
+    val got = spark.sql("SELECT gw_time_bin(ts, 'MONTH') AS m, gw_time_bin(ts) AS y FROM r2_ts")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val want = spark.table("r2_ts")
+      .select(GeoFunctions.gw_time_bin(col("ts"), graft.index.TimeUnits.Month),
+        GeoFunctions.gw_time_bin(col("ts")))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == want.toSeq)
+    val e = intercept[Exception] {
+      spark.sql("SELECT gw_time_bin(ts, 'FORTNIGHT') FROM r2_ts").collect()
+    }
+    assert(e.getMessage.contains("FORTNIGHT") || e.getMessage.contains("Fortnight"))
+  }
+
+  // -------------------------------------------------------------- codegen
+
+  test("hot fine filters run inside WholeStageCodegen") {
+    val geom = new org.locationtech.jts.io.WKTReader()
+      .read("POLYGON ((0 0, 40 0, 20 30, 0 0))")
+    val pts = Tables.synthPages(spark, 500)
+    val q = Ops.spatialGeometryQuery(
+      pts.withColumn("cell_id", GeoFunctions.gw_cell_id(col("lon"), col("lat"))), geom)
+    val plan = q.queryExecution.executedPlan.toString
+    val filterLines = plan.linesIterator.filter(_.contains("Filter")).toSeq
+    val coversLine = filterLines.find(_.toLowerCase.contains("stcoverspoint"))
+    assert(coversLine.isDefined, s"expected stcoverspoint filter:\n${filterLines.mkString("\n")}")
+    assert("""\*\(\d+\)""".r.findFirstIn(coversLine.get).isDefined,
+      s"stcoverspoint filter must be inside a WholeStageCodegen stage:\n${coversLine.get}")
+    // sanity: codegen result equals interpreted expectation
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val want = pts.select("doc_id", "lon", "lat").collect().collect {
+      case r if geom.intersects(gf.createPoint(
+        new org.locationtech.jts.geom.Coordinate(r.getDouble(1), r.getDouble(2)))) => r.getLong(0)
+    }.toSet
+    assert(q.select("doc_id").collect().map(_.getLong(0)).toSet == want)
+  }
+
+  test("CellInRanges filter is codegen'd") {
+    // > OrChainLimit ranges forces the binary-search expression
+    val ranges = (0 until 40).map { i =>
+      (Array(31.toByte, (i * 6).toByte), Array(31.toByte, (i * 6 + 2).toByte))
+    }
+    val df = Tables.synthPages(spark, 100)
+      .withColumn("cell_id", GeoFunctions.gw_cell_id(col("lon"), col("lat")))
+      .where(GeoFunctions.gw_cell_in_ranges(col("cell_id"),
+        ranges.map(_._1).toArray, ranges.map(_._2).toArray))
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.toLowerCase.contains("cellinranges"))
+    assert(line.isDefined && """\*\(\d+\)""".r.findFirstIn(line.get).isDefined,
+      s"cellinranges must be codegen'd:\n${line.getOrElse(plan.take(800))}")
+    df.count() // and it must execute
+  }
+
+  // ------------------------------------------------------- round-robin
+
+  test("roundRobinSalt cycles evenly within every partition") {
+    val n = 8
+    val counts = spark.range(1000)
+      .withColumn("salt", Ingest.roundRobinSalt(n))
+      .groupBy("salt").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(counts.keySet == (0 until n).toSet)
+    assert(counts.values.max - counts.values.min <= spark.sparkContext.defaultParallelism,
+      s"round-robin must balance within one row per partition: $counts")
+  }
+
+  // ---------------------------------------------------- raster resample
+
+  test("resampleTilePayload: bilinear world-to-screen resample (hand-computed golden)") {
+    val tileSize = 4
+    // column gradient: pixel value = 20 * column, independent of row
+    val src = Array.tabulate(tileSize * tileSize)(k => (k % 4 * 20).toByte)
+    // source tile (2,2) at bits=2 covers lon [0,90), lat [0,90);
+    // target tile (4,4) at bits=3 covers its west-south quadrant
+    val out = Tiling.resampleTilePayload(src, tileSize, 0, 90, 0, 90, 0, 45, 0, 45)
+    // u(i) = 0.5 i − 0.25 → interpolated values 0, 5, 15, 25 in every row
+    for (j <- 0 until 4; i <- 0 until 4)
+      assert((out(j * 4 + i) & 0xff) == Seq(0, 5, 15, 25)(i), s"pixel ($i,$j)")
+    // constant payload is resample-invariant wherever covered
+    val const = Tiling.resampleTilePayload(Array.fill(16)(100.toByte), tileSize,
+      0, 90, 0, 90, 0, 45, 0, 45)
+    assert(const.forall(b => (b & 0xff) == 100))
+    // target pixels outside the source rect stay 0 (no-data)
+    val disjoint = Tiling.resampleTilePayload(src, tileSize, 0, 90, 0, 90, -90, -45, 0, 45)
+    assert(disjoint.forall(_ == 0))
+  }
+
+  test("resizeTilesResampled: downscale merges the four children into quadrants") {
+    val tileSize = 4
+    // four source tiles at bits=3 covering the bits=2 tile (2,2)'s quadrants,
+    // each with a distinct constant payload
+    val tiles = Seq(
+      (4L, 4L, Array.fill(16)(10.toByte)), // west-south
+      (5L, 4L, Array.fill(16)(20.toByte)), // east-south
+      (4L, 5L, Array.fill(16)(30.toByte)), // west-north
+      (5L, 5L, Array.fill(16)(40.toByte))  // east-north
+    ).toDF("tx", "ty", "payload")
+    val out = Tiling.resizeTilesResampled(tiles, bitsOld = 3, bitsNew = 2, tileSize = tileSize)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == graft.spark.GeoCodec.curve2d(2).index(Array(2L, 2L)))
+    val p = out(0).getAs[Array[Byte]](1)
+    // row 0..1 south (10 | 20), row 2..3 north (30 | 40); col 0..1 west
+    for (j <- 0 until 4; i <- 0 until 4) {
+      val want = (if (j < 2) 10 else 30) + (if (i < 2) 0 else 10)
+      assert((p(j * 4 + i) & 0xff) == want, s"pixel ($i,$j): got ${p(j * 4 + i) & 0xff}")
+    }
+  }
+}
