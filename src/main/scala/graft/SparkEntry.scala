@@ -269,6 +269,14 @@ object SparkEntry {
         maxBroadcast = 0, bits = 6)
         .select(col("doc_id"), col("region_id"))
     }),
+    "q49_secondary_index" -> ((s, dir) => {
+      // stored secondary numeric index: lexicoded-value byte-range scan on
+      // the index table, primary-key join back — exact vs a plain BETWEEN
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val idx = graft.spark.SecondaryIndex.build(orders, "o_orderkey", "o_totalprice")
+      graft.spark.SecondaryIndex.queryRange(orders, idx, "o_orderkey", 50000.0, 100000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
     "q48_multi_index" -> ((s, dir) => {
       // multi-index store (spatial + spatial-temporal keys) queried through
       // the best-match chooser; same semantics and oracle as q03
@@ -699,6 +707,9 @@ object SparkEntry {
          |JOIN (VALUES ${Tables.regionBoxesSqlValues(40)}) r(region_id, lon_min, lon_max, lat_min, lat_max)
          |  ON p.lon >= r.lon_min AND p.lon <= r.lon_max
          | AND p.lat >= r.lat_min AND p.lat <= r.lat_max""".stripMargin,
+    "q49_secondary_index" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0""".stripMargin,
     "q48_multi_index" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev

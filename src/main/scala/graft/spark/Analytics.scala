@@ -395,17 +395,19 @@ object Analytics {
         (coalesce(col("w_a"), lit(0L)) - coalesce(col("w_b"), lit(0L))).as("diff"))
   }
 
-  /** convex (or concave, lengthRatio<1) hull WKT per group: groupBy →
-    * collect coordinates → JTS hull (ConvexHullMapReduce semantics; the
-    * concave variant mirrors GeometryHullTool's Park&Oh concave hull,
-    * analytics/api/.../GeometryHullTool.java:37, via JTS ConcaveHull).
+  /** convex (or concave, threshold>0) hull WKT per group: groupBy →
+    * collect coordinates → hull (ConvexHullMapReduce semantics; the
+    * concave variant is the reference's Park & Oh edge-digging algorithm,
+    * analytics/api/.../GeometryHullTool.java:268-379, reimplemented in
+    * [[Hulls.concaveHullParkOh]] — `concaveThreshold` is the paper's N,
+    * reference default 1.8; 0 selects the convex hull).
     *
     * `area_x2_c2` is twice the hull area in centi-degree² units, computed
     * by an exact integer shoelace over the ring vertices (inputs lie on
     * the 0.01° grid, so `round(coord*100)` is lossless) — the
     * oracle-comparable twin of the double `area`. */
   def convexHullPerGroup(df: DataFrame, groupCol: String,
-                         concaveLengthRatio: Double = 1.0): DataFrame = {
+                         concaveThreshold: Double = 0.0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(groupCol).cast("long").as("g"), col("lon"), col("lat"))
@@ -415,11 +417,10 @@ object Analytics {
         val gf = new org.locationtech.jts.geom.GeometryFactory()
         val coords = it.map(t => new org.locationtech.jts.geom.Coordinate(t._2, t._3)).toArray
         val hull =
-          if (concaveLengthRatio >= 1.0)
+          if (concaveThreshold <= 0.0)
             new org.locationtech.jts.algorithm.ConvexHull(coords, gf).getConvexHull
           else
-            org.locationtech.jts.algorithm.hull.ConcaveHull.concaveHullByLengthRatio(
-              gf.createMultiPointFromCoords(coords), concaveLengthRatio)
+            Hulls.concaveHullParkOh(coords, gf, concaveThreshold)
         // exact integer shoelace in centi-degrees over the ring (abs:
         // JTS ring orientation is CW, the oracle's edge walk is CCW)
         val ring =

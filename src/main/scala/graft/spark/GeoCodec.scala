@@ -100,6 +100,39 @@ object GeoCodec {
     acc
   }
 
+  /** deterministic random-hyperplane signature over a quantized embedding:
+    * plane j weight at dim i is ((j·1000003 + (i+1)·7919) mod 2001) − 1000;
+    * bit j set when the dot is >= 0. Static inner loop called from
+    * generated code — replaces a bits×dims tree of column expressions
+    * (the q20 hot path). Weight table cached per (dims, bits). */
+  private val hyperplaneWeights =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
+  def hyperplaneSig(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                    dims: Int, bits: Int): Long = {
+    val w = hyperplaneWeights.computeIfAbsent((dims, bits), { k =>
+      val (d, b) = k
+      val arr = new Array[Long](b * d)
+      var j = 0
+      while (j < b) {
+        var i = 0
+        while (i < d) { arr(j * d + i) = (j * 1000003L + (i + 1) * 7919L) % 2001L - 1000L; i += 1 }
+        j += 1
+      }
+      arr
+    })
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0L
+      var i = 0
+      val off = j * dims
+      while (i < dims) { dot += v.getLong(i) * w(off + i); i += 1 }
+      if (dot >= 0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+
   /** Year-bin epochs cached; GMT calendar-year semantics
     * (reference: TemporalBinningStrategy.java:126-171, YEAR unit). */
   private val yearEpochs = new java.util.concurrent.ConcurrentHashMap[Integer, Long]()

@@ -71,6 +71,13 @@ object Ingest {
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(cfg.numBuckets)).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("url"), lit(1)), lit(cfg.saltCount)).cast("int"))
       .withColumn("cell_id", gw_cell_id(col("lon"), col("lat")))
+      // the store's ACTUAL row key: one concatenated byte key, salt byte ‖
+      // tiered cell id — CompoundIndexStrategy's composed key (reference
+      // core/index/.../CompoundIndexStrategy.java composeByteArrays; the
+      // salt byte is the HashKeyIndexStrategy partition prefix). Unsigned
+      // byte order of row_key == (salt, cell_id) tuple order because the
+      // prefix is fixed-width.
+      .withColumn("row_key", compoundKey(col("salt"), col("cell_id")))
     val written = Seq.newBuilder[BucketLineage]
     todo.grouped(cfg.batchSize).zipWithIndex.foreach { case (batch, bi) =>
       if (bi >= cfg.failAfterBatches)
@@ -92,10 +99,14 @@ object Ingest {
       // the observation sits ABOVE the range exchange: RangePartitioner
       // samples its child in a separate pass, which would double-count
       // metrics attached below it
+      // bucket leads the within-partition sort so the dynamic-partition
+      // writer's required ordering (partition columns first) is already
+      // satisfied — otherwise it inserts its own non-stable sort by bucket
+      // and the row_key runs inside each file are destroyed
       slice
-        .repartitionByRange(cfg.targetPartitions, col("salt"), col("cell_id"))
+        .repartitionByRange(cfg.targetPartitions, col("row_key"))
         .observe(obs, metricAggs.head, metricAggs.tail: _*)
-        .sortWithinPartitions(col("salt"), col("cell_id"))
+        .sortWithinPartitions(col("bucket"), col("row_key"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // only this batch's buckets
         .partitionBy("bucket")
@@ -128,6 +139,12 @@ object Ingest {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, lineagePath(outDir, lin.bucket), StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** single concatenated row key: 1 salt byte ‖ cell_id (salt < 256;
+    * hex/unhex because ANSI mode rejects a direct int→binary cast). */
+  def compoundKey(salt: org.apache.spark.sql.Column,
+                  cellId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(unhex(lpad(hex(salt), 2, "0")), cellId)
 
   /** rotating per-writer partition prefix — the reference's
     * RoundRobinKeyIndexStrategy (core/index/.../simple/

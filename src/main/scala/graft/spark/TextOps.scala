@@ -198,15 +198,13 @@ object TextOps {
   }
 
   /** deterministic random-hyperplane signature (`bits` sign bits): plane j
-    * weight at dim i is ((j*1000003 + (i+1)*7919) mod 2001) - 1000. */
+    * weight at dim i is ((j*1000003 + (i+1)*7919) mod 2001) - 1000. One
+    * codegen'd static-call expression (GeoCodec.hyperplaneSig) instead of a
+    * bits×dims column-expression tree — same values, ~none of the eval
+    * overhead. */
   def hyperplaneSig(v: Column, dims: Int, bits: Int): Column = {
-    val planes = (0 until bits).map { j =>
-      val dot = (0 until dims).map { i =>
-        element_at(v, i + 1) * lit((j * 1000003L + (i + 1) * 7919L) % 2001L - 1000L)
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    planes.reduce(_ + _)
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(HyperplaneSig(expression(v), dims, bits))
   }
 
   /**

@@ -264,6 +264,20 @@ case class DotLongArrays(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** deterministic random-hyperplane LSH signature of an array<bigint>
+  * embedding (codegen'd static call — the q20 bucket-key hot loop). */
+case class HyperplaneSig(child: Expression, dims: Int, bits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GeoCodec.hyperplaneSig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      dims, bits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.spark.GeoCodec.hyperplaneSig($v, $dims, $bits)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column wrappers. */
 object GeoFunctions {
   import org.apache.spark.sql.GraftBridge.{column, expression}

@@ -135,7 +135,8 @@ class AnalyticsSpec extends SparkTestBase {
     val grouped = pts.limit(500).withColumn("g", col("id") % 2)
     val convex = Analytics.convexHullPerGroup(grouped, "g").collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toMap
-    val concave = Analytics.convexHullPerGroup(grouped, "g", concaveLengthRatio = 0.3)
+    val concave = Analytics.convexHullPerGroup(grouped, "g",
+        concaveThreshold = graft.spark.Hulls.DefaultConcaveThreshold)
       .collect().map(r => (r.getLong(0), (r.getDouble(2), r.getString(4)))).toMap
     val reader = new org.locationtech.jts.io.WKTReader()
     val gf = new org.locationtech.jts.geom.GeometryFactory()

@@ -198,6 +198,67 @@ class Round2Spec extends SparkTestBase {
       s"round-robin must balance within one row per partition: $counts")
   }
 
+  // --------------------------------------- compound key & secondary index
+
+  test("store row_key is one concatenated byte key; files sorted by it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rowkey").toString
+    Ingest.run(spark, Tables.synthPages(spark, 2000), dir,
+      Ingest.Config(numBuckets = 2, batchSize = 2, saltCount = 8, targetPartitions = 4))
+    val store = Ingest.readStore(spark, dir)
+    val rows = store.select("salt", "cell_id", "row_key").collect()
+    for (r <- rows) {
+      val key = r.getAs[Array[Byte]](2)
+      assert(key(0) == r.getInt(0).toByte, "first byte must be the salt")
+      assert(key.drop(1).sameElements(r.getAs[Array[Byte]](1)), "tail must be the cell id")
+    }
+    // every parquet file holds a sorted run of row_key
+    import spark.implicits._
+    val unsortedFiles = store.select(input_file_name().as("f"), col("row_key"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (f, it) =>
+        val keys = it.map(_._2).toArray
+        val sorted = keys.sliding(2).forall {
+          case Array(a, b) => java.util.Arrays.compareUnsigned(a, b) <= 0
+          case _ => true
+        }
+        (f, sorted)
+      }.collect()
+    assert(unsortedFiles.forall(_._2), s"unsorted run in ${unsortedFiles.filterNot(_._2)}")
+  }
+
+  test("secondary numeric index: byte-range scan equals a value BETWEEN") {
+    val df = spark.range(5000)
+      .select(col("id"), ((col("id") * 7919 % 1000) - 500).cast("double").as("v"))
+    val idx = SecondaryIndex.build(df, "id", "v")
+    val got = SecondaryIndex.queryRange(df, idx, "id", -123.0, 245.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = df.where(col("v") >= -123.0 && col("v") <= 245.0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == want && want.nonEmpty)
+    // lexicode is order-preserving including negatives (round-trip spot)
+    for (v <- Seq(-1e9, -0.5, -0.0, 0.0, 0.5, 1e9))
+      assert(graft.index.Lexicoders.decodeDouble(graft.index.Lexicoders.encodeDouble(v)) == v)
+  }
+
+  // --------------------------------------------------- Park & Oh hull
+
+  test("concaveHullParkOh digs a qualifying inner point into the hull") {
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    def c(x: Double, y: Double) = new org.locationtech.jts.geom.Coordinate(x, y)
+    // square + inner point near the bottom edge: decision distance 1,
+    // edge/min-side = 10/sqrt(26) ≈ 1.96 > N=1.8 → dig; area 100 → 95
+    val coords = Array(c(0, 0), c(10, 0), c(10, 10), c(0, 10), c(5, 1))
+    val hull = Hulls.concaveHullParkOh(coords, gf, 1.8)
+    assert(hull.getCoordinates.exists(p => p.x == 5 && p.y == 1), "inner point must become a vertex")
+    assert(math.abs(hull.getArea - 95.0) < 1e-9, s"area ${hull.getArea}")
+    // a farther point (ratio below N) must NOT be dug
+    val hull2 = Hulls.concaveHullParkOh(Array(c(0, 0), c(10, 0), c(10, 10), c(0, 10), c(5, 4)), gf, 1.8)
+    assert(math.abs(hull2.getArea - 100.0) < 1e-9)
+    // invariant: every input point on or inside the hull
+    for (p <- coords) assert(hull.covers(gf.createPoint(p)), s"$p outside")
+  }
+
   // ---------------------------------------------------- raster resample
 
   test("resampleTilePayload: bilinear world-to-screen resample (hand-computed golden)") {
