@@ -70,11 +70,13 @@ object TextOps {
             col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
           .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
           .distinct()
-        // exact intersection over the FULL shingle sets, candidates only
+        // exact intersection over the FULL shingle sets, candidates only.
+        // `shingle` is part of the SECOND join's equi-key: per pair the
+        // intermediate is the matching shingles only, never the
+        // size_a × size_b cross product a join-then-filter would build
         cand
-          .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("shingle", "s_a"), "a_id")
-          .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("shingle", "s_b"), "b_id")
-          .where(col("s_a") === col("s_b"))
+          .join(sh.withColumnRenamed("id", "a_id"), "a_id")
+          .join(sh.withColumnRenamed("id", "b_id"), Seq("b_id", "shingle"))
           .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
       }
     pairs
@@ -140,13 +142,13 @@ object TextOps {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
-    // exact verification on candidates only
+    // exact verification on candidates only (shingle inside the equi-key —
+    // see ngramJaccardPairs: join-then-filter would cross size_a × size_b)
     val sh = shingles(docs, idCol, textCol, n).cache()
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
-      .join(sh.withColumnRenamed("id", "a_id").withColumnRenamed("shingle", "s_a"), "a_id")
-      .join(sh.withColumnRenamed("id", "b_id").withColumnRenamed("shingle", "s_b"), "b_id")
-      .where(col("s_a") === col("s_b"))
+      .join(sh.withColumnRenamed("id", "a_id"), "a_id")
+      .join(sh.withColumnRenamed("id", "b_id"), Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "size_a"), "a_id")

@@ -185,6 +185,41 @@ object Tiling {
       override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
     }
 
+  /**
+   * Per-tile pixel statistics over grayscale byte payloads — the raster
+   * statistics family (reference: RasterBoundingBoxStatistics,
+   * HistogramStatistics band histograms, extensions/adapters/raster/.../
+   * stats/): per tile (n_pixels, n_nodata, min, max, sum, 16-bin
+   * histogram), 0 = no-data excluded from min/max/sum. One narrow map —
+   * no shuffle; roll up globally with a follow-on agg over the columns
+   * (all sums/counts, so partial aggregation composes).
+   */
+  def rasterStats(tiles: DataFrame, tileCol: String, payloadCol: String): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select(col(tileCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .map { case (tile, p) =>
+        var n0 = 0L; var mn = 256; var mx = -1; var sum = 0L
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < p.length) {
+          val v = p(i) & 0xff
+          if (v == 0) n0 += 1
+          else {
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            sum += v
+            hist(v >> 4) += 1
+          }
+          i += 1
+        }
+        (tile, p.length.toLong, n0,
+          if (mx < 0) 0 else mn, if (mx < 0) 0 else mx, sum, hist.toSeq)
+      }
+      .toDF(tileCol, "n_pixels", "n_nodata", "px_min", "px_max", "px_sum", "histogram")
+  }
+
   /** group tiles by id and mosaic-merge payloads. */
   def mosaicMerge(tiles: DataFrame, tileCol: String, payloadCol: String): DataFrame =
     tiles.groupBy(col(tileCol))

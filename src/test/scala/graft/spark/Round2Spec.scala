@@ -280,6 +280,23 @@ class Round2Spec extends SparkTestBase {
     assert(disjoint.forall(_ == 0))
   }
 
+  test("rasterStats: per-tile pixel stats with no-data exclusion") {
+    val tiles = Seq(
+      (1L, Array[Byte](0, 10, 20, 30)),      // one no-data pixel
+      (2L, Array[Byte](0, 0, 0, 0)),         // all no-data
+      (3L, Array[Byte](255.toByte, 16, 15, 1))
+    ).toDF("tile", "payload")
+    val got = Tiling.rasterStats(tiles, "tile", "payload").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getLong(5),
+        r.getSeq[Long](6)))).toMap
+    // 10 → bin 0; 20 and 30 → bin 1
+    assert(got(1L) == ((4L, 1L, 10, 30, 60L, Seq(1L, 2L, 0L) ++ Seq.fill(13)(0L))))
+    assert(got(2L) == ((4L, 4L, 0, 0, 0L, Seq.fill(16)(0L))))
+    val (n, n0, mn, mx, s, h) = got(3L)
+    assert((n, n0, mn, mx, s) == ((4L, 0L, 1, 255, 287L)))
+    assert(h(15) == 1 && h(1) == 1 && h(0) == 2)
+  }
+
   test("resizeTilesResampled: downscale merges the four children into quadrants") {
     val tileSize = 4
     // four source tiles at bits=3 covering the bits=2 tile (2,2)'s quadrants,
