@@ -269,6 +269,18 @@ object SparkEntry {
         maxBroadcast = 0, bits = 6)
         .select(col("doc_id"), col("region_id"))
     }),
+    "q50_sessionize" -> ((s, dir) => {
+      Ops.sessionize(s.read.parquet(s"$dir/events.parquet"),
+        "user_id", "event_id", "ts", gapMicros = 1800L * 1000000)
+    }),
+    "q51_neardup_clusters" -> ((s, dir) => {
+      // LSH pairs → connected components → keeper pick, the full dedup
+      // collapse over the q17 candidate/verify ladder
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.spark.TextOps.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, tau = 0.5, maxBucket = 10)
+      graft.spark.TextOps.nearDupClusters(docs, "doc_id", pairs)
+    }),
     "q49_secondary_index" -> ((s, dir) => {
       // stored secondary numeric index: lexicoded-value byte-range scan on
       // the index table, primary-key join back — exact vs a plain BETWEEN
@@ -308,7 +320,9 @@ object SparkEntry {
       |FROM pairs p JOIN sizes sa ON sa.doc_id = p.a_id JOIN sizes sb ON sb.doc_id = p.b_id
       |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5""".stripMargin
 
-  private val minhashSql: String = {
+  /** shared CTE chain of the MinHash+LSH pipeline (hot-bucket cap
+    * mirrored from minhashLshPairs(maxBucket = 10)). */
+  private val minhashCtes: String = {
     val sigCols = (0 until 16)
       .map(j => s"min((${2 * j + 1} * h + ${12345L * j + 1}) % 2147483647) AS sig$j").mkString(", ")
     val bands = (0 until 4).map { b =>
@@ -316,8 +330,7 @@ object SparkEntry {
         .reduce((acc, s2) => s"(($acc) * 786433 + $s2) % 2147483647")
       s"SELECT id, $b AS band, $bucket AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    // hot-bucket cap mirrored from minhashLshPairs(maxBucket = 10)
-    s"""WITH $shCte,
+    s"""$shCte,
        |shh AS (SELECT doc_id, ${duckHash("shingle")} AS h FROM sh),
        |sig AS (SELECT doc_id AS id, $sigCols FROM shh GROUP BY doc_id),
        |buckets0 AS ($bands),
@@ -329,9 +342,10 @@ object SparkEntry {
        |          JOIN sh sa ON sa.doc_id = c.a_id
        |          JOIN sh sb ON sb.doc_id = c.b_id AND sa.shingle = sb.shingle
        |          GROUP BY 1, 2),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)
-       |$jaccardTail""".stripMargin
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
   }
+
+  private val minhashSql: String = s"WITH $minhashCtes\n$jaccardTail"
 
   private val quantCte =
     "quant AS (SELECT vec_id, [CAST(ROUND(x * 1000) AS BIGINT) FOR x IN embedding] AS v FROM embeddings)"
@@ -710,6 +724,31 @@ object SparkEntry {
     "q49_secondary_index" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0""".stripMargin,
+    "q50_sessionize" ->
+      """WITH w AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id FROM w)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    "q51_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |dup AS (SELECT a_id, b_id FROM ($jaccardTail)),
+         |e AS (SELECT a_id AS src, b_id AS dst FROM dup
+         |      UNION ALL SELECT b_id, a_id FROM dup
+         |      UNION ALL SELECT doc_id, doc_id FROM documents),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM e
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+         |SELECT src AS id, MIN(dst) AS cluster, (MIN(dst) = src) AS is_keeper
+         |FROM reach GROUP BY 1""".stripMargin,
     "q48_multi_index" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev

@@ -91,23 +91,11 @@ object Analytics {
       .join(core.withColumnRenamed("id", "b_id"), "b_id")
       .select("a_id", "b_id")
       .cache()
-    // loop hygiene: localCheckpoint each generation (eager) — truncates the
-    // plan lineage (otherwise it grows with every propagation round) and
-    // lets the previous generation's blocks be reclaimed; long
-    // label-propagation chains stay O(1) in plan size and executor memory.
-    var labels = core.withColumn("lbl", col("id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val next = coreEdges
-        .join(labels.withColumnRenamed("id", "b_id").withColumnRenamed("lbl", "b_lbl"), "b_id")
-        .groupBy(col("a_id").as("id"))
-        .agg(min(col("b_lbl")).as("next_lbl"))
-      val merged = labels.join(next, Seq("id"))
-        .select(col("id"), col("lbl"), least(col("lbl"), col("next_lbl")).as("new_lbl"))
-        .localCheckpoint()
-      changed = merged.where(col("new_lbl") =!= col("lbl")).count()
-      labels = merged.select(col("id"), col("new_lbl").as("lbl"))
-    }
+    // min-label propagation (checkpointed rounds — see Graphs) over the
+    // core-core edges; self-loops are present, so the shared helper's
+    // inner join loses no core node
+    val labels = Graphs.minLabelComponents(
+      coreEdges.select(col("a_id").as("src"), col("b_id").as("dst")))
     coreEdges.unpersist() // only the propagation loop reads core-core edges
     val coreOut = labels.select(col("id"), col("lbl").as("cluster"), lit("core").as("role"))
     // border: non-core with >= 1 core neighbor → lowest core cluster

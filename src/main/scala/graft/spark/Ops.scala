@@ -388,6 +388,31 @@ object Ops {
       .select(col(idCol), col("tx"), col("ty"))
   }
 
+  /**
+   * Gap-based sessionization: per-entity event runs split where the gap
+   * to the previous event exceeds `gapMicros` — pure window arithmetic
+   * (lag → new-session flag → running sum), so the only shuffle is the
+   * per-entity partition and Catalyst keeps the three window functions in
+   * one Window node. Output: (user, session_id, n_events, start_ts,
+   * end_ts). Tie-break inside a user is (ts, id) so results are total-
+   * order deterministic.
+   */
+  def sessionize(events: DataFrame, userCol: String, idCol: String, tsCol: String,
+                 gapMicros: Long): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    // NTZ timestamps need the intermediate cast (session TZ is UTC)
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val prev = lag(us, 1).over(byUser)
+    events
+      .withColumn("new_sess",
+        when(prev.isNull || us - prev > gapMicros, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"))
+  }
+
   /** rows per tile at `bits` — the row-range histogram that drives split
     * sizing (RowRangeHistogramStatistics / SplitsProvider). */
   def rangeHistogram(pts: DataFrame, bits: Int): DataFrame =

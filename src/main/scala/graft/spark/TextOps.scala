@@ -230,6 +230,24 @@ object TextOps {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"), col("a.bucket").as("bucket"), col("cos"))
   }
 
+  /**
+   * Collapse near-dup pairs into DUPLICATE CLUSTERS and pick keepers —
+   * the step after candidate verification in every dedup pipeline:
+   * connected components over the pair graph (min-label propagation,
+   * [[Graphs.minLabelComponents]]), cluster id = min doc id, keeper =
+   * the doc equal to its cluster id. `ids` supplies the full corpus so
+   * unpaired docs come out as their own (kept) singleton cluster.
+   * Output: (id, cluster, is_keeper).
+   */
+  def nearDupClusters(ids: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val rev = pairs.select(col("b_id").as("src"), col("a_id").as("dst"))
+    val self = ids.select(col(idCol).as("src"), col(idCol).as("dst"))
+    Graphs.minLabelComponents(fwd.unionByName(rev).unionByName(self))
+      .select(col("id"), col("lbl").as("cluster"),
+        (col("lbl") === col("id")).as("is_keeper"))
+  }
+
   /** marker words per language for the n-gram-heuristic language id. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),

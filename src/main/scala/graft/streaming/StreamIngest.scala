@@ -64,6 +64,19 @@ object StreamIngest {
       }
   }
 
+  /** streaming exact dedup — the streaming twin of Ops.exactDedup: rows
+    * whose content hash was already seen within the watermark horizon are
+    * dropped. `dropDuplicatesWithinWatermark` evicts state older than the
+    * watermark, so state size is bounded by the dedup horizon, not the
+    * stream length — the property that makes ingest-time dedup viable on
+    * an unbounded crawl feed. */
+  def dedupedStream(stream: DataFrame, tsCol: String, textCol: String,
+                    watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("text_md5", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** watermarked tumbling-window per-tile counts (event-time semantics the
     * reference's temporal binning approximates at the index layer). */
   def windowedTileCounts(stream: DataFrame, tsCol: String, bits: Int,

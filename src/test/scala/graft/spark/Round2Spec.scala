@@ -198,6 +198,48 @@ class Round2Spec extends SparkTestBase {
       s"round-robin must balance within one row per partition: $counts")
   }
 
+  // ------------------------------------- sessions, clusters, stream dedup
+
+  test("sessionize: gap rule against a hand-built timeline") {
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    val ev = Seq(
+      (0L, 1L, ts(0)), (1L, 1L, ts(10)), (2L, 1L, ts(50)),   // user 1: gap at 40min
+      (3L, 2L, ts(0)), (4L, 2L, ts(29)), (5L, 2L, ts(58))    // user 2: all within 29min gaps
+    ).toDF("event_id", "user_id", "ts")
+    val got = Ops.sessionize(ev, "user_id", "event_id", "ts", gapMicros = 30L * 60 * 1000000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 3L))
+  }
+
+  test("nearDupClusters: components and keepers over a pair graph") {
+    val ids = (0L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 3L), (3L, 5L), (2L, 6L)).toDF("a_id", "b_id")
+    val got = TextOps.nearDupClusters(ids, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (0L, 0L, true), (1L, 1L, true), (3L, 1L, false), (5L, 1L, false),
+      (2L, 2L, true), (6L, 2L, false), (4L, 4L, true)))
+  }
+
+  test("streaming dedup drops repeated content within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = graft.streaming.StreamIngest.dedupedStream(
+      in.toDF().toDF("ts", "text"), "ts", "text", watermarkDelay = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("r2_dedup")
+      .outputMode("append").start()
+    def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    in.addData((t(0), "aa"), (t(1), "bb"), (t(2), "aa"))
+    q.processAllAvailable()
+    in.addData((t(3), "aa"), (t(4), "cc"))
+    q.processAllAvailable()
+    val texts = spark.table("r2_dedup").select("text").collect().map(_.getString(0)).sorted
+    q.stop()
+    assert(texts.toSeq == Seq("aa", "bb", "cc"), s"got ${texts.toSeq}")
+  }
+
   // --------------------------------------- compound key & secondary index
 
   test("store row_key is one concatenated byte key; files sorted by it") {
