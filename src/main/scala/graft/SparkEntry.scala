@@ -269,6 +269,20 @@ object SparkEntry {
         maxBroadcast = 0, bits = 6)
         .select(col("doc_id"), col("region_id"))
     }),
+    "q53_decimate" -> ((s, dir) => {
+      Ops.decimateForRender(Tables.pages(s, dir), "doc_id", viewBits = 5, maxPerCell = 3)
+        .select(col("doc_id"), col("tx"), col("ty"))
+    }),
+    "q52_visibility" -> ((s, dir) => {
+      // row-level visibility: 4 rotating expressions, auths {a, d} pass
+      // 'a' and '(a|c)&d' but not 'b&a' or 'c|b'
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("vis", element_at(
+          array(lit("a"), lit("b&a"), lit("c|b"), lit("(a|c)&d")),
+          (col("doc_id") % 4).cast("int") + 1))
+      graft.spark.Visibility.filter(docs, "vis", Seq("a", "d"))
+        .select(col("doc_id"), col("vis"))
+    }),
     "q50_sessionize" -> ((s, dir) => {
       Ops.sessionize(s.read.parquet(s"$dir/events.parquet"),
         "user_id", "event_id", "ts", gapMicros = 1800L * 1000000)
@@ -724,6 +738,23 @@ object SparkEntry {
     "q49_secondary_index" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0""".stripMargin,
+    "q53_decimate" -> {
+      val bins = 32
+      s"""$pagesCte
+         |SELECT doc_id, tx, ty FROM (
+         |  SELECT doc_id, tx, ty, ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY doc_id) AS rn
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(GREATEST(CEIL(((lon + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS tx,
+         |      CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty
+         |    FROM pages)
+         |) WHERE rn <= 3""".stripMargin
+    },
+    "q52_visibility" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'a' WHEN 1 THEN 'b&a'
+        |       WHEN 2 THEN 'c|b' ELSE '(a|c)&d' END AS vis
+        |FROM documents WHERE doc_id % 4 IN (0, 3)""".stripMargin,
     "q50_sessionize" ->
       """WITH w AS (
         |  SELECT user_id, event_id, ts,

@@ -413,6 +413,22 @@ object Ops {
         min(col(tsCol)).as("start_ts"), max(col(tsCol)).as("end_ts"))
   }
 
+  /** render decimation: keep at most `maxPerCell` rows (lowest ids —
+    * deterministic) per screen cell at the view's resolution — the
+    * reference's render-time thinning (QueryOptions
+    * maxResolutionSubsamplingPerDimension + the WMS decimation process;
+    * [[subsample]] is the maxPerCell=1 special case). Window top-k per
+    * tile: Spark's WindowGroupLimit keeps the shuffle at k rows/cell. */
+  def decimateForRender(pts: DataFrame, idCol: String, viewBits: Int,
+                        maxPerCell: Int): DataFrame = {
+    val w = Window.partitionBy(col("tx"), col("ty")).orderBy(col(idCol))
+    pts.withColumn("tx", GeoFunctions.gw_tile_x(col("lon"), viewBits))
+      .withColumn("ty", GeoFunctions.gw_tile_y(col("lat"), viewBits))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= maxPerCell)
+      .drop("rn")
+  }
+
   /** rows per tile at `bits` — the row-range histogram that drives split
     * sizing (RowRangeHistogramStatistics / SplitsProvider). */
   def rangeHistogram(pts: DataFrame, bits: Int): DataFrame =

@@ -198,6 +198,29 @@ class Round2Spec extends SparkTestBase {
       s"round-robin must balance within one row per partition: $counts")
   }
 
+  // ----------------------------------------------------------- visibility
+
+  test("visibility expressions: Accumulo ColumnVisibility truth table") {
+    import Visibility.{parse, evaluate}
+    val auths = Set("A", "B")
+    val table = Seq(
+      "" -> true, "A" -> true, "C" -> false,
+      "A&B" -> true, "A&C" -> false, "A|C" -> true, "C|D" -> false,
+      "(A|C)&B" -> true, "A&(C|D)" -> false, "(A&B)|(C&D)" -> true,
+      "A|B&C" -> true,   // & binds tighter: A | (B&C)
+      "C|A&B" -> true, "C|D&B" -> false)
+    for ((expr, want) <- table)
+      assert(evaluate(parse(expr), auths) == want, s"'$expr'")
+    intercept[IllegalArgumentException](parse("A&&B"))
+    intercept[IllegalArgumentException](parse("(A"))
+    // column form runs codegen'd and matches
+    val df = table.map(_._1).zipWithIndex.map { case (e, i) => (i.toLong, e) }.toDF("id", "vis")
+    val got = Visibility.filter(df, "vis", Seq("A", "B"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    val want = table.zipWithIndex.collect { case ((_, true), i) => i.toLong }.toSet
+    assert(got == want)
+  }
+
   // ------------------------------------- sessions, clusters, stream dedup
 
   test("sessionize: gap rule against a hand-built timeline") {
