@@ -213,8 +213,12 @@ object SpatialJoin {
    * per-query window — no all-pairs shuffle. Driver loops on metadata
    * (resolved counts), never on row data.
    */
+  /** `broadcastQueries=false` turns each round's candidate join into a
+    * shuffled tile equi-join — required when the query set itself is too
+    * large to broadcast (both-sides-big kNN); candidate generation and
+    * the stop rule are identical. */
   def knnRing(pts: DataFrame, idCol: String, queries: DataFrame, qIdCol: String,
-              k: Int, startBits: Int = -1): DataFrame = {
+              k: Int, startBits: Int = -1, broadcastQueries: Boolean = true): DataFrame = {
     // every round rescans the points; cache once for the loop
     val base = pts.select(col(idCol).as("id"), col("lon"), col("lat")).cache()
     var remaining = queries.select(col(qIdCol).as("q_id"),
@@ -252,7 +256,8 @@ object SpatialJoin {
         (col("lat") - col("q_lat")) * (col("lat") - col("q_lat"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("d2"), col("id"))
       val wAll = Window.partitionBy(col("q_id"))
-      val scored = p.join(broadcast(q), Seq("jx", "jy"))
+      val qSide = if (broadcastQueries) broadcast(q) else q
+      val scored = p.join(qSide, Seq("jx", "jy"))
         .withColumn("d2", d2)
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= k)

@@ -59,6 +59,29 @@ object Tables {
   }
 
   /**
+   * Deterministic synthetic document corpus with PLANTED near-duplicates
+   * for dedup benchmarks: docs come in groups of 5 sharing 24 group words;
+   * docs 0/1 of each group differ only in their last word (true near-dups,
+   * Jaccard ≈ 0.85), docs 2–4 append 8 distinct words each (below any
+   * sensible threshold). Pure column arithmetic — reproducible, parallel.
+   */
+  def synthDocs(spark: SparkSession, n: Long): DataFrame = {
+    val grp = expr("id DIV 5")
+    val member = col("id") % 5
+    val base = concat_ws(" ", (0 until 24).map(j =>
+      lower(hex(xxhash64(grp, lit(j))))): _*)
+    val nearTail = concat(lit(" tail"), (col("id") % 2).cast("string"))
+    val farTail = concat_ws(" ", (0 until 8).map(j =>
+      lower(hex(xxhash64(col("id"), lit(100 + j))))): _*)
+    spark.range(n)
+      .withColumn("text",
+        when(member < 2, concat(base, nearTail))
+          .otherwise(concat(base, lit(" "), farTail)))
+      .withColumnRenamed("id", "doc_id")
+      .select("doc_id", "text")
+  }
+
+  /**
    * Deterministic synthetic Common-Crawl-style pages table for benchmarks
    * (FIXTURES.md §1): 80% of points in 20 Gaussian-ish city clusters (hot
    * cells for skew), 20% uniform, ~1% hugging the antimeridian/poles.

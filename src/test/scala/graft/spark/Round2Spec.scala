@@ -198,6 +198,45 @@ class Round2Spec extends SparkTestBase {
       s"round-robin must balance within one row per partition: $counts")
   }
 
+  // ------------------------------------------------------------ bucketing
+
+  test("bucketed tile stores join with zero exchanges") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val pts = Tables.synthPages(spark, 3000).select("doc_id", "lon", "lat")
+    Ingest.writeBucketedByTile(pts, "r2_store_a", s"$wh/a", numBuckets = 8, bits = 6)
+    Ingest.writeBucketedByTile(pts.where(col("doc_id") % 3 === 0),
+      "r2_store_b", s"$wh/b", numBuckets = 8, bits = 6)
+    val a = spark.table("r2_store_a")
+    val b = spark.table("r2_store_b")
+    val joined = a.join(b.select(col("tx"), col("ty"), col("doc_id").as("b_id")), Seq("tx", "ty"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed tile join must not shuffle:\n${plan.take(1200)}")
+    // and it computes the right thing
+    val want = pts.withColumn("tx", GeoFunctions.gw_tile_x(col("lon"), 6))
+      .withColumn("ty", GeoFunctions.gw_tile_y(col("lat"), 6))
+      .join(pts.where(col("doc_id") % 3 === 0)
+        .withColumn("tx", GeoFunctions.gw_tile_x(col("lon"), 6))
+        .withColumn("ty", GeoFunctions.gw_tile_y(col("lat"), 6))
+        .select(col("tx"), col("ty"), col("doc_id").as("b_id")), Seq("tx", "ty"))
+      .count()
+    assert(joined.count() == want && want > 0)
+    spark.sql("DROP TABLE r2_store_a")
+    spark.sql("DROP TABLE r2_store_b")
+  }
+
+  test("knnRing non-broadcast mode returns the identical exact result") {
+    val pts = Tables.synthPages(spark, 1500)
+      .select(col("doc_id").as("id"), col("lon"), col("lat"))
+    val queries = pts.where(col("id") % 37 === 0)
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bc = flat(SpatialJoin.knnRing(pts, "id", queries, "id", k = 5))
+    val sh = flat(SpatialJoin.knnRing(pts, "id", queries, "id", k = 5,
+      broadcastQueries = false))
+    assert(bc == sh && bc.nonEmpty)
+  }
+
   // ----------------------------------------------------------- visibility
 
   test("visibility expressions: Accumulo ColumnVisibility truth table") {
