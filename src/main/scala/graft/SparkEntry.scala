@@ -269,6 +269,17 @@ object SparkEntry {
         maxBroadcast = 0, bits = 6)
         .select(col("doc_id"), col("region_id"))
     }),
+    "q54_quality_ext" -> ((s, dir) => {
+      graft.spark.TextOps.qualityScore(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    }),
+    "q55_geohash" -> ((s, dir) => {
+      import graft.spark.GeoFunctions._
+      // geohash as an alternative cell scheme; decoded bounds must contain
+      // the point — the SQL twin recomputes the prefix bisection directly
+      Tables.pages(s, dir).select(col("doc_id"),
+        gw_geohash(col("lon"), col("lat"), 6).as("gh"))
+    }),
     "q53_decimate" -> ((s, dir) => {
       Ops.decimateForRender(Tables.pages(s, dir), "doc_id", viewBits = 5, maxPerCell = 3)
         .select(col("doc_id"), col("tx"), col("ty"))
@@ -738,6 +749,36 @@ object SparkEntry {
     "q49_secondary_index" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0""".stripMargin,
+    "q54_quality_ext" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents)
+        |SELECT doc_id AS id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  CASE WHEN len(ws) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(FLOOR(CAST(CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) * 100 AS DOUBLE) / len(ws)) AS BIGINT) END AS mean_word_len_c,
+        |  CAST(len(list_filter(ws, x -> x IN ('the', 'and', 'of'))) AS BIGINT) AS stopword_cnt,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_cnt,
+        |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_cnt,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS symbol_cnt
+        |FROM w""".stripMargin,
+    "q55_geohash" -> {
+      // 6 chars = 30 bits (15 lon ‖ 15 lat, interleaved lon-first): the
+      // bisection equals the binary digits of floor(norm * 2^15); boundary
+      // grid points are dyadic, so the float math agrees bit-for-bit
+      val interleave = (0 until 15).map { b =>
+        s"(((xi >> ${14 - b}) & 1) << ${29 - 2 * b}) + (((yi >> ${14 - b}) & 1) << ${28 - 2 * b})"
+      }.mkString(" + ")
+      val chars = (0 until 6).map { c =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((v >> ${25 - 5 * c}) & 31 AS INTEGER) + 1, 1)"
+      }.mkString(" || ")
+      s"""$pagesCte,
+         |gidx AS (SELECT doc_id,
+         |  CAST(FLOOR((lon + 180) / 360 * 32768) AS BIGINT) AS xi,
+         |  CAST(FLOOR((lat + 90) / 180 * 32768) AS BIGINT) AS yi
+         |  FROM pages),
+         |iv AS (SELECT doc_id, $interleave AS v FROM gidx)
+         |SELECT doc_id, $chars AS gh FROM iv""".stripMargin
+    },
     "q53_decimate" -> {
       val bins = 32
       s"""$pagesCte

@@ -218,6 +218,53 @@ object Analytics {
     cents.sortBy { case (id, _, _) => (-weights.getOrElse(id, 0L), id) }.take(k)
   }
 
+  /**
+   * Lloyd k-means over QUANTIZED EMBEDDING VECTORS (array<bigint>) — the
+   * d-dimensional generalization of [[kmeans]], used to train the IVF
+   * coarse quantizer (the reference trains its analytic centroids the
+   * same way before clustering-driven queries). Deterministic init (the
+   * k lowest-id vectors); assignment by exact integer L2
+   * (d² = |v|² + |c|² − 2·v·c via the codegen'd dot product); update =
+   * per-dimension integer sums (posexplode → (cid, dim) aggregation —
+   * one shuffle of n·d narrow rows per iteration, map-side combined).
+   * Returns (cid, centroid: Array[Long] — floor-averaged, deterministic).
+   */
+  def kmeansVec(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int): Seq[(Long, Array[Long])] = {
+    import GeoFunctions.dot_long
+    val q = emb.select(col(idCol).as("id"),
+        transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .withColumn("n2", dot_long(col("v"), col("v")))
+      .cache()
+    var cents: Seq[(Long, Array[Long])] = q.orderBy("id").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    for (_ <- 0 until iters) {
+      val c = cents.map { case (cid, cv) =>
+        struct(lit(cid).as("cid"),
+          array(cv.map(lit(_)): _*).as("cv"),
+          lit(cv.map(x => x * x).sum).as("cn2"))
+      }
+      val d2 = col("n2") + col("c.cn2") - lit(2L) * dot_long(col("v"), col("c.cv"))
+      val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("c.cid"))
+      val assigned = q.select(col("id"), col("v"), col("n2"), explode(array(c: _*)).as("c"))
+        .withColumn("d2", d2)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("c.cid").as("cid"), col("v"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+        val dims = rows.map(r => (r.getInt(1), r.getLong(2) / r.getLong(3))).sortBy(_._1)
+        (cid, dims.map(_._2).toArray)
+      }.toSeq.sortBy(_._1)
+    }
+    q.unpersist()
+    cents
+  }
+
   /** average assignment cost (mean min-d² to the given centroids) — the
     * distortion input of the reference's KMeansDistortionMapReduce. */
   def kmeansCost(pts: DataFrame, centroids: Seq[(Long, Double, Double)]): Double = {

@@ -133,6 +133,11 @@ object GeoCodec {
     sig
   }
 
+  /** geohash cell id (codegen entry point; returns Spark's UTF8String). */
+  def geohash(lon: Double, lat: Double, precision: Int): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.index.Geohash.encode(lon, lat, precision))
+
   /** Year-bin epochs cached; GMT calendar-year semantics
     * (reference: TemporalBinningStrategy.java:126-171, YEAR unit). */
   private val yearEpochs = new java.util.concurrent.ConcurrentHashMap[Integer, Long]()

@@ -341,6 +341,28 @@ object Ops {
       .withColumn("n2", dot_long(col("v"), col("v")))
     val cents = q.where(col("id") < nlist)
       .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+    annIvfImpl(q, cents, nProbe, queryIds, k)
+  }
+
+  /** IVF with a TRAINED coarse quantizer — centroids from
+    * [[Analytics.kmeansVec]] instead of the deterministic first-nlist
+    * stub: better-balanced inverted lists, same probe plan. */
+  def annIvfTrained(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[(Long, Array[Long])], nProbe: Int,
+                    queryIds: Seq[Long], k: Int): DataFrame = {
+    import GeoFunctions.dot_long
+    val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("n2", dot_long(col("v"), col("v")))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = centroids.map { case (cid, cv) => (cid, cv.toSeq, cv.map(x => x * x).sum) }
+      .toDF("cid", "cv", "cn2")
+    annIvfImpl(q, cents, nProbe, queryIds, k)
+  }
+
+  private def annIvfImpl(q: DataFrame, cents: DataFrame, nProbe: Int,
+                         queryIds: Seq[Long], k: Int): DataFrame = {
+    import GeoFunctions.dot_long
     val d2 = col("n2") + col("cn2") - lit(2L) * dot_long(col("v"), col("cv"))
     val assignW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
     val ranked = q.join(broadcast(cents))

