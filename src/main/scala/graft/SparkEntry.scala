@@ -269,6 +269,18 @@ object SparkEntry {
         maxBroadcast = 0, bits = 6)
         .select(col("doc_id"), col("region_id"))
     }),
+    "q56_asof_join" -> ((s, dir) => {
+      // as-of: each purchase matched to the user's latest signup at-or-
+      // before it (union + one per-key window; no range explosion)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      Ops.asofJoin(purchases, signups, "user_id", "ts", "event_id")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("__m.event_id"), lit(-1L)).as("last_signup_id"))
+    }),
     "q54_quality_ext" -> ((s, dir) => {
       graft.spark.TextOps.qualityScore(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -749,6 +761,18 @@ object SparkEntry {
     "q49_secondary_index" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0""".stripMargin,
+    "q56_asof_join" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, 1 AS side, CAST(NULL AS BIGINT) AS sid, event_id AS tie
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT NULL, user_id, ts, 0, event_id, event_id
+        |  FROM events WHERE event_type = 'signup'),
+        |m AS (SELECT *, LAST_VALUE(sid IGNORE NULLS) OVER (
+        |        PARTITION BY user_id ORDER BY ts, side, tie
+        |        ROWS UNBOUNDED PRECEDING) AS ls FROM u)
+        |SELECT event_id, user_id, COALESCE(ls, -1) AS last_signup_id
+        |FROM m WHERE side = 1""".stripMargin,
     "q54_quality_ext" ->
       """WITH w AS (SELECT doc_id, text,
         |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents)

@@ -411,6 +411,33 @@ object Ops {
   }
 
   /**
+   * AS-OF join: for each left row, the LATEST right row with the same key
+   * and right ts <= left ts — the temporal join Spark lacks natively,
+   * expressed as union + one per-key window (single sort, NO range
+   * explosion and no per-row right-side scan: the classic scalable
+   * as-of form). Right rows order before left rows at equal ts, so
+   * same-timestamp matches count; `tieCol` (present on both sides) makes
+   * the ordering total. The matched right payload arrives as a struct
+   * column `__m` (null when no right row precedes).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+               tieCol: String): DataFrame = {
+    val payloadCols = right.columns.filterNot(c => c == keyCol || c == tieCol)
+    val r2 = right.select(col(keyCol), col(tieCol).as("__tie"),
+        struct(payloadCols.map(col) :+ col(tieCol): _*).as("__r"))
+      .withColumn(tsCol, col(s"__r.$tsCol"))
+      .withColumn("__side", lit(0))
+    val l2 = left.withColumn("__side", lit(1)).withColumn("__tie", col(tieCol))
+    val u = l2.unionByName(r2, allowMissingColumns = true)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop("__side", "__tie", "__r")
+  }
+
+  /**
    * Gap-based sessionization: per-entity event runs split where the gap
    * to the previous event exceeds `gapMicros` — pure window arithmetic
    * (lag → new-session flag → running sum), so the only shuffle is the

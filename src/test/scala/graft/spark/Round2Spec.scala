@@ -308,6 +308,20 @@ class Round2Spec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("asofJoin: latest at-or-before match, ties resolved, misses null") {
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    val left = Seq((10L, 1L, ts(5)), (11L, 1L, ts(20)), (12L, 2L, ts(3)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(1), 100L), (1L, ts(5), 101L), (1L, ts(6), 102L), (2L, ts(4), 103L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Ops.asofJoin(left, right, "user_id", "ts", "event_id")
+      .select(col("event_id"), col("__m.event_id").as("m"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    // 10@t5: right rows t1,t5 qualify → latest = 101 (same-ts counts)
+    // 11@t20: latest = 102; 12@t3 user 2: right at t4 is later → null
+    assert(got == Map(10L -> Some(101L), 11L -> Some(102L), 12L -> None))
+  }
+
   // ------------------------------------- sessions, clusters, stream dedup
 
   test("sessionize: gap rule against a hand-built timeline") {
