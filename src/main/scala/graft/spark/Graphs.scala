@@ -23,21 +23,36 @@ object Graphs {
    * themselves and the inner join below loses no one). For undirected
    * graphs pass both directions. Output: (id, lbl) — lbl is the minimum
    * node id of the component.
+   *
+   * Each round combines neighbor propagation with POINTER JUMPING (the
+   * candidate label is chased one hop through the label table), so
+   * convergence is O(log diameter) rounds instead of O(diameter) — the
+   * driver-round count, not data volume, dominates these loops, and long
+   * chains would otherwise pay one full job per hop. The fixpoint (min
+   * node id per component) is schedule-independent, so results are
+   * identical to plain propagation.
    */
   def minLabelComponents(edges: DataFrame): DataFrame = {
-    var labels = edges.select(col("src").as("id")).distinct()
+    // pin the edge table once — its upstream DAG (e.g. the whole LSH
+    // candidate ladder) must not re-execute every propagation round
+    val e = edges.localCheckpoint()
+    var labels = e.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val next = edges
+      val next = e
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "dst_lbl"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_lbl")).as("next_lbl"))
-      val merged = labels.join(next, Seq("id"))
-        .select(col("id"), col("lbl"), least(col("lbl"), col("next_lbl")).as("new_lbl"))
+      val m1 = labels.join(next, Seq("id"))
+        .select(col("id"), col("lbl"), least(col("lbl"), col("next_lbl")).as("l1"))
+      // labels are node ids, so every candidate label has its own row —
+      // follow it one hop and take the smaller
+      val jumped = m1.join(m1.select(col("id").as("l1"), col("l1").as("l2")), Seq("l1"))
+        .select(col("id"), col("lbl"), least(col("l1"), col("l2")).as("new_lbl"))
         .localCheckpoint()
-      changed = merged.where(col("new_lbl") =!= col("lbl")).count()
-      labels = merged.select(col("id"), col("new_lbl").as("lbl"))
+      changed = jumped.where(col("new_lbl") =!= col("lbl")).count()
+      labels = jumped.select(col("id"), col("new_lbl").as("lbl"))
     }
     labels
   }
