@@ -369,5 +369,7 @@ object GeoFunctions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("st_point_wkb",
       es => STPointWkb(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("gw_geohash",
+      es => GeohashId(es.head, es(1), intLit(es(2))), "scala_udf")
   }
 }

@@ -15,7 +15,8 @@ class SqlSurfaceSpec extends SparkTestBase {
         |       gw_tile_id(lon, lat, 8) AS tile,
         |       gw_tile_bounds(gw_tile_id(lon, lat, 8), 8) AS bounds,
         |       gw_time_bin(warc_ts) AS bin,
-        |       st_point_wkb(lon, lat) AS wkb
+        |       st_point_wkb(lon, lat) AS wkb,
+        |       gw_geohash(lon, lat, 6) AS gh
         |FROM pages_sql""".stripMargin).collect()
     assert(rows.length == 200)
     for (r <- rows.take(50)) {
@@ -27,6 +28,7 @@ class SqlSurfaceSpec extends SparkTestBase {
       assert(b.length == 4 && b(0) <= b(1) && b(2) <= b(3))
       assert(r.getString(6).matches("\\d{4}"))
       assert(r.getAs[Array[Byte]](7).length == 21) // 2D WKB point
+      assert(r.getString(8).length == 6 && r.getString(8).matches("[0-9b-hj-km-np-z]{6}"))
     }
   }
 
