@@ -77,6 +77,96 @@ object Multimodal {
       .toDF("id", "frame_idx", "frame_checksum")
   }
 
+  /** per-image decode results: dimensions + 8-bit luminance raster
+    * (row-major, row 0 = top) + mean luma in milli-units. */
+  final case class ImageFeatures(id: Long, width: Int, height: Int,
+                                 nBytes: Long, meanLumaMilli: Long,
+                                 luma: Array[Byte])
+
+  /**
+   * REAL image decode — PNG/JPEG/BMP/GIF readers ship with the JDK
+   * (javax.imageio), so this path needs no external codec: payload bytes →
+   * BufferedImage → integer BT.601 luminance raster ((299r + 587g +
+   * 114b) / 1000 — integer math, deterministic across platforms) + typed
+   * metadata. Undecodable payloads yield width = height = 0 (poisoned
+   * rows survive the batch — corrupt files must not kill a 100 TB job).
+   * Partition-local batches; ImageIO's disk cache is disabled per task.
+   */
+  def decodeImages(df: DataFrame, idCol: String, payloadCol: String): Dataset[ImageFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null) ImageFeatures(id, 0, 0, bytes.length.toLong, 0L, Array.emptyByteArray)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val luma = new Array[Byte](w * h)
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val l = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                luma(y * w + x) = l.toByte
+                sum += l
+                x += 1
+              }
+              y += 1
+            }
+            ImageFeatures(id, w, h, bytes.length.toLong,
+              if (w * h == 0) 0L else sum * 1000 / (w * h), luma)
+          }
+        }
+      }
+  }
+
+  /** general bilinear byte-raster resize (row-major w×h → outW×outH),
+    * HALF_UP — the screen-space core shared with the raster tiles. */
+  def bilinearResize(src: Array[Byte], w: Int, h: Int, outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH)
+    if (w <= 0 || h <= 0 || src.length < w * h) return out
+    var j = 0
+    while (j < outH) {
+      val v = (j + 0.5) * h / outH - 0.5
+      val v0 = math.max(0, math.min(h - 1, math.floor(v).toInt))
+      val v1 = math.min(h - 1, v0 + 1)
+      val fv = math.max(0.0, math.min(1.0, v - v0))
+      var i = 0
+      while (i < outW) {
+        val u = (i + 0.5) * w / outW - 0.5
+        val u0 = math.max(0, math.min(w - 1, math.floor(u).toInt))
+        val u1 = math.min(w - 1, u0 + 1)
+        val fu = math.max(0.0, math.min(1.0, u - u0))
+        def px(x: Int, y: Int): Double = (src(y * w + x) & 0xff).toDouble
+        val value = px(u0, v0) * (1 - fu) * (1 - fv) + px(u1, v0) * fu * (1 - fv) +
+          px(u0, v1) * (1 - fu) * fv + px(u1, v1) * fu * fv
+        val r = new java.math.BigDecimal(value)
+          .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+        out(j * outW + i) = math.max(0, math.min(255, r)).toByte
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** REAL image resize: decode (JDK ImageIO) → bilinear luminance resample
+    * to `side`×`side` — the decoded twin of [[resizePayload]]. */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String, side: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    decodeImages(df, idCol, payloadCol)
+      .map(f => (f.id, f.width, f.height, bilinearResize(f.luma, f.width, f.height, side, side)))
+      .toDF("id", "width", "height", "tile")
+  }
+
   /** resize stub: deterministic byte subsample of the payload to a fixed
     * `outBytes`-sized tile (nearest-index sampling — the shape a real
     * bilinear resize would have). */

@@ -198,6 +198,51 @@ class Round2Spec extends SparkTestBase {
       s"round-robin must balance within one row per partition: $counts")
   }
 
+  // -------------------------------------------------- Avro staging (real)
+
+  test("Avro whole-file staging round-trips through the reference schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    val pages = Tables.synthPages(spark, 500).select(col("url"), col("html"))
+    val written = AvroStage.stageToAvro(pages, "url", "html", dir)
+    assert(written == 500)
+    assert(new java.io.File(dir).listFiles().exists(_.getName.endsWith(".avro")))
+    val back = AvroStage.readStaged(spark, dir)
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    val want = pages.collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).toMap
+    assert(back == want, "per-path byte identity must hold through the Avro stage")
+  }
+
+  // ------------------------------------------------ real image decode
+
+  test("decodeImages: JDK ImageIO decode with exact integer luminance") {
+    javax.imageio.ImageIO.setUseCache(false)
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val imgs = Seq(
+      (0L, png(4, 3, (x, y) => (x * 60) << 16 | (y * 80) << 8 | 10)),
+      (1L, png(2, 2, (_, _) => 0x808080)),
+      (2L, "not an image".getBytes)
+    ).toDF("id", "payload")
+    val got = Multimodal.decodeImages(imgs, "id", "payload")
+      .collect().map(f => f.id -> f).toMap
+    assert(got(0L).width == 4 && got(0L).height == 3)
+    // exact BT.601 integer luminance of pixel (x=2, y=1): r=120,g=80,b=10
+    val want21 = (120 * 299 + 80 * 587 + 10 * 114) / 1000
+    assert((got(0L).luma(1 * 4 + 2) & 0xff) == want21)
+    assert(got(1L).width == 2 && got(1L).luma.forall(b => (b & 0xff) == 128))
+    assert(got(1L).meanLumaMilli == 128000)
+    assert(got(2L).width == 0 && got(2L).height == 0, "corrupt payload must poison, not throw")
+    // real resize: constant image stays constant at any size
+    val resized = Multimodal.resizeImages(imgs.where(col("id") === 1), "id", "payload", side = 5)
+      .collect()(0).getAs[Array[Byte]](3)
+    assert(resized.length == 25 && resized.forall(b => (b & 0xff) == 128))
+  }
+
   // ------------------------------------------------------------- geohash
 
   test("geohash matches the canonical public vectors and round-trips") {
