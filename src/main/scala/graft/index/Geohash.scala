@@ -44,7 +44,8 @@ object Geohash {
     var lonMin = -180.0; var lonMax = 180.0
     var isLon = true
     for (c <- gh) {
-      val v = Base32Idx(c.toLower.toInt)
+      val lc = c.toLower.toInt
+      val v = if (lc < 128) Base32Idx(lc) else -1 // non-ASCII must hit the guard, not AIOOBE
       require(v >= 0, s"invalid geohash char '$c'")
       var b = 4
       while (b >= 0) {

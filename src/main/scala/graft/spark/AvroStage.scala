@@ -46,16 +46,17 @@ object AvroStage {
           val fs = fsPath.getFileSystem(hadoopConfBc.value.value)
           val out = fs.create(fsPath, true)
           val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-          writer.create(schema, out)
           var n = 0L
-          it.foreach { case (p, bytes) =>
-            val rec = new GenericData.Record(schema)
-            rec.put("originalFile", java.nio.ByteBuffer.wrap(bytes))
-            rec.put("originalFilePath", p)
-            writer.append(rec)
-            n += 1
-          }
-          writer.close()
+          try {
+            writer.create(schema, out)
+            it.foreach { case (p, bytes) =>
+              val rec = new GenericData.Record(schema)
+              rec.put("originalFile", java.nio.ByteBuffer.wrap(bytes))
+              rec.put("originalFilePath", p)
+              writer.append(rec)
+              n += 1
+            }
+          } finally writer.close() // no stream leak on mid-partition failure
           Iterator.single(n)
         }
       }.collect()

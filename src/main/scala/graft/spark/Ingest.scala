@@ -38,7 +38,13 @@ object Ingest {
       batchSize: Int = 4,
       saltCount: Int = 8,
       targetPartitions: Int = 32,
-      failAfterBatches: Int = Int.MaxValue)
+      failAfterBatches: Int = Int.MaxValue) {
+    // the compound row key spends exactly ONE byte on the salt prefix
+    // (reference HashKeyIndexStrategy precision); a larger salt space
+    // would silently truncate and break the row_key ordering invariant
+    require(saltCount >= 1 && saltCount <= 256,
+      s"saltCount must be in [1, 256] (one row_key prefix byte), got $saltCount")
+  }
 
   private def lineageDir(outDir: String): Path = Paths.get(outDir, "_lineage")
   private def lineagePath(outDir: String, bucket: Int): Path =
@@ -140,8 +146,10 @@ object Ingest {
     Files.move(tmp, lineagePath(outDir, lin.bucket), StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** single concatenated row key: 1 salt byte ‖ cell_id (salt < 256;
-    * hex/unhex because ANSI mode rejects a direct int→binary cast). */
+  /** single concatenated row key: 1 salt byte ‖ cell_id. REQUIRES
+    * salt ∈ [0, 255] (Config enforces it): a wider salt would lexicode to
+    * its HIGH hex digits here and collide. hex/unhex because ANSI mode
+    * rejects a direct int→binary cast. */
   def compoundKey(salt: org.apache.spark.sql.Column,
                   cellId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat(unhex(lpad(hex(salt), 2, "0")), cellId)

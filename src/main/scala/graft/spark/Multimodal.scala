@@ -103,7 +103,12 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
             catch { case _: Exception => null }
-          if (img == null) ImageFeatures(id, 0, 0, bytes.length.toLong, 0L, Array.emptyByteArray)
+          // oversized-but-valid images poison too: w*h must fit an array
+          // (and stay within a sane per-row budget) or the task would die
+          // on NegativeArraySizeException — same contract as corrupt bytes
+          if (img == null ||
+            img.getWidth.toLong * img.getHeight > 256L * 1024 * 1024)
+            ImageFeatures(id, 0, 0, bytes.length.toLong, 0L, Array.emptyByteArray)
           else {
             val w = img.getWidth; val h = img.getHeight
             val luma = new Array[Byte](w * h)
@@ -121,35 +126,26 @@ object Multimodal {
               y += 1
             }
             ImageFeatures(id, w, h, bytes.length.toLong,
-              if (w * h == 0) 0L else sum * 1000 / (w * h), luma)
+              if (w == 0 || h == 0) 0L else sum * 1000 / (w.toLong * h), luma)
           }
         }
       }
   }
 
   /** general bilinear byte-raster resize (row-major w×h → outW×outH),
-    * HALF_UP — the screen-space core shared with the raster tiles. */
+    * HALF_UP — delegates per-pixel sampling to the shared core in
+    * [[Tiling.sampleBilinear]] (one kernel for media resize AND raster
+    * tile resample, so rounding/clamping can never diverge). */
   def bilinearResize(src: Array[Byte], w: Int, h: Int, outW: Int, outH: Int): Array[Byte] = {
     val out = new Array[Byte](outW * outH)
     if (w <= 0 || h <= 0 || src.length < w * h) return out
     var j = 0
     while (j < outH) {
       val v = (j + 0.5) * h / outH - 0.5
-      val v0 = math.max(0, math.min(h - 1, math.floor(v).toInt))
-      val v1 = math.min(h - 1, v0 + 1)
-      val fv = math.max(0.0, math.min(1.0, v - v0))
       var i = 0
       while (i < outW) {
         val u = (i + 0.5) * w / outW - 0.5
-        val u0 = math.max(0, math.min(w - 1, math.floor(u).toInt))
-        val u1 = math.min(w - 1, u0 + 1)
-        val fu = math.max(0.0, math.min(1.0, u - u0))
-        def px(x: Int, y: Int): Double = (src(y * w + x) & 0xff).toDouble
-        val value = px(u0, v0) * (1 - fu) * (1 - fv) + px(u1, v0) * fu * (1 - fv) +
-          px(u0, v1) * (1 - fu) * fv + px(u1, v1) * fu * fv
-        val r = new java.math.BigDecimal(value)
-          .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
-        out(j * outW + i) = math.max(0, math.min(255, r)).toByte
+        out(j * outW + i) = Tiling.sampleBilinear(src, w, h, u, v)
         i += 1
       }
       j += 1

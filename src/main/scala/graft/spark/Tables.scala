@@ -62,8 +62,11 @@ object Tables {
    * Deterministic synthetic document corpus with PLANTED near-duplicates
    * for dedup benchmarks: docs come in groups of 5 sharing 24 group words;
    * docs 0/1 of each group differ only in their last word (true near-dups,
-   * Jaccard ≈ 0.85), docs 2–4 append 8 distinct words each (below any
-   * sensible threshold). Pure column arithmetic — reproducible, parallel.
+   * word-3-gram Jaccard 21/25 = 0.84), docs 2–4 append 24 distinct words
+   * each, pushing EVERY other within-group pair below a tau=0.5 gate
+   * (far↔far 22/70 ≈ 0.31, near↔far 22/47 ≈ 0.47) — so the only true
+   * pairs at tau=0.5 are the planted ones. Pure column arithmetic —
+   * reproducible, parallel.
    */
   def synthDocs(spark: SparkSession, n: Long): DataFrame = {
     val grp = expr("id DIV 5")
@@ -71,7 +74,7 @@ object Tables {
     val base = concat_ws(" ", (0 until 24).map(j =>
       lower(hex(xxhash64(grp, lit(j))))): _*)
     val nearTail = concat(lit(" tail"), (col("id") % 2).cast("string"))
-    val farTail = concat_ws(" ", (0 until 8).map(j =>
+    val farTail = concat_ws(" ", (0 until 24).map(j =>
       lower(hex(xxhash64(col("id"), lit(100 + j))))): _*)
     spark.range(n)
       .withColumn("text",

@@ -127,13 +127,17 @@ object TextOps {
     val buckets =
       if (maxBucket == Long.MaxValue) allBuckets
       else {
+        // cache the signature/bucket table: the telemetry count below must
+        // not re-run the whole shingle→MinHash pipeline a second time
+        val ab = allBuckets.cache()
         val szW = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
-        val kept = allBuckets
+        val kept = ab
           .withColumn("bsz", count(lit(1)).over(szW))
           .where(col("bsz") <= maxBucket)
           .drop("bsz")
           .cache()
-        val droppedRows = allBuckets.count() - kept.count()
+        val droppedRows = ab.count() - kept.count()
+        ab.unpersist()
         println(s"[graft] minhashLshPairs: dropped $droppedRows bucket memberships in buckets larger than $maxBucket")
         kept
       }

@@ -243,6 +243,25 @@ object Tiling {
    * pixels whose centers fall outside the source rect stay 0 (no-data) so
    * overlapping source tiles compose via [[noDataMerge]].
    */
+  /** clamped bilinear sample of a row-major w×h byte raster at fractional
+    * pixel coordinates, HALF_UP-rounded to a byte — the SINGLE sampling
+    * kernel behind raster tile resampling and media resize
+    * (Multimodal.bilinearResize), so rounding/clamping cannot diverge. */
+  def sampleBilinear(src: Array[Byte], w: Int, h: Int, u: Double, v: Double): Byte = {
+    val u0 = math.max(0, math.min(w - 1, math.floor(u).toInt))
+    val v0 = math.max(0, math.min(h - 1, math.floor(v).toInt))
+    val u1 = math.min(w - 1, u0 + 1)
+    val v1 = math.min(h - 1, v0 + 1)
+    val fu = math.max(0.0, math.min(1.0, u - u0))
+    val fv = math.max(0.0, math.min(1.0, v - v0))
+    def px(x: Int, y: Int): Double = (src(y * w + x) & 0xff).toDouble
+    val value = px(u0, v0) * (1 - fu) * (1 - fv) + px(u1, v0) * fu * (1 - fv) +
+      px(u0, v1) * (1 - fu) * fv + px(u1, v1) * fu * fv
+    val r = new java.math.BigDecimal(value)
+      .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+    math.max(0, math.min(255, r)).toByte
+  }
+
   def resampleTilePayload(src: Array[Byte], tileSize: Int,
                           sLonMin: Double, sLonMax: Double, sLatMin: Double, sLatMax: Double,
                           dLonMin: Double, dLonMax: Double, dLatMin: Double, dLatMax: Double)
@@ -261,18 +280,7 @@ object Tiling {
           // source pixel-center coordinates of the target pixel center
           val u = (wx - sLonMin) / sw * tileSize - 0.5
           val v = (wy - sLatMin) / sh * tileSize - 0.5
-          val u0 = math.max(0, math.min(tileSize - 1, math.floor(u).toInt))
-          val v0 = math.max(0, math.min(tileSize - 1, math.floor(v).toInt))
-          val u1 = math.min(tileSize - 1, u0 + 1)
-          val v1 = math.min(tileSize - 1, v0 + 1)
-          val fu = math.max(0.0, math.min(1.0, u - u0))
-          val fv = math.max(0.0, math.min(1.0, v - v0))
-          def px(x: Int, y: Int): Double = (src(y * tileSize + x) & 0xff).toDouble
-          val value = px(u0, v0) * (1 - fu) * (1 - fv) + px(u1, v0) * fu * (1 - fv) +
-            px(u0, v1) * (1 - fu) * fv + px(u1, v1) * fu * fv
-          val r = new java.math.BigDecimal(value)
-            .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
-          out(j * tileSize + i) = math.max(0, math.min(255, r)).toByte
+          out(j * tileSize + i) = sampleBilinear(src, tileSize, tileSize, u, v)
         }
         i += 1
       }
