@@ -269,6 +269,16 @@ object SparkEntry {
         maxBroadcast = 0, bits = 6)
         .select(col("doc_id"), col("region_id"))
     }),
+    "q57_top_tokens" -> ((s, dir) => {
+      graft.spark.TextOps.topTokens(
+        s.read.parquet(s"$dir/documents.parquet"), "text", k = 50)
+    }),
+    "q58_tf_df" -> ((s, dir) => {
+      graft.spark.TextOps.tfDf(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        // integer-exact projection; sampled to keep the oracle compare fast
+        .where(col("id") % 10 === 0)
+    }),
     "q56_asof_join" -> ((s, dir) => {
       // as-of: each purchase matched to the user's latest signup at-or-
       // before it (union + one per-key window; no range explosion)
@@ -761,6 +771,19 @@ object SparkEntry {
     "q49_secondary_index" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0""".stripMargin,
+    "q57_top_tokens" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS token
+        |           FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM t
+        |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 50""".stripMargin,
+    "q58_tf_df" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |             unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS token
+        |           FROM documents),
+        |tf AS (SELECT id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+        |SELECT tf.id, tf.token, tf.tf, df.df FROM tf JOIN df USING (token)
+        |WHERE tf.id % 10 = 0""".stripMargin,
     "q56_asof_join" ->
       """WITH u AS (
         |  SELECT event_id, user_id, ts, 1 AS side, CAST(NULL AS BIGINT) AS sid, event_id AS tie

@@ -332,6 +332,33 @@ object TextOps {
       .select(col(idCol).as("id"))
   }
 
+  /** corpus vocabulary: top-k tokens by total occurrence count (ties →
+    * lexicographic) — the vocabulary-building pass of a training
+    * pipeline. One explode + one aggregation; the final top-k is a
+    * WindowGroupLimit-style global limit over the (small) aggregated
+    * token table, not the raw corpus. */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = docs
+      .select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    counts.orderBy(col("cnt").desc, col("token")).limit(k)
+  }
+
+  /**
+   * Per-(doc, token) TF + corpus DF + corpus size — the exact integer
+   * inputs of TF-IDF scoring, kept as integers so the oracle compares
+   * bit-for-bit (the float idf = ln(N/df) is libm-dependent and left to
+   * the consumer). Two aggregations over one explode; df joins back on
+   * the token equi-key.
+   */
+  def tfDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("id"),
+      explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("token"))
+    val tf = tokens.groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(df, "token").select("id", "token", "tf", "df")
+  }
+
   /** document fingerprint: min/max/xor over portable rolling hashes of all
     * char k-grams (winnowing-style signature). Docs shorter than k chars
     * are dropped. */

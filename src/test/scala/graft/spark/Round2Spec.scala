@@ -454,6 +454,22 @@ class Round2Spec extends SparkTestBase {
 
   // --------------------------------------------------- Park & Oh hull
 
+  test("concaveHullParkOh fuzz: covers all points, area <= convex, stays simple") {
+    val gf = new org.locationtech.jts.geom.GeometryFactory()
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val n = 10 + rnd.nextInt(60)
+      val coords = Array.fill(n)(new org.locationtech.jts.geom.Coordinate(
+        rnd.nextInt(1000) / 10.0, rnd.nextInt(1000) / 10.0))
+      val convex = new org.locationtech.jts.algorithm.ConvexHull(coords, gf).getConvexHull
+      val hull = Hulls.concaveHullParkOh(coords, gf, 1.8)
+      assert(hull.isValid, s"trial $trial: invalid geometry")
+      assert(hull.getArea <= convex.getArea + 1e-9, s"trial $trial: area grew")
+      for (c <- coords)
+        assert(hull.covers(gf.createPoint(c)), s"trial $trial: point $c escaped the hull")
+    }
+  }
+
   test("concaveHullParkOh digs a qualifying inner point into the hull") {
     val gf = new org.locationtech.jts.geom.GeometryFactory()
     def c(x: Double, y: Double) = new org.locationtech.jts.geom.Coordinate(x, y)
