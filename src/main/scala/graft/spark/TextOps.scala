@@ -252,6 +252,22 @@ object TextOps {
         (col("lbl") === col("id")).as("is_keeper"))
   }
 
+  /** strategy selection for embedding near-dup — the similarity twin of
+    * SpatialJoin.polygonJoinAuto: under `maxExact` rows the exact
+    * all-pairs baseline runs (recall 1.0), above it the hyperplane-LSH
+    * bucket join takes over. Returns (strategyName, pairs); both paths
+    * share the (a_id, b_id, cos) columns. */
+  def embeddingNearDupAuto(emb: DataFrame, idCol: String, vecCol: String,
+                           dims: Int, tau: Double,
+                           maxExact: Long = 100000, lshBits: Int = 8): (String, DataFrame) = {
+    val n = emb.count()
+    if (n <= maxExact)
+      ("exact", embeddingNearDupPairs(emb, idCol, vecCol, tau, maxRows = maxExact))
+    else
+      ("lsh", embeddingLshPairs(emb, idCol, vecCol, dims, lshBits, tau)
+        .select(col("a_id"), col("b_id"), col("cos")))
+  }
+
   /** marker words per language for the n-gram-heuristic language id. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of"),

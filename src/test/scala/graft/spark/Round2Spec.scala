@@ -55,6 +55,21 @@ class Round2Spec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
 
+  test("embeddingNearDupAuto routes by size and both paths share columns") {
+    val emb = (0L until 20L).map(i => (i, Seq.tabulate(4)(d =>
+      (if (i % 2 == d % 2) 1.0f else 0.1f)))).toDF("vec_id", "embedding")
+    val (s1, exact) = TextOps.embeddingNearDupAuto(emb, "vec_id", "embedding",
+      dims = 4, tau = 0.9, maxExact = 100)
+    assert(s1 == "exact" && exact.columns.take(3).toSeq == Seq("a_id", "b_id", "cos"))
+    val (s2, lsh) = TextOps.embeddingNearDupAuto(emb, "vec_id", "embedding",
+      dims = 4, tau = 0.9, maxExact = 5)
+    assert(s2 == "lsh" && lsh.columns.toSeq == Seq("a_id", "b_id", "cos"))
+    // the LSH route finds a subset of the exact pairs, never extras
+    val e = exact.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val l = lsh.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(l.subsetOf(e) && e.nonEmpty)
+  }
+
   test("annBruteForce guard trips above maxQueries") {
     val emb = (0L until 5L).map(i => (i, Seq(i.toFloat, 1.0f))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
