@@ -56,4 +56,49 @@ object SecondaryIndex {
       .select(col(idCol))
     primary.join(hits, idCol)
   }
+
+  /** open-ended constraint ranges, matching the reference's
+    * NumericIndexStrategy query semantics (NumericIndexStrategyTest:
+    * equals → [lex(v), lex(v)]; >= v → [lex(v), lex(+MAX)];
+    * <= v → [lex(−MAX), lex(v)]). */
+  def queryEquals(primary: DataFrame, index: DataFrame, idCol: String, v: Double): DataFrame =
+    queryRange(primary, index, idCol, v, v)
+  def queryGte(primary: DataFrame, index: DataFrame, idCol: String, v: Double): DataFrame =
+    queryRange(primary, index, idCol, v, Double.MaxValue)
+  def queryLte(primary: DataFrame, index: DataFrame, idCol: String, v: Double): DataFrame =
+    queryRange(primary, index, idCol, -Double.MaxValue, v)
+
+  /** sign-flip long lexicode as a codegen'd expression (the temporal
+    * secondary key — epoch millis, TemporalIndexStrategy semantics). */
+  case class LongLexicode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullIntolerant: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      graft.index.Lexicoders.encodeLong(v.asInstanceOf[Long])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, v => s"graft.index.Lexicoders.encodeLong($v)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def lexicodeLong(v: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(LongLexicode(expression(v.cast("long"))))
+  }
+
+  /** temporal secondary index: sec_key = lexicoded epoch millis
+    * (reference: core/store/.../index/temporal/TemporalIndexStrategy.java,
+    * pinned by TemporalIndexStrategyTest's literal date key). */
+  def buildTemporal(df: DataFrame, idCol: String, tsCol: String): DataFrame =
+    df.select(
+      lexicodeLong(unix_micros(col(tsCol).cast("timestamp")) / 1000L).as("sec_key"),
+      col(idCol))
+
+  def queryTimeRange(primary: DataFrame, index: DataFrame, idCol: String,
+                     t0Millis: Long, t1Millis: Long): DataFrame = {
+    val hits = index
+      .where(col("sec_key") >= lit(graft.index.Lexicoders.encodeLong(t0Millis)) &&
+        col("sec_key") <= lit(graft.index.Lexicoders.encodeLong(t1Millis)))
+      .select(col(idCol))
+    primary.join(hits, idCol)
+  }
 }

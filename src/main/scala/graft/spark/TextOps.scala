@@ -375,6 +375,18 @@ object TextOps {
     tf.join(df, "token").select("id", "token", "tf", "df")
   }
 
+  /** LIKE/regex text filtering with the reference's semantics
+    * (LikeFilter/FilterableLikeConstraint: `%` translated to `.*`, the
+    * rest treated as a Java regex, optional case-insensitivity, and the
+    * value must match the pattern in FULL — Matcher.matches(),
+    * LikeFilter.java:55-65, pinned by LikeFilterTest.java:19-84). */
+  def likeSearch(docs: DataFrame, idCol: String, textCol: String,
+                 expression: String, caseSensitive: Boolean = true): DataFrame = {
+    val regex = (if (caseSensitive) "" else "(?i)") +
+      "^(?:" + expression.replace("%", ".*") + ")$"
+    docs.where(regexp_like(col(textCol), lit(regex))).select(col(idCol).as("id"))
+  }
+
   /** document fingerprint: min/max/xor over portable rolling hashes of all
     * char k-grams (winnowing-style signature). Docs shorter than k chars
     * are dropped. */
