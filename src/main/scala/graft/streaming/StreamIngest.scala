@@ -64,6 +64,15 @@ object StreamIngest {
       }
   }
 
+  /** streaming spatial enrichment: every streaming point tagged with the
+    * region(s) containing it — the stream-static form of the
+    * point-in-polygon join (stateless: polygons ride inside the broadcast
+    * expression, so it runs per micro-batch with no stream state at all;
+    * the streaming twin of SpatialJoin.polygonJoin). */
+  def enrichWithRegions(stream: DataFrame,
+                        regions: Seq[(String, org.locationtech.jts.geom.Geometry)]): DataFrame =
+    graft.spark.SpatialJoin.polygonJoin(stream, regions)
+
   /** streaming exact dedup — the streaming twin of Ops.exactDedup: rows
     * whose content hash was already seen within the watermark horizon are
     * dropped. `dropDuplicatesWithinWatermark` evicts state older than the

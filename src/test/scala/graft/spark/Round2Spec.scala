@@ -405,6 +405,28 @@ class Round2Spec extends SparkTestBase {
       (2L, 2L, true), (6L, 2L, false), (4L, 4L, true)))
   }
 
+  test("streaming spatial enrichment: stream-static polygon join per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Double, Double)]
+    val regions = Tables.regionGeoms(10)
+    val enriched = graft.streaming.StreamIngest.enrichWithRegions(
+      in.toDF().toDF("id", "lon", "lat"), regions)
+    val q = enriched.writeStream.format("memory").queryName("r2_enrich")
+      .outputMode("append").start()
+    // one point inside region r000, one in the middle of nowhere
+    val (id0, lonMin, _, latMin, _) = Tables.regionBoxes(1).head
+    in.addData((1L, lonMin + 1.0, latMin + 1.0), (2L, 179.9, -84.9))
+    q.processAllAvailable()
+    val got = spark.table("r2_enrich").select("id", "region_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    q.stop()
+    assert(got.exists(_ == (1L, id0)), s"point in $id0 must be enriched; got ${got.toSeq}")
+    assert(!got.exists(_._1 == 2L) ||
+      got.filter(_._1 == 2L).forall(t => regions.exists(_._1 == t._2)))
+  }
+
   test("streaming dedup drops repeated content within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
