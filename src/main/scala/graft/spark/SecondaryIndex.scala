@@ -59,14 +59,18 @@ object SecondaryIndex {
 
   /** open-ended constraint ranges, matching the reference's
     * NumericIndexStrategy query semantics (NumericIndexStrategyTest:
-    * equals → [lex(v), lex(v)]; >= v → [lex(v), lex(+MAX)];
-    * <= v → [lex(−MAX), lex(v)]). */
+    * equals → [lex(v), lex(v)]; >= v → [lex(v), lex(max)];
+    * <= v → [lex(min), lex(v)]). Open ends use ±Infinity so rows with
+    * infinite values are included; equals(±0.0) spans both signed zeros
+    * (they lexicode apart but compare SQL-equal). NaN keys are outside
+    * the lexicoder contract. */
   def queryEquals(primary: DataFrame, index: DataFrame, idCol: String, v: Double): DataFrame =
-    queryRange(primary, index, idCol, v, v)
+    if (v == 0.0) queryRange(primary, index, idCol, -0.0, 0.0)
+    else queryRange(primary, index, idCol, v, v)
   def queryGte(primary: DataFrame, index: DataFrame, idCol: String, v: Double): DataFrame =
-    queryRange(primary, index, idCol, v, Double.MaxValue)
+    queryRange(primary, index, idCol, v, Double.PositiveInfinity)
   def queryLte(primary: DataFrame, index: DataFrame, idCol: String, v: Double): DataFrame =
-    queryRange(primary, index, idCol, -Double.MaxValue, v)
+    queryRange(primary, index, idCol, Double.NegativeInfinity, v)
 
   /** sign-flip long lexicode as a codegen'd expression (the temporal
     * secondary key — epoch millis, TemporalIndexStrategy semantics). */
@@ -89,8 +93,10 @@ object SecondaryIndex {
     * (reference: core/store/.../index/temporal/TemporalIndexStrategy.java,
     * pinned by TemporalIndexStrategyTest's literal date key). */
   def buildTemporal(df: DataFrame, idCol: String, tsCol: String): DataFrame =
+    // unix_millis floor-divides (Timestamp.getTime semantics) — a double
+    // division would truncate toward zero and mis-key pre-epoch instants
     df.select(
-      lexicodeLong(unix_micros(col(tsCol).cast("timestamp")) / 1000L).as("sec_key"),
+      lexicodeLong(unix_millis(col(tsCol).cast("timestamp"))).as("sec_key"),
       col(idCol))
 
   def queryTimeRange(primary: DataFrame, index: DataFrame, idCol: String,

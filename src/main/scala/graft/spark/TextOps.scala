@@ -190,6 +190,13 @@ object TextOps {
       s"embeddingNearDupPairs is the all-pairs exactness baseline ($n rows > maxRows=$maxRows): " +
         "use embeddingLshPairs (hyperplane LSH buckets) or Ops.annIvf (inverted lists) at this scale, " +
         "or raise maxRows explicitly if an exact quadratic pass is intended")
+    embeddingNearDupPairsUnguarded(emb, idCol, vecCol, tau)
+  }
+
+  /** the exact all-pairs plan without the row-count guard — for callers
+    * (embeddingNearDupAuto) that have already sized the input. */
+  private def embeddingNearDupPairsUnguarded(emb: DataFrame, idCol: String, vecCol: String,
+                                             tau: Double): DataFrame = {
     // norms are per-vector: compute them once BEFORE the pair join, not
     // per pair (the n² side only pays the dot product)
     val q = emb.select(col(idCol).as("id"),
@@ -262,7 +269,8 @@ object TextOps {
                            maxExact: Long = 100000, lshBits: Int = 8): (String, DataFrame) = {
     val n = emb.count()
     if (n <= maxExact)
-      ("exact", embeddingNearDupPairs(emb, idCol, vecCol, tau, maxRows = maxExact))
+      // size already measured here — skip the guard's second count
+      ("exact", embeddingNearDupPairsUnguarded(emb, idCol, vecCol, tau))
     else
       ("lsh", embeddingLshPairs(emb, idCol, vecCol, dims, lshBits, tau)
         .select(col("a_id"), col("b_id"), col("cos")))
@@ -382,8 +390,10 @@ object TextOps {
     * LikeFilter.java:55-65, pinned by LikeFilterTest.java:19-84). */
   def likeSearch(docs: DataFrame, idCol: String, textCol: String,
                  expression: String, caseSensitive: Boolean = true): DataFrame = {
+    // \A..\z, not ^..$: $ would match before a trailing newline, which
+    // Matcher.matches() (the reference contract) does not allow
     val regex = (if (caseSensitive) "" else "(?i)") +
-      "^(?:" + expression.replace("%", ".*") + ")$"
+      "\\A(?:" + expression.replace("%", ".*") + ")\\z"
     docs.where(regexp_like(col(textCol), lit(regex))).select(col(idCol).as("id"))
   }
 

@@ -423,8 +423,9 @@ class Round2Spec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1)))
     q.stop()
     assert(got.exists(_ == (1L, id0)), s"point in $id0 must be enriched; got ${got.toSeq}")
-    assert(!got.exists(_._1 == 2L) ||
-      got.filter(_._1 == 2L).forall(t => regions.exists(_._1 == t._2)))
+    // (179.9, -84.9) is outside every regionBoxes(10) box — it must NOT
+    // be enriched at all (a containment false-positive would fail here)
+    assert(!got.exists(_._1 == 2L), s"outside-all-regions point enriched: ${got.toSeq}")
   }
 
   test("streaming dedup drops repeated content within the watermark") {
