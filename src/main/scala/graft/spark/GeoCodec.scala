@@ -133,6 +133,45 @@ object GeoCodec {
     sig
   }
 
+  /** portable string hash — fold (acc·31 + codePoint) mod 2^31−1 over the
+    * string's CODE POINTS, exactly matching the column-expression form
+    * `aggregate(transform(split(s,''), ascii), ...)` (Java split keeps
+    * surrogate pairs whole and ascii() yields the full code point) and the
+    * DuckDB `ord` twin. Codegen entry point — one JVM loop instead of an
+    * eval-mode higher-order-function chain per row. */
+  def portableHash(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** all k-gram fold hashes of a string in one pass (the fingerprint
+    * primitive): gram i (0-based, char-indexed) = fold (acc·31 + char)
+    * mod p over chars [i, i+k) — identical values to the unrolled
+    * column-expression fold over `substr`. Returns array<long>. */
+  def kgramHashes(s: org.apache.spark.unsafe.types.UTF8String, k: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      while (j < k) { acc = (acc * 31 + str.charAt(i + j)) % 2147483647L; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** geohash cell id (codegen entry point; returns Spark's UTF8String). */
   def geohash(lon: Double, lat: Double, precision: Int): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(

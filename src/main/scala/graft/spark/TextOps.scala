@@ -19,10 +19,13 @@ object TextOps {
   val P = 2147483647L // 2^31 - 1
 
   /** portable string hash: fold(a*31 + codepoint) mod p over characters.
-    * (SQL twin: list_reduce over ord(substr(w,i,1)).) */
-  def portableHash(s: Column): Column =
-    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L), (acc, x) => (acc * 31 + x) % P)
+    * (SQL twin: list_reduce over ord(substr(w,i,1)).) One codegen'd
+    * expression — the higher-order aggregate/transform/split chain it
+    * replaces ran in eval mode per row. */
+  def portableHash(s: Column): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(PortableHash(expression(s)))
+  }
 
   /** distinct word-n-gram shingles per doc: (id, shingle). */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
@@ -401,13 +404,11 @@ object TextOps {
     * char k-grams (winnowing-style signature). Docs shorter than k chars
     * are dropped. */
   def fingerprintKgram(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
     val t = col(textCol)
-    val idxs = sequence(lit(1), length(t) - (k - 1))
-    val gramHash = transform(idxs, i =>
-      // fold over the k chars starting at i: ((...)*31 + code) mod p
-      (0 until k).foldLeft(lit(0L): Column) { (acc, off) =>
-        (acc * 31 + ascii(t.substr(i + off, lit(1))).cast("long")) % P
-      })
+    // all gram hashes in ONE codegen'd pass (the per-gram substr-fold
+    // column tree it replaces was O(len·k) eval-mode expressions per row)
+    val gramHash = column(KgramHashes(expression(t), k))
     docs.where(length(t) >= k)
       .select(col(idCol).as("id"), gramHash.as("hs"))
       .select(col("id"),

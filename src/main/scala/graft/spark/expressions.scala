@@ -292,6 +292,31 @@ case class GeohashId(left: Expression, right: Expression, precision: Int)
     copy(left = l, right = r)
 }
 
+/** portable fold hash of a string (codegen'd single loop — replaces the
+  * eval-mode aggregate/transform/split column chain in the text ops). */
+case class PortableHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any): Any =
+    GeoCodec.portableHash(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.spark.GeoCodec.portableHash($s)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** all k-gram fold hashes of a string in one codegen'd pass (the
+  * fingerprint primitive; ASCII fixture contract like the oracle twin). */
+case class KgramHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any): Any =
+    GeoCodec.kgramHashes(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.spark.GeoCodec.kgramHashes($s, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column wrappers. */
 object GeoFunctions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
