@@ -172,6 +172,34 @@ object GeoCodec {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  private val SpaceUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+  private val SpaceJoinUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** all word n-gram shingles of a text in one pass: words via
+    * UTF8String.split(" ", -1) — the exact code path of Spark's `split`
+    * column function — n-grams joined with a single space. Empty array
+    * when the text has fewer than n words. Codegen entry point replacing
+    * a transform/slice/array_join eval-mode chain. */
+  def wordShingles(s: org.apache.spark.unsafe.types.UTF8String, n: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val words = s.split(SpaceUtf8, -1)
+    if (words.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var sh = words(i)
+      var j = 1
+      while (j < n) {
+        sh = org.apache.spark.unsafe.types.UTF8String.concat(sh, SpaceJoinUtf8, words(i + j))
+        j += 1
+      }
+      out(i) = sh
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** geohash cell id (codegen entry point; returns Spark's UTF8String). */
   def geohash(lon: Double, lat: Double, precision: Int): org.apache.spark.unsafe.types.UTF8String =
     org.apache.spark.unsafe.types.UTF8String.fromString(

@@ -27,13 +27,13 @@ object TextOps {
     column(PortableHash(expression(s)))
   }
 
-  /** distinct word-n-gram shingles per doc: (id, shingle). */
+  /** distinct word-n-gram shingles per doc: (id, shingle). The shingle
+    * array is one codegen'd pass (WordShingles — same word split as
+    * Spark's `split`); sub-n-word docs yield no rows. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val words = split(col(textCol), " ")
-    docs.where(size(words) >= n)
-      .select(col(idCol).as("id"),
-        explode(transform(sequence(lit(0), size(words) - n),
-          i => array_join(slice(words, i + 1, lit(n)), " "))).as("shingle"))
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    docs.select(col(idCol).as("id"),
+        explode(column(WordShingles(expression(col(textCol)), n))).as("shingle"))
       .distinct()
   }
 

@@ -317,6 +317,19 @@ case class KgramHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** all word n-gram shingles of a text (codegen'd one-pass; empty array
+  * below n words — callers filter/distinct as needed). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any): Any =
+    GeoCodec.wordShingles(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.spark.GeoCodec.wordShingles($s, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column wrappers. */
 object GeoFunctions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
