@@ -269,6 +269,24 @@ object SparkEntry {
         maxBroadcast = 0, bits = 6)
         .select(col("doc_id"), col("region_id"))
     }),
+    "q59_range_join" -> ((s, dir) => {
+      // binned interval join: orders matched to overlapping price bands
+      import s.implicits._
+      val bands = (0 until 20).map(i => (f"b$i%02d", i * 15000.0, i * 15000.0 + 25000.0))
+        .toDF("band_id", "lo", "hi")
+      Ops.rangeJoinBinned(s.read.parquet(s"$dir/orders.parquet"), "o_totalprice",
+        bands, "lo", "hi", binWidth = 20000.0)
+        .select(col("o_orderkey"), col("band_id"))
+    }),
+    "q60_incremental_dedup" -> ((s, dir) => {
+      // recrawl overlap: the "new" batch shares docs 200..249 with the
+      // seen corpus; Bloom prefilter + exact verify finds exactly those
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.spark.TextOps.incrementalDedup(
+        docs.where(col("doc_id") < 250), docs.where(col("doc_id") >= 200),
+        "doc_id", "text", expectedSeen = 1000)
+        .select(col("doc_id"), col("text_md5"))
+    }),
     "q57_top_tokens" -> ((s, dir) => {
       graft.spark.TextOps.topTokens(
         s.read.parquet(s"$dir/documents.parquet"), "text", k = 50)
@@ -771,6 +789,20 @@ object SparkEntry {
     "q49_secondary_index" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 100000.0""".stripMargin,
+    "q59_range_join" -> {
+      // literal VALUES twin of the Spark-side bands
+      val values = (0 until 20).map(i => f"('b$i%02d', ${i * 15000.0}, ${i * 15000.0 + 25000.0})")
+        .mkString(", ")
+      s"""SELECT o.o_orderkey, b.band_id
+         |FROM orders o
+         |JOIN (VALUES $values) b(band_id, lo, hi)
+         |  ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi""".stripMargin
+    },
+    "q60_incremental_dedup" ->
+      """SELECT a.doc_id, md5(a.text) AS text_md5
+        |FROM documents a
+        |WHERE a.doc_id < 250
+        |  AND EXISTS (SELECT 1 FROM documents b WHERE b.doc_id >= 200 AND b.text = a.text)""".stripMargin,
     "q57_top_tokens" ->
       """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS token
         |           FROM documents)

@@ -411,6 +411,31 @@ object Ops {
   }
 
   /**
+   * RANGE (interval) join: rows joined to every interval containing their
+   * value — the 1-D analogue of the tile-cover polygon join, and the
+   * scalable replacement for the BETWEEN theta join Spark would otherwise
+   * plan as a nested loop: intervals explode to the fixed-width bins they
+   * cover, values key by their bin, candidates meet on a bin equi-join
+   * and the exact BETWEEN decides. Intervals spanning many bins explode
+   * accordingly — pick `binWidth` near the typical interval width.
+   * Output: row columns + the interval table's columns.
+   */
+  def rangeJoinBinned(rows: DataFrame, valueCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0)
+    val ivBinned = intervals
+      .withColumn("__bin", explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    rows
+      .withColumn("__bin", floor(col(valueCol) / binWidth).cast("long"))
+      .join(ivBinned, Seq("__bin"))
+      .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bin")
+  }
+
+  /**
    * AS-OF join: for each left row, the LATEST right row with the same key
    * and right ts <= left ts — the temporal join Spark lacks natively,
    * expressed as union + one per-key window (single sort, NO range

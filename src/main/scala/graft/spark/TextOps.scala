@@ -359,6 +359,58 @@ object TextOps {
       .select(col(idCol).as("id"))
   }
 
+  /**
+   * INCREMENTAL exact dedup against an existing corpus: which new docs
+   * already exist (by content hash) in the seen corpus? The seen side is
+   * summarized into a broadcast Bloom filter over content hashes —
+   * definite-new docs never join at all; only the Bloom-possible
+   * candidates (a small fraction at a sane fpp) go through the exact
+   * hash equi-join, which also kills the Bloom's false positives, so the
+   * OUTPUT is exact and deterministic. This is the shape of continuous
+   * crawl dedup: the filter is tiny relative to the corpus and rebuilt
+   * incrementally. Output: new-doc rows whose text already exists.
+   */
+  def incrementalDedup(newDocs: DataFrame, seenDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       expectedSeen: Long = 1000000, fpp: Double = 0.01): DataFrame = {
+    val hash = md5(col(textCol).cast("binary"))
+    val seen = seenDocs.select(hash.as("text_md5"))
+    val bloom = seen.stat.bloomFilter("text_md5", math.max(expectedSeen, 64), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val mightBeSeen = column(BloomMightContain(expression(col("text_md5")), bos.toByteArray))
+    newDocs
+      .withColumn("text_md5", hash)
+      .where(mightBeSeen) // Bloom prunes definite-new rows, codegen'd
+      .join(seen.distinct(), Seq("text_md5")) // exact verify kills false positives
+  }
+
+  /** membership probe against a serialized Bloom filter (codegen'd; the
+    * filter deserializes once per task). */
+  case class BloomMightContain(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                               bloomBytes: Array[Byte])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.BooleanType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+    def test(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+      bloom.mightContainString(s.toString)
+    override def nullSafeEval(s: Any): Any =
+      test(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomMightContain", this, classOf[BloomMightContain].getName)
+      defineCodeGen(ctx, ev, s => s"$ref.test($s)")
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
+  }
+
   /** corpus vocabulary: top-k tokens by total occurrence count (ties →
     * lexicographic) — the vocabulary-building pass of a training
     * pipeline. One explode + one aggregation; the final top-k is a

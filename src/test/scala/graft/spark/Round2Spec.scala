@@ -368,6 +368,33 @@ class Round2Spec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("rangeJoinBinned equals the BETWEEN theta join, without the nested loop") {
+    val rows = spark.range(2000).select(col("id"), (col("id") % 977 * 1.5).as("v"))
+    val iv = (0 until 30).map(i => (i.toLong, i * 40.0, i * 40.0 + 130.0)).toDF("iv_id", "lo", "hi")
+    val got = Ops.rangeJoinBinned(rows, "v", iv, "lo", "hi", binWidth = 50.0)
+      .select("id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = rows.join(iv, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && want.nonEmpty)
+    // candidate generation is an equi-join on the bin key, not a nested loop
+    val plan = Ops.rangeJoinBinned(rows, "v", iv, "lo", "hi", binWidth = 50.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
+  test("incrementalDedup: bloom prefilter + exact verify — exact output, no false positives") {
+    val docs = (0L until 400L).map(i => (i, s"text-${i % 300}")).toDF("doc_id", "text")
+    // new = 0..199, seen = 250..399 (texts repeat mod 300: new doc i matches
+    // iff some seen doc has i % 300 == j % 300)
+    val out = TextOps.incrementalDedup(
+      docs.where(col("doc_id") < 200), docs.where(col("doc_id") >= 250),
+      "doc_id", "text", expectedSeen = 1000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val seenTexts = (250L until 400L).map(i => s"text-${i % 300}").toSet
+    val want = (0L until 200L).filter(i => seenTexts(s"text-${i % 300}")).toSet
+    assert(out == want && want.nonEmpty)
+  }
+
   test("asofJoin: latest at-or-before match, ties resolved, misses null") {
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
     val left = Seq((10L, 1L, ts(5)), (11L, 1L, ts(20)), (12L, 2L, ts(3)))
