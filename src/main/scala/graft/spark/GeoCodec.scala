@@ -152,20 +152,28 @@ object GeoCodec {
   }
 
   /** all k-gram fold hashes of a string in one pass (the fingerprint
-    * primitive): gram i (0-based, char-indexed) = fold (acc·31 + char)
-    * mod p over chars [i, i+k) — identical values to the unrolled
-    * column-expression fold over `substr`. Returns array<long>. */
+    * primitive): gram i (0-based, CODE-POINT-indexed like Spark's
+    * substr/length) = fold (acc·31 + codePoint) mod p over code points
+    * [i, i+k) — identical values to the unrolled column-expression fold
+    * over `substr`+`ascii` for any input, not just ASCII. */
   def kgramHashes(s: org.apache.spark.unsafe.types.UTF8String, k: Int)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val str = s.toString
-    val n = str.length - k + 1
+    // code-point array (char-indexed walk would split surrogate pairs)
+    val cps = new Array[Int](str.codePointCount(0, str.length))
+    var ci = 0; var off = 0
+    while (off < str.length) {
+      val cp = str.codePointAt(off)
+      cps(ci) = cp; ci += 1; off += Character.charCount(cp)
+    }
+    val n = cps.length - k + 1
     if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
       var acc = 0L
       var j = 0
-      while (j < k) { acc = (acc * 31 + str.charAt(i + j)) % 2147483647L; j += 1 }
+      while (j < k) { acc = (acc * 31 + cps(i + j)) % 2147483647L; j += 1 }
       out(i) = acc
       i += 1
     }
@@ -173,7 +181,6 @@ object GeoCodec {
   }
 
   private val SpaceUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-  private val SpaceJoinUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
   /** all word n-gram shingles of a text in one pass: words via
     * UTF8String.split(" ", -1) — the exact code path of Spark's `split`
@@ -191,7 +198,7 @@ object GeoCodec {
       var sh = words(i)
       var j = 1
       while (j < n) {
-        sh = org.apache.spark.unsafe.types.UTF8String.concat(sh, SpaceJoinUtf8, words(i + j))
+        sh = org.apache.spark.unsafe.types.UTF8String.concat(sh, SpaceUtf8, words(i + j))
         j += 1
       }
       out(i) = sh

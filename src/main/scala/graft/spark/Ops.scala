@@ -424,6 +424,8 @@ object Ops {
                       intervals: DataFrame, loCol: String, hiCol: String,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0)
+    require(!rows.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "rangeJoinBinned reserves the __bin column name; rename it on the input")
     val ivBinned = intervals
       .withColumn("__bin", explode(sequence(
         floor(col(loCol) / binWidth).cast("long"),

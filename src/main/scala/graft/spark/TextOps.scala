@@ -374,8 +374,26 @@ object TextOps {
                        idCol: String, textCol: String,
                        expectedSeen: Long = 1000000, fpp: Double = 0.01): DataFrame = {
     val hash = md5(col(textCol).cast("binary"))
-    val seen = seenDocs.select(hash.as("text_md5"))
-    val bloom = seen.stat.bloomFilter("text_md5", math.max(expectedSeen, 64), fpp)
+    // cache: the seen-side scan + md5 feeds BOTH the eager bloomFilter
+    // action and the verify join — without it the whole DAG runs twice
+    val seen = seenDocs.select(hash.as("text_md5")).cache()
+    // stat.bloomFilter goes through bloom_filter_agg, whose sizing is
+    // SILENTLY clamped by the runtime-filter confs; raise them for the
+    // build so the advertised expectedSeen/fpp are actually honored
+    val spark = newDocs.sparkSession
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = spark.conf.getOption(itemsConf)
+    val oldBits = spark.conf.getOption(bitsConf)
+    val bloom =
+      try {
+        spark.conf.set(itemsConf, math.max(expectedSeen, 4000000L))
+        spark.conf.set(bitsConf, math.max(8L * expectedSeen * 10, 67108864L))
+        seen.stat.bloomFilter("text_md5", math.max(expectedSeen, 64), fpp)
+      } finally {
+        oldItems.fold(spark.conf.unset(itemsConf))(v => spark.conf.set(itemsConf, v))
+        oldBits.fold(spark.conf.unset(bitsConf))(v => spark.conf.set(bitsConf, v))
+      }
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -399,7 +417,9 @@ object TextOps {
       org.apache.spark.util.sketch.BloomFilter.readFrom(
         new java.io.ByteArrayInputStream(bloomBytes))
     def test(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
-      bloom.mightContainString(s.toString)
+      // same bytes the build side hashed (putBinary of UTF-8), without the
+      // per-row String round-trip of mightContainString
+      bloom.mightContainBinary(s.getBytes)
     override def nullSafeEval(s: Any): Any =
       test(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
