@@ -210,8 +210,13 @@ object SparkEntry {
         p.where(col("doc_id") % 2 === 0), p.where(col("doc_id") % 2 === 1), bits = 5)
     }),
     "q38_text_search" -> ((s, dir) => {
-      graft.spark.TextOps.ngramSearch(
-        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "scan merge")
+      // STORED posting-list text index: (gram, doc_id) parquet sorted by
+      // gram, equality probe pushed into the scan, exact contains verify —
+      // no full-text scan on the probe side (TextIndexSpec pins the plan)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q38").toString
+      graft.spark.TextIndex.searchStored(s, docs, "doc_id", "text",
+        "scan merge", s"$tmp/postings")
     }),
     "q39_zorder" -> ((s, dir) => {
       import graft.spark.GeoFunctions._

@@ -51,6 +51,7 @@ object Analytics {
     * round (new coord = sum_c / cnt / 100 — one double division, exactly
     * reproducible). Driver loops on k-sized aggregates only. */
   def kmeans(pts: DataFrame, init: Seq[(Long, Double, Double)], iters: Int): DataFrame = {
+    require(iters >= 1, s"kmeans needs at least one Lloyd iteration (got iters=$iters)")
     var centroids = init
     var stats: DataFrame = null
     for (_ <- 0 until iters) {
@@ -109,7 +110,13 @@ object Analytics {
       .join(core, Seq("id"), "left_anti")
       .join(borderLbl.select("id"), Seq("id"), "left_anti")
       .withColumn("cluster", lit(-1L)).withColumn("role", lit("noise"))
-    coreOut.unionByName(borderLbl).unionByName(noise)
+    // materialize the (narrow, O(n)-row) result so the eps-edge and core
+    // caches can be released NOW — without this, every dbscan call leaks
+    // two cached tables into executor memory for the session's lifetime
+    val out = coreOut.unionByName(borderLbl).unionByName(noise).localCheckpoint()
+    edges.unpersist()
+    core.unpersist()
+    out
   }
 
   /** 5x5 quantized Gaussian kernel (sigma=1), integer weights — the
@@ -256,10 +263,18 @@ object Analytics {
         .groupBy("cid", "dim")
         .agg(sum(col("x")).as("s"), count(lit(1)).as("cnt"))
         .collect()
-      cents = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
+      val updated = sums.groupBy(_.getLong(0)).map { case (cid, rows) =>
         val dims = rows.map(r => (r.getInt(1), r.getLong(2) / r.getLong(3))).sortBy(_._1)
         (cid, dims.map(_._2).toArray)
-      }.toSeq.sortBy(_._1)
+      }
+      // a centroid that attracts no members vanishes from the groupBy;
+      // carry it forward unchanged (and say so) instead of silently
+      // shrinking k for every subsequent iteration
+      val lost = cents.map(_._1).filterNot(updated.contains)
+      if (lost.nonEmpty)
+        println(s"[graft] kmeansVec: centroids ${lost.mkString(",")} attracted no members this iteration; carried forward unchanged")
+      cents = cents.map { case (cid, cv) => (cid, updated.getOrElse(cid, cv)) }
+        .sortBy(_._1)
     }
     q.unpersist()
     cents
@@ -348,6 +363,8 @@ object Analytics {
     * (the reference pays one MR chain per zoom group). */
   def multiLevelKmeans(pts: DataFrame, init1: Seq[(Long, Double, Double)],
                        childK: Int, iters: Int): DataFrame = {
+    require(iters >= 1,
+      s"multiLevelKmeans needs at least one Lloyd iteration per level (got iters=$iters)")
     // level 1: final assignment of every point to a parent
     var centroids = init1
     for (_ <- 0 until iters) {

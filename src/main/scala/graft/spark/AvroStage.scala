@@ -27,24 +27,43 @@ object AvroStage {
       |{"name":"originalFilePath","type":["string","null"]}]}""".stripMargin
 
   /** stage (path, content) rows into one Avro container file per
-    * partition under `outDir`; returns the number of records written. */
+    * partition under `outDir`; returns the number of records written.
+    *
+    * Commit protocol: `outDir` must hold no previous stage files (a stale
+    * `stage-*.avro` from an earlier run with more partitions would be
+    * double-read by [[readStaged]]), and each task writes to a dot-hidden
+    * temp name and renames into place only after a clean close — a failed
+    * or straggling speculative attempt leaves only a temp file behind
+    * (rename-if-absent: the second attempt to finish fails its rename
+    * instead of corrupting the committed file). */
   def stageToAvro(df: DataFrame, pathCol: String, contentCol: String,
                   outDir: String): Long = {
     val spark = df.sparkSession
     import spark.implicits._
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath.getFileSystem(hadoopConf)
+    if (outFs.exists(outPath)) {
+      val stale = outFs.globStatus(new org.apache.hadoop.fs.Path(outDir, "stage-*.avro"))
+      require(stale == null || stale.isEmpty,
+        s"stageToAvro: $outDir already holds ${if (stale == null) 0 else stale.length} stage-*.avro " +
+          "files from a previous run; stage into an empty directory (stale files would be double-read)")
+    }
     val hadoopConfBc = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sparkContext.hadoopConfiguration))
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf))
     val counts = df.select(col(pathCol), col(contentCol))
       .as[(String, Array[Byte])]
       .mapPartitions { it =>
         if (!it.hasNext) Iterator.empty
         else {
           val pid = org.apache.spark.TaskContext.getPartitionId()
+          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
           val schema = new Schema.Parser().parse(WholeFileSchemaJson)
-          val fsPath = new org.apache.hadoop.fs.Path(outDir, f"stage-$pid%05d.avro")
-          val fs = fsPath.getFileSystem(hadoopConfBc.value.value)
-          val out = fs.create(fsPath, true)
+          val fs0 = new org.apache.hadoop.fs.Path(outDir)
+            .getFileSystem(hadoopConfBc.value.value)
+          val tmpPath = new org.apache.hadoop.fs.Path(outDir, f".stage-$pid%05d-$attempt.avro.tmp")
+          val finalPath = new org.apache.hadoop.fs.Path(outDir, f"stage-$pid%05d.avro")
+          val out = fs0.create(tmpPath, true)
           val writer = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
           var n = 0L
           try {
@@ -57,6 +76,12 @@ object AvroStage {
               n += 1
             }
           } finally writer.close() // no stream leak on mid-partition failure
+          // commit: rename succeeds for exactly one attempt per partition
+          if (!fs0.rename(tmpPath, finalPath)) {
+            fs0.delete(tmpPath, false)
+            throw new java.io.IOException(
+              s"stageToAvro: commit rename lost to another attempt for partition $pid")
+          }
           Iterator.single(n)
         }
       }.collect()

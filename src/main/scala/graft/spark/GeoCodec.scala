@@ -180,6 +180,38 @@ object GeoCodec {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 
+  /** all character n-grams of a string for n in [minN, maxN], CODE-POINT
+    * indexed (a surrogate pair is one "character", matching Spark's
+    * substr/length) — the reference's NGramTokenizer gram enumeration
+    * (core/store/.../index/text/TextIndexStrategy.java:21-130, default
+    * n = 2..4). One pass; grams of each length in positional order. */
+  def charGrams(s: org.apache.spark.unsafe.types.UTF8String, minN: Int, maxN: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val cpCount = str.codePointCount(0, str.length)
+    // char offsets of each code point (so substring extraction is O(1))
+    val offs = new Array[Int](cpCount + 1)
+    var ci = 0; var off = 0
+    while (off < str.length) {
+      offs(ci) = off
+      off += Character.charCount(str.codePointAt(off))
+      ci += 1
+    }
+    offs(cpCount) = str.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var n = minN
+    while (n <= maxN) {
+      var i = 0
+      while (i + n <= cpCount) {
+        out += org.apache.spark.unsafe.types.UTF8String.fromString(
+          str.substring(offs(i), offs(i + n)))
+        i += 1
+      }
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   private val SpaceUtf8 = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
 
   /** all word n-gram shingles of a text in one pass: words via

@@ -163,6 +163,15 @@ object Ops {
    * buffering (OrthodromicDistancePartitioner.java:210-240 meters→degrees
    * via geodetic calc), done as a static worst-case bound so the join
    * stays a single equi-join. Exact haversine re-check after the join.
+   *
+   * LATITUDE BAND CONTRACT: rows with |lat| > `maxAbsLatDeg` (default 85°)
+   * are EXCLUDED from the join entirely — the 1/cos lon-expansion bound is
+   * only valid inside the band, so near-pole rows would otherwise silently
+   * miss qualifying pairs. Polar data needs either a wider band (cos(89°)
+   * still bounds, at ~57× the lon expansion) or a dedicated polar-cap pass;
+   * counting the excluded rows here would cost an extra full scan per
+   * call, so the exclusion is contractual rather than logged — callers
+   * with possibly-polar data should pre-count `|lat| > maxAbsLatDeg`.
    */
   def distanceJoinMeters(pts: DataFrame, idCol: String, dMeters: Double,
                          bits: Int, maxAbsLatDeg: Double = 85.0): DataFrame = {

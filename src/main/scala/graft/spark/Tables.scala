@@ -60,13 +60,15 @@ object Tables {
 
   /**
    * Deterministic synthetic document corpus with PLANTED near-duplicates
-   * for dedup benchmarks: docs come in groups of 5 sharing 24 group words;
-   * docs 0/1 of each group differ only in their last word (true near-dups,
-   * word-3-gram Jaccard 21/25 = 0.84), docs 2–4 append 24 distinct words
-   * each, pushing EVERY other within-group pair below a tau=0.5 gate
-   * (far↔far 22/70 ≈ 0.31, near↔far 22/47 ≈ 0.47) — so the only true
-   * pairs at tau=0.5 are the planted ones. Pure column arithmetic —
-   * reproducible, parallel.
+   * for dedup benchmarks: docs come in groups of 5 sharing 24 group words.
+   * Docs 0/1 of each group are 25 words (base + 1 tail word) differing
+   * only in that tail, so each has 23 word-3-gram shingles of which 22
+   * are shared (only the gram touching the tail differs): Jaccard
+   * 22/24 ≈ 0.92 — the true near-dup pair. Docs 2–4 append 24 distinct
+   * words each (48 words → 46 shingles), pushing every other within-group
+   * pair below a tau=0.5 gate (far↔far 22/70 ≈ 0.31, near↔far
+   * 22/47 ≈ 0.47) — so the only true pairs at tau=0.5 are the planted
+   * ones. Pure column arithmetic — reproducible, parallel.
    */
   def synthDocs(spark: SparkSession, n: Long): DataFrame = {
     val grp = expr("id DIV 5")

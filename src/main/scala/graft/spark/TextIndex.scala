@@ -1,0 +1,98 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * STORED n-gram posting-list text index — the Spark-native form of the
+ * reference's secondary text index (core/store/.../index/text/
+ * TextIndexStrategy.java:21-130: a Lucene NGramTokenizer enumerates
+ * character n-grams, default n = 2..4, each gram becomes an index row
+ * keyed (gram → primary key); substring/LIKE queries probe the gram rows
+ * and re-check exactly).
+ *
+ * Here the posting table is (gram, <idCol>) parquet, range-partitioned and
+ * sorted by gram so a probe's `gram = '...'` equality pushes into the scan
+ * (file + row-group min/max pruning): at corpus scale a substring search
+ * reads only the matching posting rows — never the full text column. The
+ * exact `contains` verification runs only on the candidate ids joined back
+ * to the primary store, so results are identical to a full scan by
+ * construction (the candidate generator can only over-approximate).
+ */
+object TextIndex {
+
+  /** posting rows: one (gram, id) per DISTINCT char n-gram per doc, for
+    * every n in [minN, maxN] (reference default 2..4). */
+  def build(docs: DataFrame, idCol: String, textCol: String,
+            minN: Int = 2, maxN: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    docs.select(col(idCol),
+        explode(column(CharGrams(expression(col(textCol)), minN, maxN))).as("gram"))
+      .distinct()
+      .select(col("gram"), col(idCol))
+  }
+
+  /** materialize the posting table sorted by gram: range-partitioned so
+    * each output file owns a contiguous gram range, sorted within files so
+    * parquet row-group stats prune to the probe gram. The ingest-side twin
+    * of `Ingest.run`'s sorted store write. */
+  def buildAndWrite(docs: DataFrame, idCol: String, textCol: String, path: String,
+                    minN: Int = 2, maxN: Int = 4, numFiles: Int = 8): Unit =
+    build(docs, idCol, textCol, minN, maxN)
+      .repartitionByRange(numFiles, col("gram"))
+      .sortWithinPartitions("gram")
+      .write.mode("overwrite").parquet(path)
+
+  /** the probe gram for a pattern: its longest prefix that exists in the
+    * posting table (length maxN when the pattern is long enough). */
+  def probeGram(pattern: String, minN: Int, maxN: Int): String = {
+    val cps = pattern.codePointCount(0, pattern.length)
+    require(cps >= minN,
+      s"pattern must be >= $minN chars for the $minN..$maxN-gram index (got '$pattern')")
+    val n = math.min(cps, maxN)
+    pattern.substring(0, pattern.offsetByCodePoints(0, n))
+  }
+
+  /**
+   * Substring search THROUGH the stored index: equality probe on the
+   * posting table (pushed into the parquet scan) → candidate ids →
+   * point lookups into the primary store → exact `contains` verification.
+   * Output: (id) of docs whose text contains `pattern`.
+   *
+   * The candidate ids are gathered to the driver (the reference's client
+   * does the same: index scan yields primary keys, then the primary table
+   * is ranged-scanned by key) and pushed as an `In(<idCol>)` filter, so
+   * the primary scan prunes to the candidate rows — without this, Catalyst
+   * would push the `contains` verification below a join and the primary
+   * side would be a full-text scan again. Grams hotter than `maxLookup`
+   * candidates fall back to the equi-join plan (an unselective probe is a
+   * scan-shaped query no matter the index; logged, never silent).
+   */
+  def search(docs: DataFrame, postings: DataFrame, idCol: String, textCol: String,
+             pattern: String, minN: Int = 2, maxN: Int = 4,
+             maxLookup: Int = 10000): DataFrame = {
+    val gram = probeGram(pattern, minN, maxN)
+    val hits = postings.where(col("gram") === lit(gram)).select(col(idCol))
+    val cand = hits.limit(maxLookup + 1).collect().map(_.get(0))
+    val verified =
+      if (cand.length <= maxLookup)
+        docs.where(col(idCol).isin(cand.toIndexedSeq: _*))
+      else {
+        println(s"[graft] TextIndex.search: gram '$gram' matched more than " +
+          s"$maxLookup candidates; using the join plan instead of point lookups")
+        docs.join(hits, idCol)
+      }
+    verified
+      .where(col(textCol).contains(pattern)) // exact verification, candidates only
+      .select(col(idCol).as("id"))
+  }
+
+  /** one-call convenience: build + store the postings under `indexPath`
+    * (skipped when already present via `reuseExisting`), then [[search]]. */
+  def searchStored(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+                   pattern: String, indexPath: String,
+                   minN: Int = 2, maxN: Int = 4): DataFrame = {
+    buildAndWrite(docs, idCol, textCol, indexPath, minN, maxN)
+    search(docs, spark.read.parquet(indexPath), idCol, textCol, pattern, minN, maxN)
+  }
+}

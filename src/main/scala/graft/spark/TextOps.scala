@@ -342,19 +342,21 @@ object TextOps {
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_tokens"))
 
   /**
-   * Substring search through a char-3-gram inverted index: candidates
-   * contain the pattern's first 3-gram, exact `contains` verifies — the
-   * reference's secondary text index (Lucene NGramTokenizer grams as keys
-   * + LikeFilter re-check, core/store/.../index/text/TextIndexStrategy
-   * .java:21-130). The exact filter makes the result independent of the
-   * candidate generator, so parity holds by construction.
+   * INLINE substring search: first-3-gram prefilter + exact `contains`
+   * verify, both as full-scan column predicates — the no-index fallback
+   * for one-off searches on unindexed data. For repeated searches at
+   * corpus scale use [[TextIndex]]: the STORED (gram, doc_id) posting
+   * table whose equality probe pushes into the parquet scan (the
+   * reference's secondary text index, core/store/.../index/text/
+   * TextIndexStrategy.java:21-130). Both paths end in the same exact
+   * verification, so results are identical by construction.
    */
   def ngramSearch(docs: DataFrame, idCol: String, textCol: String,
                   pattern: String): DataFrame = {
-    require(pattern.length >= 3, "pattern must be >= 3 chars for the 3-gram index")
+    require(pattern.length >= 3, "pattern must be >= 3 chars for the 3-gram prefilter")
     val gram = pattern.substring(0, 3)
     docs
-      .where(col(textCol).contains(gram)) // index probe stand-in (gram postings)
+      .where(col(textCol).contains(gram)) // cheap prefilter (no stored postings)
       .where(col(textCol).contains(pattern)) // exact verification
       .select(col(idCol).as("id"))
   }
@@ -369,6 +371,11 @@ object TextOps {
    * OUTPUT is exact and deterministic. This is the shape of continuous
    * crawl dedup: the filter is tiny relative to the corpus and rebuilt
    * incrementally. Output: new-doc rows whose text already exists.
+   *
+   * The Bloom build temporarily raises two SESSION confs (the runtime
+   * bloom-filter sizing clamps); the mutation is serialized through
+   * [[bloomConfLock]] so two concurrent builds in one session cannot
+   * observe each other's half-restored values.
    */
   def incrementalDedup(newDocs: DataFrame, seenDocs: DataFrame,
                        idCol: String, textCol: String,
@@ -383,9 +390,9 @@ object TextOps {
     val spark = newDocs.sparkSession
     val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
     val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = spark.conf.getOption(itemsConf)
-    val oldBits = spark.conf.getOption(bitsConf)
-    val bloom =
+    val bloom = bloomConfLock.synchronized {
+      val oldItems = spark.conf.getOption(itemsConf)
+      val oldBits = spark.conf.getOption(bitsConf)
       try {
         spark.conf.set(itemsConf, math.max(expectedSeen, 4000000L))
         spark.conf.set(bitsConf, math.max(8L * expectedSeen * 10, 67108864L))
@@ -394,6 +401,7 @@ object TextOps {
         oldItems.fold(spark.conf.unset(itemsConf))(v => spark.conf.set(itemsConf, v))
         oldBits.fold(spark.conf.unset(bitsConf))(v => spark.conf.set(bitsConf, v))
       }
+    }
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -403,6 +411,11 @@ object TextOps {
       .where(mightBeSeen) // Bloom prunes definite-new rows, codegen'd
       .join(seen.distinct(), Seq("text_md5")) // exact verify kills false positives
   }
+
+  /** serializes the session-conf mutation inside [[incrementalDedup]]'s
+    * Bloom build (set/restore of the runtime bloom-filter sizing confs is
+    * not atomic; JVM-local like the SparkSession it guards). */
+  private val bloomConfLock = new Object
 
   /** membership probe against a serialized Bloom filter (codegen'd; the
     * filter deserializes once per task). */

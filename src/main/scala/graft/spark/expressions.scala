@@ -317,6 +317,20 @@ case class KgramHashes(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** all character n-grams (n in [minN, maxN]) of a string in one codegen'd
+  * pass — the posting keys of the stored text index (reference:
+  * TextIndexStrategy.java:21-130 NGramTokenizer). */
+case class CharGrams(child: Expression, minN: Int, maxN: Int) extends UnaryExpression {
+  require(minN >= 1 && maxN >= minN)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(s: Any): Any =
+    GeoCodec.charGrams(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], minN, maxN)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.spark.GeoCodec.charGrams($s, $minN, $maxN)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** all word n-gram shingles of a text (codegen'd one-pass; empty array
   * below n words — callers filter/distinct as needed). */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {

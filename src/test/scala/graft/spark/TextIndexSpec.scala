@@ -1,0 +1,94 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/**
+ * Stored n-gram posting-list text index (reference:
+ * core/store/.../index/text/TextIndexStrategy.java:21-130): semantics
+ * against brute force, gram enumeration, and — the round-3 point — the
+ * plan shape: the probe reads only matching posting rows (gram equality
+ * pushed into the posting scan) and the primary store is point-looked-up
+ * by candidate id, not full-text-scanned.
+ */
+class TextIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "pack my box with five dozen liquor jugs"),
+    (2L, "sphinx of black quartz judge my vow"),
+    (3L, "the five boxing wizards jump quickly"),
+    (4L, "a quick movement of the enemy will jeopardize six gunboats"),
+    (5L, "qq"), // shorter than maxN — still indexed at n=2
+    (6L, "quick quick quick") // repeated grams collapse to distinct postings
+  ).toDF("doc_id", "text")
+
+  private lazy val indexDir = {
+    val dir = Files.createTempDirectory("graft-textindex").toString
+    TextIndex.buildAndWrite(docs, "doc_id", "text", dir)
+    dir
+  }
+  private lazy val postings = spark.read.parquet(indexDir)
+
+  private lazy val docsParquet = {
+    val d = Files.createTempDirectory("graft-textindex-docs").toString
+    docs.write.mode("overwrite").parquet(d)
+    spark.read.parquet(d)
+  }
+
+  private def bruteForce(pattern: String): Set[Long] =
+    docs.where(col("text").contains(pattern)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+  test("CharGrams enumerates every n-gram for n in [minN, maxN]") {
+    val grams = TextIndex.build(Seq((0L, "abcd")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("gram").collect().map(_.getString(0)).toSet
+    assert(grams == Set("ab", "bc", "cd", "abc", "bcd", "abcd"))
+    // below minN → no postings
+    assert(TextIndex.build(Seq((0L, "a")).toDF("doc_id", "text"), "doc_id", "text").count() == 0)
+    // repeated grams are distinct per doc
+    val rep = TextIndex.build(docs.where(col("doc_id") === 6), "doc_id", "text")
+    assert(rep.count() == rep.distinct().count())
+  }
+
+  test("stored-index search matches brute-force contains for 2..10-char patterns") {
+    for (p <- Seq("qu", "the", "quick", "ck b", "judge my", "zz", "box")) {
+      val got = TextIndex.search(docs, postings, "doc_id", "text", p)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == bruteForce(p), s"pattern '$p'")
+    }
+  }
+
+  test("probe gram is the longest prefix <= maxN; short patterns rejected below minN") {
+    assert(TextIndex.probeGram("scan merge", 2, 4) == "scan")
+    assert(TextIndex.probeGram("sc", 2, 4) == "sc")
+    assertThrows[IllegalArgumentException](TextIndex.probeGram("s", 2, 4))
+  }
+
+  test("plan shape: gram equality pushed into the posting scan, primary store point-looked-up by id") {
+    // probe side: the gram predicate must reach the posting parquet scan
+    val probe = postings.where(col("gram") === "quic")
+    val probePlan = probe.queryExecution.executedPlan.toString
+    val probePushed = probePlan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(probePushed.contains("EqualTo(gram,quic)"),
+      s"gram probe not pushed to posting scan:\n${probePlan.take(1500)}")
+
+    // full search: the primary scan is pruned by In(doc_id, ...) — NOT a
+    // full-text contains over every row, and no join node (point lookups)
+    val q = TextIndex.search(docsParquet, postings, "doc_id", "text", "quick")
+    val plan = q.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(doc_id"),
+      s"primary scan not pruned by candidate ids:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), s"point-lookup path built a join:\n${plan.take(1500)}")
+    assert(q.collect().map(_.getLong(0)).toSet == bruteForce("quick"))
+  }
+
+  test("unselective gram falls back to the join plan and stays correct") {
+    val q = TextIndex.search(docs, postings, "doc_id", "text", "quick", maxLookup = 1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), s"expected the join fallback:\n${plan.take(1500)}")
+    assert(q.collect().map(_.getLong(0)).toSet == bruteForce("quick"))
+  }
+}
