@@ -359,6 +359,12 @@ object SparkEntry {
       graft.spark.SecondaryIndex.queryRange(orders, idx, "o_orderkey", 50000.0, 100000.0)
         .select(col("o_orderkey"), col("o_totalprice"))
     }),
+    "q61_kde_levels" -> ((s, dir) => {
+      // pyramid KDE: all zoom levels in one job, 3 bands per cell
+      // (weight, normalized, percentile) — KDEJobRunner per-level loop +
+      // AccumuloKDEReducer 3-band emit as a single dataflow
+      graft.spark.Analytics.kdeMultiLevel(Tables.pages(s, dir), minBits = 3, maxBits = 5)
+    }),
     "q48_multi_index" -> ((s, dir) => {
       // multi-index store (spatial + spatial-temporal keys) queried through
       // the best-match chooser; same semantics and oracle as q03
@@ -608,6 +614,7 @@ object SparkEntry {
     "q24_kmeans" -> kmeansSql(3),
     "q25_dbscan" -> dbscanSql(eps = 0.4, minPts = 4),
     "q26_kde" -> kdeSql(bits = 5),
+    "q61_kde_levels" -> kdeLevelsSql(minBits = 3, maxBits = 5),
     // convex hull per group, oracled on exact integer geometry: a directed
     // pair (a, b) is a minimal-hull edge iff every other point of the group
     // is strictly left of line a→b, or collinear and strictly between a and
@@ -1038,6 +1045,31 @@ object SparkEntry {
        |UNION ALL SELECT doc_id AS id, CAST(-1 AS BIGINT) AS cluster, 'noise' AS role
        |  FROM pages WHERE doc_id NOT IN (SELECT id FROM core)
        |    AND doc_id NOT IN (SELECT id FROM border)""".stripMargin
+  }
+
+  /** multi-level splat + per-level max/percent_rank, mirroring
+    * Analytics.kdeMultiLevel: the level is a column (bins = 1 << level),
+    * norm = weight / per-level max, pr = per-level percent_rank. */
+  private def kdeLevelsSql(minBits: Int, maxBits: Int): String = {
+    val kern = graft.spark.Analytics.KdeKernel
+      .map { case (dx, dy, w) => s"($dx, $dy, $w)" }.mkString(", ")
+    s"""$pagesCte,
+       |splat AS (
+       |  SELECT CAST(l.level AS INTEGER) AS level, (1::BIGINT << l.level) AS bins,
+       |    CAST(GREATEST(CEIL(((lon + 180) / 360) * (1::BIGINT << l.level)) - 1, 0) AS BIGINT) + k.dx AS tx,
+       |    CAST(GREATEST(CEIL(((lat + 180) / 360) * (1::BIGINT << l.level)) - 1, 0) AS BIGINT) + k.dy AS ty,
+       |    k.w
+       |  FROM pages,
+       |       (SELECT * FROM (VALUES $kern) v(dx, dy, w)) k,
+       |       (SELECT unnest(range($minBits, ${maxBits + 1})) AS level) l),
+       |cells AS (
+       |  SELECT level, tx, ty, CAST(SUM(w) AS BIGINT) AS weight FROM splat
+       |  WHERE tx >= 0 AND tx < bins AND ty >= 0 AND ty < bins
+       |  GROUP BY 1, 2, 3)
+       |SELECT level, tx, ty, weight,
+       |  CAST(weight AS DOUBLE) / MAX(weight) OVER (PARTITION BY level) AS norm,
+       |  PERCENT_RANK() OVER (PARTITION BY level ORDER BY weight, tx, ty) AS pr
+       |FROM cells""".stripMargin
   }
 
   /** integer 5x5 Gaussian splat + percent_rank, mirroring Analytics.kdeHeatmap. */

@@ -151,11 +151,56 @@ object Analytics {
   }
 
   /**
+   * Fully distributed prefix sum over a (groupCols..., weight, wcnt)
+   * table: per group, `cum_before` = Σ wcnt of strictly-smaller weights
+   * and `total` = Σ wcnt — the exact integer CDF inputs, with NO
+   * single-partition pass over the weight table at any cardinality
+   * (round 2 assumed the distinct-weight table was tiny; on sparse
+   * high-entropy data it approaches the cell count). Classic two-pass
+   * shape: range-partition by (group, weight), per-partition running sums
+   * (window partitioned by partition id), then per-partition totals — a
+   * table bounded by `spark.sql.shuffle.partitions` × #groups, NOT by
+   * data — carry the cross-partition offsets via a bounded broadcast.
+   * Exact integers throughout, so the result is independent of where the
+   * range boundaries land.
+   */
+  private[spark] def distributedCumCounts(wcnts: DataFrame,
+                                          groupCols: Seq[String]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val nParts = wcnts.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // pin the partition assignment: spark_partition_id must not be
+    // recomputed under a different physical plan downstream
+    val parts = wcnts
+      .repartitionByRange(nParts, gcols :+ col("weight"): _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val localW = Window.partitionBy(col("pid") +: gcols: _*).orderBy(col("weight"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = parts.withColumn("lcum", sum(col("wcnt")).over(localW))
+    // per-(pid, group) totals: <= nParts + #groups rows — config-bounded,
+    // so the unpartitioned-per-group window and the broadcast below are
+    // bounded by configuration, never by data volume
+    val offW = Window.partitionBy(gcols: _*).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totW = Window.partitionBy(gcols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = parts.groupBy(col("pid") +: gcols: _*)
+      .agg(sum(col("wcnt")).as("ptot"))
+      .withColumn("off", coalesce(sum(col("ptot")).over(offW), lit(0L)))
+      .withColumn("total", sum(col("ptot")).over(totW))
+      .select(col("pid") +: gcols :+ col("off") :+ col("total"): _*)
+    local.join(broadcast(offsets), "pid" +: groupCols)
+      .withColumn("cum_before", col("off") + col("lcum") - col("wcnt"))
+      .select(gcols :+ col("weight") :+ col("wcnt") :+ col("cum_before") :+ col("total"): _*)
+  }
+
+  /**
    * Heatmap = weights + per-cell percentile rank, computed as a
-   * DISTRIBUTED CDF: the only global sort runs over the tiny
-   * distinct-weight table (|weights| ≪ |cells|), whose cumulative counts
-   * broadcast-join back onto the cells; the per-cell tiebreak rank is a
-   * window PARTITIONED by weight. Output is bit-identical to
+   * DISTRIBUTED CDF: [[distributedCumCounts]] supplies the exact
+   * cumulative counts over the distinct-weight table (two-pass prefix
+   * sum — no single-partition sort even when every cell weight is
+   * distinct), and the per-cell tiebreak rank is a window PARTITIONED by
+   * weight. Output is bit-identical to
    * `percent_rank() OVER (ORDER BY weight, tx, ty)` — rank(cell) =
    * (#cells with smaller weight) + (rank within its weight by (tx, ty)) —
    * without ever pulling all cells through one task (the reference runs
@@ -164,20 +209,66 @@ object Analytics {
    */
   def kdeHeatmap(pts: DataFrame, bits: Int): DataFrame = {
     val w = kdeWeights(pts, bits).cache()
-    val tiny = Window.orderBy(col("weight"))
-    val cum = w.groupBy("weight").agg(count(lit(1)).as("wcnt"))
-      .withColumn("cum_before",
-        coalesce(sum(col("wcnt")).over(tiny.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("total",
-        sum(col("wcnt")).over(tiny.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val cum = distributedCumCounts(
+      w.groupBy("weight").agg(count(lit(1)).as("wcnt")), Seq.empty)
     val withinW = Window.partitionBy(col("weight")).orderBy(col("tx"), col("ty"))
-    w.join(broadcast(cum), "weight")
+    w.join(cum.select("weight", "cum_before", "total"), "weight")
       .withColumn("rw", row_number().over(withinW).cast("long"))
       .withColumn("pr",
         when(col("total") === 1, lit(0.0))
           .otherwise((col("cum_before") + col("rw") - 1).cast("double") /
             (col("total") - 1).cast("double")))
       .select(col("tx"), col("ty"), col("weight"), col("pr"))
+  }
+
+  /**
+   * PYRAMID KDE: the heatmap at every zoom level minBits..maxBits in ONE
+   * job — the reference runs its KDE once per level, minLevel..maxLevel
+   * (kde/KDEJobRunner.java:111-231); here the level is a column, so the
+   * splat, the per-cell sum, the per-level max and the per-level
+   * percentile all share one dataflow. Three bands per cell, matching the
+   * reference's 3-band tile emit (AccumuloKDEReducer.java:20-256): raw
+   * `weight`, `norm` = weight / max-weight-of-level (a broadcast join
+   * against the #levels-row max table — never a per-level global window),
+   * and percentile `pr` (per-level distributed CDF via
+   * [[distributedCumCounts]]). Output: (level, tx, ty, weight, norm, pr).
+   *
+   * The per-level tile coordinate is computed with the same bucket rule as
+   * the single-level splat (`max(ceil(norm·2^level)−1, 0)`), with the bin
+   * count `2^level` as a column, so one pass covers all levels.
+   */
+  def kdeMultiLevel(pts: DataFrame, minBits: Int, maxBits: Int): DataFrame = {
+    require(minBits >= 1 && maxBits >= minBits && maxBits <= 30)
+    val kern = KdeKernel.map { case (dx, dy, w0) =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"), lit(w0).as("w"))
+    }
+    val cells = pts
+      .select(col("lon"), col("lat"),
+        explode(sequence(lit(minBits), lit(maxBits))).as("level"))
+      .withColumn("bins", expr("shiftleft(1L, level)"))
+      .withColumn("cx", greatest(ceil((col("lon") + 180.0) / 360.0 * col("bins")) - 1, lit(0L)).cast("long"))
+      .withColumn("cy", greatest(ceil((col("lat") + 180.0) / 360.0 * col("bins")) - 1, lit(0L)).cast("long"))
+      .select(col("level"), col("bins"), explode(array(kern: _*)).as("k"), col("cx"), col("cy"))
+      .select(col("level"), col("bins"),
+        (col("cx") + col("k.dx")).as("tx"), (col("cy") + col("k.dy")).as("ty"),
+        col("k.w").as("w"))
+      .where(col("tx") >= 0 && col("tx") < col("bins") && col("ty") >= 0 && col("ty") < col("bins"))
+      .groupBy("level", "tx", "ty").agg(sum("w").as("weight"))
+      .cache()
+    val maxes = cells.groupBy("level").agg(max(col("weight")).as("maxw"))
+    val cum = distributedCumCounts(
+      cells.groupBy("level", "weight").agg(count(lit(1)).as("wcnt")), Seq("level"))
+    val withinW = Window.partitionBy(col("level"), col("weight")).orderBy(col("tx"), col("ty"))
+    cells
+      .join(broadcast(maxes), "level")
+      .join(cum.select("level", "weight", "cum_before", "total"), Seq("level", "weight"))
+      .withColumn("norm", col("weight").cast("double") / col("maxw").cast("double"))
+      .withColumn("rw", row_number().over(withinW).cast("long"))
+      .withColumn("pr",
+        when(col("total") === 1, lit(0.0))
+          .otherwise((col("cum_before") + col("rw") - 1).cast("double") /
+            (col("total") - 1).cast("double")))
+      .select(col("level"), col("tx"), col("ty"), col("weight"), col("norm"), col("pr"))
   }
 
   /**
@@ -408,17 +499,23 @@ object Analytics {
 
   /**
    * KDE raster tiles: the heatmap cells assembled into tileSide² grids
-   * per parent tile with two bands — raw weight and global percentile —
-   * the reference's 3-band tile emit (AccumuloKDEReducer.java:20-256;
-   * tile x/y from cell position, row-major within the tile). Assembly is
-   * a map-from-entries lookup per position, so it is order-independent.
+   * per parent tile with the reference's THREE bands — raw weight,
+   * normalized weight (weight / max weight, the reference's
+   * AccumuloKDEReducer normalization) and global percentile
+   * (AccumuloKDEReducer.java:20-256; tile x/y from cell position,
+   * row-major within the tile). Assembly is a map-from-entries lookup per
+   * position, so it is order-independent; the max weight arrives via a
+   * broadcast of a one-row aggregate, never a global window.
    */
   def kdeTiles(pts: DataFrame, cellBits: Int, tileBits: Int): DataFrame = {
     require(tileBits < cellBits)
     val k = cellBits - tileBits
     val tileSide = 1 << k
     val mask = (tileSide - 1).toLong
-    val cells = kdeHeatmap(pts, cellBits)
+    val cells0 = kdeHeatmap(pts, cellBits).cache()
+    val maxw = cells0.agg(max(col("weight")).as("maxw"))
+    val cells = cells0.crossJoin(broadcast(maxw))
+      .withColumn("norm", col("weight").cast("double") / col("maxw").cast("double"))
     val positions = sequence(lit(0), lit(tileSide * tileSide - 1))
     cells
       .withColumn("tile_x", expr(s"shiftright(tx, $k)"))
@@ -426,12 +523,15 @@ object Analytics {
       .withColumn("pos", (col("ty").bitwiseAND(mask) * tileSide + col("tx").bitwiseAND(mask)).cast("int"))
       .groupBy("tile_x", "tile_y")
       .agg(map_from_entries(collect_list(struct(col("pos"), col("weight")))).as("wm"),
-        map_from_entries(collect_list(struct(col("pos"), col("pr")))).as("pm"))
+        map_from_entries(collect_list(struct(col("pos"), col("pr")))).as("pm"),
+        map_from_entries(collect_list(struct(col("pos"), col("norm")))).as("nm"))
       .select(col("tile_x"), col("tile_y"),
         transform(positions, i => coalesce(element_at(col("wm"), i.cast("int")), lit(0L)))
           .as("band_weight"),
         transform(positions, i => coalesce(element_at(col("pm"), i.cast("int")), lit(0.0)))
-          .as("band_pct"))
+          .as("band_pct"),
+        transform(positions, i => coalesce(element_at(col("nm"), i.cast("int")), lit(0.0)))
+          .as("band_norm"))
   }
 
   /** two-dataset KDE difference on the shared cell grid (the reference's

@@ -1,0 +1,155 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+
+/** Round-3 hardening: the KDE CDF with no small-distinct-weight
+  * assumption, pyramid KDE, and the dedup caps checked against EXACT
+  * (uncapped) semantics instead of their own oracle mirror. */
+class Round3Spec extends SparkTestBase {
+  import spark.implicits._
+
+  // ------------------------------------------------- distributed prefix sum
+
+  test("distributedCumCounts: exact on an all-distinct-weights table, any size") {
+    // every weight distinct — the round-2 plan would have broadcast an
+    // O(cells) table and sorted it through one task
+    val wcnts = (0 until 5000)
+      .map(i => ((i * 2654435761L) % 1000003L, 1L)) // shuffled distinct weights
+      .toDF("weight", "wcnt").repartition(8)
+    val got = Analytics.distributedCumCounts(wcnts, Seq.empty)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3)))).toMap
+    val sorted = wcnts.collect().map(_.getLong(0)).sorted
+    sorted.zipWithIndex.foreach { case (w, i) =>
+      assert(got(w) == ((i.toLong, sorted.length.toLong)), s"weight $w")
+    }
+  }
+
+  test("distributedCumCounts: grouped variant matches per-group prefix sums") {
+    val wcnts = (for (g <- 0 until 3; i <- 0 until 200)
+      yield (g, ((i + g) * 48271L) % 99991L, (i % 3 + 1).toLong))
+      .toDF("level", "weight", "wcnt").repartition(8)
+    val got = Analytics.distributedCumCounts(wcnts, Seq("level"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(3), r.getLong(4)))).toMap
+    val local = wcnts.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    for (g <- 0 until 3) {
+      val grp = local.filter(_._1 == g).sortBy(_._2)
+      val total = grp.map(_._3).sum
+      var cum = 0L
+      for ((_, w, c) <- grp) {
+        assert(got((g, w)) == ((cum, total)), s"group $g weight $w")
+        cum += c
+      }
+    }
+  }
+
+  test("kdeHeatmap plan: no unpartitioned window ordered by weight, at any weight cardinality") {
+    // fixture where EVERY occupied cell has a distinct weight: distinct
+    // doc counts per cell via id-triangular placement
+    val pts = Tables.synthPages(spark, 3000).repartition(4)
+    val q = Analytics.kdeHeatmap(pts, bits = 6)
+    val plan = q.queryExecution.executedPlan.toString
+    // an unpartitioned window over the weight table prints its ORDER key
+    // (weight) as the FIRST windowspecdefinition argument; partitioned
+    // windows lead with their partition columns
+    val bad = """windowspecdefinition\(weight#\d+L? ASC""".r
+    assert(bad.findFirstIn(plan).isEmpty,
+      s"found a global window ordered by weight:\n${plan.take(2000)}")
+    // and the result still equals the single-sort oracle
+    val rows = q.collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    val ordered = rows.map { case ((tx, ty), (w, _)) => (w, tx, ty) }.sorted
+    val idx = ordered.zipWithIndex.toMap
+    val n = ordered.length
+    rows.foreach { case ((tx, ty), (w, pr)) =>
+      val want = if (n == 1) 0.0 else idx((w, tx, ty)).toDouble / (n - 1)
+      assert(pr == want, s"cell ($tx,$ty)")
+    }
+  }
+
+  // ----------------------------------------------------------- pyramid KDE
+
+  test("kdeMultiLevel equals per-level kdeHeatmap + per-level max normalization") {
+    val pts = Tables.synthPages(spark, 2000).repartition(4)
+    val got = Analytics.kdeMultiLevel(pts, minBits = 3, maxBits = 5).collect()
+      .map(r => ((r.getInt(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    var checked = 0
+    for (bits <- 3 to 5) {
+      val level = Analytics.kdeHeatmap(pts, bits).collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+      val maxw = level.values.map(_._1).max
+      for (((tx, ty), (w, pr)) <- level) {
+        val (gw, gn, gp) = got((bits, tx, ty))
+        assert(gw == w && gp == pr, s"level $bits cell ($tx,$ty)")
+        assert(gn == w.toDouble / maxw, s"level $bits norm ($tx,$ty)")
+        checked += 1
+      }
+    }
+    assert(checked == got.size, "no extra cells beyond the per-level heatmaps")
+  }
+
+  // ----------------------- dedup caps vs EXACT (uncapped) ground truth
+
+  test("ngramJaccard cap: capped ⊆ uncapped with identical jaccards; only all-hot-shingle pairs missing") {
+    val docs = Tables.synthDocs(spark, 60)
+    val n = 3; val tau = 0.5; val maxDf = 5L
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    val uncapped = asMap(TextOps.ngramJaccardPairs(docs, "doc_id", "text", n, tau))
+    val capped = asMap(TextOps.ngramJaccardPairs(docs, "doc_id", "text", n, tau, maxDf = maxDf))
+    // capped is a subset with bit-identical jaccard values
+    capped.foreach { case (k, jac) =>
+      assert(uncapped.contains(k) && uncapped(k) == jac, s"pair $k")
+    }
+    // any pair the cap dropped must share ONLY hot shingles (df > maxDf)
+    val df = TextOps.shingles(docs, "doc_id", "text", n)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sh = TextOps.shingles(docs, "doc_id", "text", n).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    for (k <- uncapped.keySet -- capped.keySet) {
+      val shared = sh(k._1) intersect sh(k._2)
+      assert(shared.nonEmpty && shared.forall(s => df(s) > maxDf),
+        s"pair $k dropped despite a rare shared shingle")
+    }
+    // and on THIS corpus the planted near-dups survive the cap
+    assert(capped.nonEmpty)
+  }
+
+  test("minhashLsh bucket cap: capped ⊆ LSH-uncapped with identical jaccards") {
+    val docs = Tables.synthDocs(spark, 60)
+    def asMap(maxBucket: Long) =
+      TextOps.minhashLshPairs(docs, "doc_id", "text", n = 3,
+        bands = 4, rowsPerBand = 4, tau = 0.5, maxBucket = maxBucket)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    val uncapped = asMap(Long.MaxValue)
+    val capped = asMap(10)
+    capped.foreach { case (k, jac) =>
+      assert(uncapped.contains(k) && uncapped(k) == jac, s"pair $k")
+    }
+    assert(capped.nonEmpty)
+  }
+
+  test("kdeTiles third band: norm = weight / global max, 0 in empty positions") {
+    val pts = Tables.synthPages(spark, 1500)
+    val cells = Analytics.kdeHeatmap(pts, 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val maxw = cells.values.max
+    val tiles = Analytics.kdeTiles(pts, cellBits = 5, tileBits = 2).collect()
+    val side = 1 << 3
+    var nonZero = 0
+    for (t <- tiles) {
+      val (tx0, ty0) = (t.getLong(0) << 3, t.getLong(1) << 3)
+      val bw = t.getSeq[Long](2)
+      val bn = t.getSeq[Double](4)
+      for (oy <- 0 until side; ox <- 0 until side) {
+        val pos = oy * side + ox
+        val w = cells.getOrElse((tx0 + ox, ty0 + oy), 0L)
+        assert(bw(pos) == w)
+        val want = if (w == 0) 0.0 else w.toDouble / maxw
+        assert(bn(pos) == want, s"norm at ($tx0+$ox, $ty0+$oy)")
+        if (w > 0) nonZero += 1
+      }
+    }
+    assert(nonZero == cells.size)
+  }
+}
