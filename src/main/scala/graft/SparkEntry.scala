@@ -167,11 +167,11 @@ object SparkEntry {
       Ops.rangeHistogram(Tables.pages(s, dir), bits = 6)
     }),
     "q33_media_features" -> ((s, dir) => {
+      // fused-plan media features: every band is a codegen'd column
+      // expression (no mapPartitions hop — Round3Spec pins the plan)
       val media = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      graft.spark.Multimodal.extractFeatures(media, "doc_id", "payload")
-        .toDF().select(col("id"), col("nBytes").as("n_bytes"),
-          col("headByte").cast("long").as("head_byte"), col("checksum"))
+      graft.spark.Multimodal.mediaFeatureColumns(media, "doc_id", "payload")
     }),
     "q34_stream_ingest" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-q34")
@@ -364,6 +364,29 @@ object SparkEntry {
       // (weight, normalized, percentile) — KDEJobRunner per-level loop +
       // AccumuloKDEReducer 3-band emit as a single dataflow
       graft.spark.Analytics.kdeMultiLevel(Tables.pages(s, dir), minBits = 3, maxBits = 5)
+    }),
+    "q62_bucketed_join" -> ((s, dir) => {
+      // store⋈store tile join over two tables BUCKETED by (tx, ty): Spark
+      // reads matching buckets pairwise — no exchange on either side
+      // (Round2Spec pins the plan); at 100 TB this removes the dominant
+      // shuffle from every repeated tile join
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q62")
+      graft.spark.Ingest.writeBucketedByTile(
+        Tables.pages(s, dir).select(col("doc_id"), col("lon"), col("lat")),
+        "graft_q62_pages", s"$tmp/pages", numBuckets = 8, bits = 6)
+      graft.spark.Ingest.writeBucketedByTile(
+        Tables.geoEvents(s, dir).select(col("event_id"), col("lon"), col("lat")),
+        "graft_q62_events", s"$tmp/events", numBuckets = 8, bits = 6)
+      s.table("graft_q62_pages")
+        .join(s.table("graft_q62_events"), Seq("tx", "ty"))
+        .groupBy("tx", "ty").agg(count(lit(1)).as("n_pairs"))
+    }),
+    "q63_dateline_box" -> ((s, dir) => {
+      // antimeridian-crossing box (lonMin > lonMax): the longitude bin
+      // split fires on the index side (LongitudeDefinition semantics) and
+      // the fine filter wraps (boxPredicate OR-form) — end to end
+      Ops.spatialBoxQuery(Tables.pages(s, dir), 150.0, -150.0, -40.0, 40.0)
+        .select(col("doc_id"), col("lon"), col("lat"))
     }),
     "q48_multi_index" -> ((s, dir) => {
       // multi-index store (spatial + spatial-temporal keys) queried through
@@ -615,6 +638,23 @@ object SparkEntry {
     "q25_dbscan" -> dbscanSql(eps = 0.4, minPts = 4),
     "q26_kde" -> kdeSql(bits = 5),
     "q61_kde_levels" -> kdeLevelsSql(minBits = 3, maxBits = 5),
+    "q62_bucketed_join" -> {
+      val bins = 64
+      def tileCte(src: String, lonSql: String, latSql: String) =
+        s"""SELECT
+           |  CAST(GREATEST(CEIL((($lonSql + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS tx,
+           |  CAST(GREATEST(CEIL((($latSql + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty
+           |FROM $src""".stripMargin
+      s"""WITH p AS (${tileCte("documents", Tables.pagesLonSql, Tables.pagesLatSql)}),
+         |e AS (${tileCte("events", Tables.eventsLonSql, Tables.eventsLatSql)})
+         |SELECT p.tx, p.ty, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM p JOIN e ON p.tx = e.tx AND p.ty = e.ty
+         |GROUP BY 1, 2""".stripMargin
+    },
+    "q63_dateline_box" ->
+      s"""$pagesCte
+         |SELECT doc_id, lon, lat FROM pages
+         |WHERE (lon >= 150.0 OR lon <= -150.0) AND lat >= -40.0 AND lat <= 40.0""".stripMargin,
     // convex hull per group, oracled on exact integer geometry: a directed
     // pair (a, b) is a minimal-hull edge iff every other point of the group
     // is strictly left of line a→b, or collinear and strictly between a and

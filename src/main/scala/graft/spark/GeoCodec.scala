@@ -151,6 +151,16 @@ object GeoCodec {
     acc
   }
 
+  /** portable fold hash over RAW BYTES — fold (acc·31 + unsignedByte) mod
+    * 2^31−1; equals [[portableHash]] on ASCII payloads and is the media
+    * checksum primitive for opaque binary columns. Codegen entry point. */
+  def portableHashBytes(b: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < b.length) { acc = (acc * 31 + (b(i) & 0xff)) % 2147483647L; i += 1 }
+    acc
+  }
+
   /** all k-gram fold hashes of a string in one pass (the fingerprint
     * primitive): gram i (0-based, CODE-POINT-indexed like Spark's
     * substr/length) = fold (acc·31 + codePoint) mod p over code points

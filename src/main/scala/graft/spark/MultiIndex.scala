@@ -80,4 +80,89 @@ object MultiIndex {
           store.where(SpatialPlanner.rangesPredicate(col("cell_id"), spatialRanges)).where(fineBox))
     }
   }
+
+  // ------------------------------------------------- statistics-driven path
+
+  /** default histogram prefix lengths: spatial keys are tier ‖ 8 sfc bytes
+    * (prefix 3 = tier + top 16 curve bits), spatial-temporal keys are
+    * tier ‖ "YYYY" ‖ 8 sfc bytes (prefix 7 = tier + year + top 16 bits). */
+  val SpatialHistPrefix = 3
+  val STHistPrefix = 7
+
+  /**
+   * Row-range histogram over a stored key column: row counts per
+   * `prefixLen`-byte key prefix — the store's own
+   * RowRangeHistogramStatistics (reference RowRangeHistogramStatistics
+   * .java:20, maintained at ingest and consulted by the planner).
+   * Driver-collected like the reference's statistics: the bucket space is
+   * bounded by the prefix length and the occupied tiers, not by rows.
+   */
+  def prefixHistogram(store: DataFrame, keyCol: String,
+                      prefixLen: Int): Seq[(Array[Byte], Long)] =
+    store.groupBy(substring(col(keyCol), 1, prefixLen).as("p"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Array[Byte]](0), r.getLong(1))).toSeq
+
+  /** estimated rows a range set scans, from a prefix histogram: Σ counts
+    * of buckets whose key interval [p, p‖ff…] intersects any query range
+    * (binary search over the merged disjoint ranges — the reference's
+    * cardinality-from-histogram estimate,
+    * ChooseBestMatchIndexQueryStrategy.java:27). */
+  def estimateScannedRows(hist: Seq[(Array[Byte], Long)],
+                          ranges: Seq[(Array[Byte], Array[Byte])]): Long = {
+    if (hist.isEmpty || ranges.isEmpty) return 0L
+    val merged = SpatialPlanner.mergeRanges(ranges).toIndexedSeq
+    val maxLen = merged.iterator.map(r => math.max(r._1.length, r._2.length)).max
+    def padFF(b: Array[Byte]): Array[Byte] =
+      if (b.length >= maxLen) b else b ++ Array.fill(maxLen - b.length)(0xff.toByte)
+    hist.iterator.filter { case (p, _) =>
+      val bucketEnd = padFF(p)
+      // rightmost range whose start <= bucketEnd, then overlap check
+      var lo = 0; var hi = merged.length - 1; var found = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (graft.index.ByteUtils.compareUnsigned(merged(mid)._1, bucketEnd) <= 0) {
+          found = mid; lo = mid + 1
+        } else hi = mid - 1
+      }
+      found >= 0 && graft.index.ByteUtils.compareUnsigned(merged(found)._2, p) >= 0
+    }.map(_._2).sum
+  }
+
+  /**
+   * Best-match query driven by the store's OWN row statistics instead of
+   * the uniformity assumption — the reference's
+   * ChooseBestMatchIndexQueryStrategy: each candidate index is scored by
+   * the estimated number of rows its decomposed ranges would scan
+   * (per-prefix histogram counts), and the cheapest index wins. Catches
+   * the cases uniformity gets wrong — e.g. a narrow time window over a
+   * store whose rows all carry timestamps inside that window (the time
+   * dimension is selective in the key universe but worthless in the
+   * data). Histograms come from [[prefixHistogram]]; pass the ones
+   * maintained at ingest. Returns (chosen index, filtered rows,
+   * (spatialEstimate, stEstimate)).
+   */
+  def queryBestStats(store: DataFrame,
+                     lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+                     tsMin: java.sql.Timestamp, tsMax: java.sql.Timestamp,
+                     histSpatial: Seq[(Array[Byte], Long)],
+                     histST: Seq[(Array[Byte], Long)],
+                     tsCol: String = "ts"): (String, DataFrame, (Long, Long)) = {
+    val spatialRanges = SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax)
+    val stRanges = SpatialPlanner.stBoxRanges(lonMin, lonMax, latMin, latMax,
+      tsMin.getTime, tsMax.getTime)
+    val spatialEst = estimateScannedRows(histSpatial, spatialRanges)
+    val stEst = estimateScannedRows(histST, stRanges)
+    val fine = SpatialPlanner.boxPredicate(col("lon"), col("lat"),
+      lonMin, lonMax, latMin, latMax) &&
+      col(tsCol) >= lit(tsMin) && col(tsCol) <= lit(tsMax)
+    if (stEst <= spatialEst)
+      ("spatial_temporal",
+        store.where(SpatialPlanner.rangesPredicate(col("cell_id_st"), stRanges)).where(fine),
+        (spatialEst, stEst))
+    else
+      ("spatial",
+        store.where(SpatialPlanner.rangesPredicate(col("cell_id"), spatialRanges)).where(fine),
+        (spatialEst, stEst))
+  }
 }

@@ -45,7 +45,9 @@ object Multimodal {
   }
 
   /** payload column → feature rows, batched per partition (the
-    * mapInPandas-shaped plumbing, JVM-native). */
+    * mapInPandas-shaped plumbing, JVM-native). Use this for PLUGGABLE
+    * extractors (real codecs); for the scalar stub features prefer the
+    * fused-plan [[mediaFeatureColumns]]. */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
                       extractor: FeatureExtractor = StubExtractor): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
@@ -53,6 +55,23 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, p) => extractor.extract(id, p) } }
+  }
+
+  /** the scalar [[StubExtractor]] features as pure COLUMN EXPRESSIONS —
+    * size and head byte via built-ins, the checksum via the codegen'd
+    * byte-fold [[PortableHashBytes]] — so the stage fuses into
+    * WholeStageCodegen instead of paying a SerializeFromObject /
+    * mapPartitions hop per row (same values as [[extractFeatures]] with
+    * the stub; Round3Spec pins both the equality and the plan). */
+  def mediaFeatureColumns(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val p = col(payloadCol)
+    df.select(
+      col(idCol).cast("long").as("id"),
+      length(p).cast("long").as("n_bytes"),
+      when(length(p) === 0, lit(-1L))
+        .otherwise(conv(hex(substring(p, 1, 1)), 16, 10).cast("long")).as("head_byte"),
+      column(PortableHashBytes(expression(p))).as("checksum"))
   }
 
   /** video frame sampling: one row per sampled frame index (every

@@ -304,6 +304,18 @@ case class PortableHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** portable fold hash over a BINARY column (codegen'd single loop) — the
+  * media-payload checksum; equals [[PortableHash]] on ASCII payloads. */
+case class PortableHashBytes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    GeoCodec.portableHashBytes(b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.spark.GeoCodec.portableHashBytes($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** all k-gram fold hashes of a string in one codegen'd pass (the
   * fingerprint primitive; ASCII fixture contract like the oracle twin). */
 case class KgramHashes(child: Expression, k: Int) extends UnaryExpression {

@@ -129,6 +129,77 @@ class Round3Spec extends SparkTestBase {
     assert(capped.nonEmpty)
   }
 
+  // -------------------------------------------- stats-driven index choice
+
+  test("queryBestStats beats the uniformity chooser on time-degenerate data") {
+    // every row's timestamp sits INSIDE the queried day: the time
+    // dimension is selective in the key universe (uniformity loves it)
+    // but worthless in the data — the reference's motivating case for
+    // histogram-driven index choice (ChooseBestMatchIndexQueryStrategy)
+    val base = java.sql.Timestamp.valueOf("2024-03-15 06:00:00").getTime
+    val rows = (0 until 2000).map { i =>
+      val lon = ((i * 7919) % 36000) / 100.0 - 180.0
+      val lat = ((i * 104729) % 17000) / 100.0 - 85.0
+      (i.toLong, lon, lat, new java.sql.Timestamp(base + (i % 3600) * 1000L))
+    }.toDF("event_id", "lon", "lat", "ts")
+    val store = MultiIndex.encode(rows)
+    val (lonMin, lonMax, latMin, latMax) = (0.0, 36.0, 0.0, 36.0)
+    val t0 = java.sql.Timestamp.valueOf("2024-03-15 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-03-16 00:00:00")
+
+    // uniformity picks the spatial-temporal index (tiny universe fraction)
+    val (uniChoice, uniRows) = MultiIndex.queryBest(store,
+      lonMin, lonMax, latMin, latMax, Some(t0), Some(t1))
+    assert(uniChoice == "spatial_temporal",
+      s"fixture should fool the uniformity chooser (got $uniChoice)")
+
+    // the store's own histograms reveal spatial scans fewer actual rows
+    val histSp = MultiIndex.prefixHistogram(store, "cell_id", MultiIndex.SpatialHistPrefix)
+    val histSt = MultiIndex.prefixHistogram(store, "cell_id_st", MultiIndex.STHistPrefix)
+    val (statChoice, statRows, (spEst, stEst)) = MultiIndex.queryBestStats(store,
+      lonMin, lonMax, latMin, latMax, t0, t1, histSp, histSt)
+    assert(statChoice == "spatial", s"stats chooser picked $statChoice (est sp=$spEst st=$stEst)")
+    assert(spEst < stEst)
+
+    // ground truth: the spatial prefilter really does scan fewer rows
+    val spScan = store.where(SpatialPlanner.rangesPredicate(col("cell_id"),
+      SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax))).count()
+    val stScan = store.where(SpatialPlanner.rangesPredicate(col("cell_id_st"),
+      SpatialPlanner.stBoxRanges(lonMin, lonMax, latMin, latMax, t0.getTime, t1.getTime))).count()
+    assert(spScan < stScan, s"spatial prefilter $spScan rows vs st $stScan")
+
+    // both choosers return the identical exact result
+    val want = rows.where(col("lon").between(lonMin, lonMax) &&
+      col("lat").between(latMin, latMax) && col("ts").between(t0, t1))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(uniRows.select("event_id").collect().map(_.getLong(0)).toSet == want)
+    assert(statRows.select("event_id").collect().map(_.getLong(0)).toSet == want)
+    assert(want.nonEmpty)
+  }
+
+  // ----------------------------------------------- fused media features
+
+  test("mediaFeatureColumns equals the mapPartitions stub and fuses into codegen") {
+    // fixture exercises empty payloads and high (non-ASCII) byte values
+    val rows = Seq(
+      (1L, Array[Byte](0x00, 0x7f, -1, -128, 0x41)),
+      (2L, Array.emptyByteArray),
+      (3L, Array.tabulate(300)(i => (i * 97 % 256).toByte)),
+      (4L, Array[Byte](-1))).toDF("doc_id", "payload").repartition(2)
+    val fused = Multimodal.mediaFeatureColumns(rows, "doc_id", "payload")
+    val got = fused.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = Multimodal.extractFeatures(rows, "doc_id", "payload").collect()
+      .map(f => f.id -> ((f.nBytes, f.headByte.toLong, f.checksum))).toMap
+    assert(got == want)
+    // the whole stage fuses: no object-mode hop in the plan
+    val plan = fused.queryExecution.executedPlan.toString
+    for (bad <- Seq("MapPartitions", "SerializeFromObject", "DeserializeToObject"))
+      assert(!plan.contains(bad), s"object hop '$bad' in plan:\n${plan.take(1200)}")
+    // `*(n)` prefixes are the WholeStageCodegen markers in AQE plan strings
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).nonEmpty, plan.take(1200))
+  }
+
   test("kdeTiles third band: norm = weight / global max, 0 in empty positions") {
     val pts = Tables.synthPages(spark, 1500)
     val cells = Analytics.kdeHeatmap(pts, 5).collect()
