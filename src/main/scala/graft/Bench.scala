@@ -92,6 +92,7 @@ object Bench {
     val inputDir = stageInput(n)
     val (sec8, _) = timeHeadline(nCores, inputDir)
     val (sec32, joinRows) = timeHeadline(4 * nCores, inputDir)
+    ScalingEvidence.deleteRecursively(inputDir) // multi-GB staging; never leak it
     val thr8 = n / sec8
     val thr32 = n / sec32
     val eff = (thr32 / thr8) / 4.0

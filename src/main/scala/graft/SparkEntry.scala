@@ -396,6 +396,19 @@ object SparkEntry {
         Some(TsMin), Some(TsMax))._2
         .select(col("event_id"), col("lon"), col("lat"), col("ts"))
     }),
+    "q64_multi_index_stats" -> ((s, dir) => {
+      // the STATS-driven best-match chooser (scored by the store's own
+      // prefix-histogram row counts, ChooseBestMatchIndexQueryStrategy
+      // with real statistics) — identical result set to q48 whichever
+      // index the histograms elect
+      val mi = graft.spark.MultiIndex
+      val store = mi.encode(Tables.geoEvents(s, dir))
+      val histSp = mi.prefixHistogram(store, "cell_id", mi.SpatialHistPrefix)
+      val histSt = mi.prefixHistogram(store, "cell_id_st", mi.STHistPrefix)
+      mi.queryBestStats(store, Box._1, Box._2, Box._3, Box._4,
+        TsMin, TsMax, histSp, histSt)._2
+        .select(col("event_id"), col("lon"), col("lat"), col("ts"))
+    }),
   )
 
   // ---- DuckDB twins of the portable integer hashing in TextOps ----
@@ -953,6 +966,11 @@ object SparkEntry {
          |SELECT src AS id, MIN(dst) AS cluster, (MIN(dst) = src) AS is_keeper
          |FROM reach GROUP BY 1""".stripMargin,
     "q48_multi_index" ->
+      s"""$eventsCte
+         |SELECT event_id, lon, lat, ts FROM ev
+         |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}
+         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "q64_multi_index_stats" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev
          |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}

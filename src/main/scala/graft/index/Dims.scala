@@ -320,5 +320,19 @@ object ByteUtils {
     java.util.Arrays.compareUnsigned(a, b)
   }
 
+  /** position of `key` relative to the key interval covered by `prefix`
+    * ([prefix, prefix‖ff…]): 0 = inside (prefix prefixes key), <0 = every
+    * key in the interval sorts above `key`, >0 = below it. */
+  def comparePrefixed(key: Array[Byte], prefix: Array[Byte]): Int = {
+    val n = math.min(key.length, prefix.length)
+    var i = 0
+    while (i < n) {
+      val c = (key(i) & 0xff) - (prefix(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    if (key.length >= prefix.length) 0 else -1 // strict prefix of prefix ⇒ below
+  }
+
   def toHex(a: Array[Byte]): String = a.map(b => f"$b%02x").mkString
 }

@@ -520,4 +520,63 @@ object Ops {
     pts.select(GeoFunctions.gw_tile_x(col("lon"), bits).as("tx"),
         GeoFunctions.gw_tile_y(col("lat"), bits).as("ty"))
       .groupBy("tx", "ty").agg(count(lit(1)).as("cnt"))
+
+  /** find, for each target partition 0..n−1, an int whose Spark hash
+    * partitioning lands exactly there — pmod(murmur3(j, seed=42), n) —
+    * so `repartition(n, steeringCol)` maps split → partition 1:1 (hash
+    * collisions would otherwise stack two planned splits on one task and
+    * leave another idle, undoing the equalization). */
+  private[spark] def hashPreimages(n: Int): Array[Int] = {
+    val out = Array.fill(n)(-1)
+    var remaining = n
+    var j = 0
+    while (remaining > 0) {
+      require(j < 100000 * n, s"no murmur3 pre-image found for some partition of $n")
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(j, 42)
+      val p = ((h % n) + n) % n
+      if (out(p) < 0) { out(p) = j; remaining -= 1 }
+      j += 1
+    }
+    out
+  }
+
+  /**
+   * Histogram-equalized scan partitioning — the reference's MR input-split
+   * equalizer as a Spark repartition (SplitsProvider.java:40-128 via
+   * [[graft.index.Splits.plan]]): plan `minSplits..maxSplits` splits of
+   * equal ESTIMATED cardinality from the store's own key-prefix histogram
+   * (e.g. [[MultiIndex.prefixHistogram]], maintained at ingest), then
+   * assign every row its split with one codegen'd binary search and
+   * shuffle on a hash-steered key so split i IS partition i.
+   *
+   * Unlike `repartitionByRange` this samples NOTHING: the boundaries come
+   * from stored statistics, so the store is read exactly once — at 100 TB
+   * the sampling pass this removes is a full extra scan. Rows outside
+   * `ranges` are dropped (pass the store's full extent to keep all).
+   * Output carries `split_id` (0..k−1, the planned rank).
+   */
+  def balancedScanPartitions(store: DataFrame, keyCol: String,
+                             hist: Seq[(Array[Byte], Long)],
+                             ranges: Seq[(Array[Byte], Array[Byte])],
+                             minSplits: Int, maxSplits: Int): DataFrame = {
+    import graft.index.{ByteUtils, Splits}
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val sortedHist = hist.toIndexedSeq
+      .sortWith((a, b) => ByteUtils.compareUnsigned(a._1, b._1) < 0)
+    val planned = Splits.plan(ranges.map(r => Splits.KeyRange(r._1, r._2)),
+      sortedHist, minSplits, maxSplits)
+    val flat = planned.zipWithIndex
+      .flatMap { case (s, i) => s.ranges.map(r => (r.start, r.end, i)) }
+      .sortWith((a, b) => ByteUtils.compareUnsigned(a._1, b._1) < 0)
+    val starts = flat.map(_._1).toArray
+    val ends = flat.map(_._2).toArray
+    val ranks = flat.map(_._3).toArray
+    val steer = hashPreimages(planned.size)
+    val key = expression(col(keyCol))
+    store
+      .withColumn("split_id", column(RangeSplitId(key, starts, ends, ranks)))
+      .where(col("split_id") >= 0)
+      .repartition(planned.size,
+        column(RangeSplitId(key, starts, ends, ranks.map(steer))))
+  }
 }

@@ -304,6 +304,42 @@ case class PortableHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * Split id of a stored key: binary search over the histogram-equalized
+ * split ranges (sorted by start; `ids(i)` is the value emitted for range
+ * i — the planned rank, or a hash-steering pre-image). −1 when the key
+ * falls in no planned range. A key equal to a bisection cut lands in the
+ * RIGHT split (the cut is the right range's inclusive start and sorts
+ * later), matching the reference's exclusive-end / inclusive-start
+ * handoff (IntermediateSplitInfo.java:76-94).
+ */
+case class RangeSplitId(child: Expression, starts: Array[Array[Byte]],
+                        ends: Array[Array[Byte]], ids: Array[Int])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  def splitId(key: Array[Byte]): Int = {
+    var lo = 0
+    var hi = starts.length - 1
+    var found = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (java.util.Arrays.compareUnsigned(starts(mid), key) <= 0) { found = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (found >= 0 && java.util.Arrays.compareUnsigned(key, ends(found)) <= 0) ids(found)
+    else -1
+  }
+
+  override def nullSafeEval(key: Any): Any = splitId(key.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rangeSplitId", this, classOf[RangeSplitId].getName)
+    defineCodeGen(ctx, ev, key => s"$ref.splitId($key)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** portable fold hash over a BINARY column (codegen'd single loop) — the
   * media-payload checksum; equals [[PortableHash]] on ASCII payloads. */
 case class PortableHashBytes(child: Expression) extends UnaryExpression {

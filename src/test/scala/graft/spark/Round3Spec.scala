@@ -177,6 +177,62 @@ class Round3Spec extends SparkTestBase {
     assert(want.nonEmpty)
   }
 
+  // ------------------------------------------------- dateline box query
+
+  test("spatialBoxQuery wraps the antimeridian: coarse ranges cover both sides") {
+    // if the longitude bin split did NOT fire, the coarse cell-range
+    // prefilter would drop one side before the fine filter ever ran
+    val pts = Seq((1L, 170.0, 10.0), (2L, -170.0, -10.0), (3L, 0.0, 0.0),
+      (4L, 149.9, 0.0), (5L, -149.9, 0.0), (6L, 160.0, 45.0))
+      .toDF("doc_id", "lon", "lat")
+    val got = Ops.spatialBoxQuery(pts, 150.0, -150.0, -40.0, 40.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L)) // both sides kept; inside-gap and out-of-lat dropped
+  }
+
+  // ------------------------------------- histogram-equalized scan splits
+
+  test("balancedScanPartitions: equalized splits balance a skewed store with no sampling pass") {
+    // 90% of rows in a 2°×2° hot box, 10% spread world-wide
+    val hot = (col("id") % 10) < 9
+    val base = spark.range(20000).select(
+      col("id").as("doc_id"),
+      when(hot, lit(10.0) + (col("id") % 200).cast("double") / 100.0)
+        .otherwise((col("id") % 360).cast("double") - 180.0 + 0.25).as("lon"),
+      when(hot, lit(40.0) + (col("id") % 170).cast("double") / 100.0)
+        .otherwise((col("id") % 170).cast("double") - 85.0 + 0.25).as("lat"))
+    val store = base.withColumn("cell_id", GeoFunctions.gw_cell_id(col("lon"), col("lat")))
+    val hist = MultiIndex.prefixHistogram(store, "cell_id", prefixLen = 4)
+    val fullExtent = Seq((Array[Byte](0), Array.fill(17)(0xff.toByte)))
+    val nSplits = 12
+    val out = Ops.balancedScanPartitions(store, "cell_id", hist, fullExtent, nSplits, nSplits)
+
+    // split → partition is 1:1 (hash steering) and actual rows balance
+    val perPart = out.groupBy(spark_partition_id().as("part"), col("split_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    assert(perPart.map(_.getInt(0)).distinct.length == nSplits)
+    assert(perPart.map(_.getInt(1)).distinct.length == nSplits)
+    assert(perPart.length == nSplits, "a partition holds rows of exactly one split")
+    val counts = perPart.map(_.getLong(2))
+    assert(counts.sum == 20000)
+    val mean = counts.sum.toDouble / nSplits
+    assert(counts.max / mean < 2.0, s"equalized imbalance ${counts.max / mean}")
+
+    // the naive equal-key-width split of the same store is wildly skewed:
+    // every key shares the point-tier byte, so 12 equal-width key ranges
+    // reduce to equal-width buckets of the NEXT key byte
+    val b2 = conv(hex(substring(col("cell_id"), 2, 1)), 16, 10).cast("int")
+    val uniform = store.groupBy((b2 * nSplits / 256).cast("int").as("b"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+    assert(uniform.max / mean > 4.0, s"uniform imbalance only ${uniform.max / mean}")
+
+    // no sampling pass: the shuffle is plain hash partitioning, never the
+    // sampled RangePartitioning of repartitionByRange
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning"), plan.take(1000))
+    assert(!plan.toLowerCase.contains("rangepartitioning"), plan.take(1000))
+  }
+
   // ----------------------------------------------- fused media features
 
   test("mediaFeatureColumns equals the mapPartitions stub and fuses into codegen") {
