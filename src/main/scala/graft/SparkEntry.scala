@@ -396,6 +396,21 @@ object SparkEntry {
         Some(TsMin), Some(TsMax))._2
         .select(col("event_id"), col("lon"), col("lat"), col("ts"))
     }),
+    "q65_hash_split" -> ((s, dir) => {
+      // deterministic content-hash train/val/test split (dup pairs land in
+      // one fold; assignment survives re-ingest) — per-fold profile
+      graft.spark.TextOps.hashSplit(
+          s.read.parquet(s"$dir/documents.parquet"), "text", pctTrain = 80, pctVal = 10)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    }),
+    "q66_host_cap" -> ((s, dir) => {
+      // per-host page cap (keep the 3 lowest doc_ids per source) — the
+      // domain-balance guard of web-crawl training pipelines
+      graft.spark.TextOps.capPerKey(
+          s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id", k = 3)
+        .select(col("doc_id"), col("source"))
+    }),
     "q64_multi_index_stats" -> ((s, dir) => {
       // the STATS-driven best-match chooser (scored by the store's own
       // prefix-histogram row counts, ChooseBestMatchIndexQueryStrategy
@@ -970,6 +985,16 @@ object SparkEntry {
          |SELECT event_id, lon, lat, ts FROM ev
          |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}
          |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+    "q65_hash_split" ->
+      s"""SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT n_chars, ${duckHash("text")} % 100 AS h FROM documents)
+         |GROUP BY 1""".stripMargin,
+    "q66_host_cap" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn <= 3""".stripMargin,
     "q64_multi_index_stats" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev

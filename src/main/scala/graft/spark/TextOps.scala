@@ -341,6 +341,33 @@ object TextOps {
       size(filter(split(col(textCol), " "), w => length(w) > 0)).cast("long").as("n_words"),
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_tokens"))
 
+  /** Deterministic train/val/test assignment: portable CONTENT hash mod
+    * 100 against cumulative percentage cuts. Keying on the text (not a
+    * row id) makes the split stable across re-ingests of a growing corpus
+    * AND puts exact duplicates in the same fold — the standard guard
+    * against train/test leakage through dup pairs. Pure column
+    * expression; zero shuffle. */
+  def hashSplit(docs: DataFrame, textCol: String,
+                pctTrain: Int, pctVal: Int): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"percent cuts must fit in 100 (got $pctTrain + $pctVal)")
+    val bucket = pmod(portableHash(col(textCol)), lit(100L))
+    docs.withColumn("split",
+      when(bucket < pctTrain, lit("train"))
+        .when(bucket < pctTrain + pctVal, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Per-key document cap: keep the `k` lowest-`ordCol` rows of each key —
+    * the per-host page cap web-crawl pipelines apply before training.
+    * One window top-k; Spark's WindowGroupLimit pushes the limit below
+    * the shuffle so at most k rows per key move. */
+  def capPerKey(df: DataFrame, keyCol: String, ordCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(ordCol))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+  }
+
   /**
    * INLINE substring search: first-3-gram prefilter + exact `contains`
    * verify, both as full-scan column predicates — the no-index fallback

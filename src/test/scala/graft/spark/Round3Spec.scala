@@ -177,6 +177,43 @@ class Round3Spec extends SparkTestBase {
     assert(want.nonEmpty)
   }
 
+  // --------------------------------------- corpus split & per-host cap
+
+  test("hashSplit: exact duplicates share a fold; cuts respected; no shuffle") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"), (4L, ""), (5L, "zeta"))
+      .toDF("doc_id", "text")
+    val q = TextOps.hashSplit(docs, "text", pctTrain = 80, pctVal = 10)
+    val m = q.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(m(1L) == m(2L), "identical text must land in the same fold")
+    assert(m.values.toSet.subsetOf(Set("train", "val", "test")))
+    // content-keyed: the assignment is a pure function of the text
+    val again = TextOps.hashSplit(docs.repartition(3), "text", 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == m)
+    assert(!q.queryExecution.executedPlan.toString.contains("Exchange"))
+    // fold fractions converge on a big corpus
+    val big = Tables.synthDocs(spark, 3000)
+    val frac = TextOps.hashSplit(big, "text", 80, 10)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(frac("train") / 3000.0 - 0.80) < 0.05, frac.toString)
+    assert(math.abs(frac("val") / 3000.0 - 0.10) < 0.04, frac.toString)
+  }
+
+  test("capPerKey: k lowest rows per key survive; group limit pushed below the shuffle") {
+    val df = (for (k <- 0 until 5; i <- 0 until 20)
+      yield (k.toString, (i * 37 + k) % 100L)).toDF("host", "doc_id")
+    val q = TextOps.capPerKey(df, "host", "doc_id", k = 3)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).iterator
+      .flatMap { case (_, rows) => rows.sortBy(_._2).take(3) }.toSet
+    assert(got == want)
+    // WindowGroupLimit caps the per-key rows BEFORE the window shuffle
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      q.queryExecution.executedPlan.toString.take(1200))
+  }
+
   // ------------------------------------------------- dateline box query
 
   test("spatialBoxQuery wraps the antimeridian: coarse ranges cover both sides") {
