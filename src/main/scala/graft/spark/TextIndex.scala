@@ -37,11 +37,17 @@ object TextIndex {
     * parquet row-group stats prune to the probe gram. The ingest-side twin
     * of `Ingest.run`'s sorted store write. */
   def buildAndWrite(docs: DataFrame, idCol: String, textCol: String, path: String,
-                    minN: Int = 2, maxN: Int = 4, numFiles: Int = 8): Unit =
-    build(docs, idCol, textCol, minN, maxN)
+                    minN: Int = 2, maxN: Int = 4, numFiles: Int = 8): Unit = {
+    // persist before repartitionByRange: its range-boundary sampling pass
+    // re-executes the child, and the child here is the full gram explode +
+    // distinct — without the pin the corpus is gram-exploded TWICE
+    val postings = build(docs, idCol, textCol, minN, maxN).persist()
+    try postings
       .repartitionByRange(numFiles, col("gram"))
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(path)
+    finally postings.unpersist()
+  }
 
   /** the probe gram for a pattern: its longest prefix that exists in the
     * posting table (length maxN when the pattern is long enough). */
@@ -87,12 +93,18 @@ object TextIndex {
       .select(col(idCol).as("id"))
   }
 
-  /** one-call convenience: build + store the postings under `indexPath`
-    * (skipped when already present via `reuseExisting`), then [[search]]. */
+  /** one-call convenience: build + store the postings under `indexPath`,
+    * then [[search]]. The index is an INGEST-time artifact (the reference
+    * builds text-index rows at write time and only probes them at query
+    * time), so a committed posting store at `indexPath` is REUSED
+    * (`reuse = true`); callers whose corpus changed must pass a fresh
+    * path or `reuse = false`. */
   def searchStored(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                    pattern: String, indexPath: String,
-                   minN: Int = 2, maxN: Int = 4): DataFrame = {
-    buildAndWrite(docs, idCol, textCol, indexPath, minN, maxN)
+                   minN: Int = 2, maxN: Int = 4, reuse: Boolean = true): DataFrame = {
+    val committed = new java.io.File(indexPath, "_SUCCESS").isFile
+    if (!reuse || !committed)
+      buildAndWrite(docs, idCol, textCol, indexPath, minN, maxN)
     search(docs, spark.read.parquet(indexPath), idCol, textCol, pattern, minN, maxN)
   }
 }
