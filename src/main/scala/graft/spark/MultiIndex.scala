@@ -81,6 +81,70 @@ object MultiIndex {
     }
   }
 
+  // ------------------------------------------- locality-preserving path
+
+  /**
+   * Fixed prefix bits a query exploits on a strategy's FINEST curve — the
+   * reference's IndexUtils.getDimensionalBitsUsed (core/index/.../
+   * IndexUtils.java:45-106): per dimension, bits-from-the-right =
+   * log2(ceil(width / cellRange)); the score is
+   * min_d(bits_d − bitsFromRight_d) × numDims — the LEAST constrained
+   * dimension bounds how long a common key prefix the query preserves,
+   * scaled by dimensionality. Negative → 0 (full scan in some dimension).
+   * Widths cap at the dimension extent (the bin extent for binned time).
+   */
+  def dimensionalBitsUsed(strategy: graft.index.TieredStrategy,
+                          widths: Seq[Double]): Double = {
+    val finest = strategy.sfcs.last
+    require(widths.length == finest.dimensions.length)
+    val perDim = finest.dimensions.zip(widths).map { case (sd, w0) =>
+      val extent = sd.dim.max - sd.dim.min
+      val cell = extent / (1L << sd.bits).toDouble
+      val w = math.min(math.max(w0, 0.0), extent)
+      val fromRight = math.log(math.max(math.ceil(w / cell), 1.0)) / math.log(2.0)
+      sd.bits - fromRight
+    }
+    val m = perDim.min
+    if (m < 0) 0.0 else m * finest.dimensions.length
+  }
+
+  /**
+   * Locality-preserving index choice — the reference's
+   * ChooseLocalityPreservingQueryStrategy (extensions/adapters/vector/.../
+   * ChooseLocalityPreservingQueryStrategy.java:38-96): among the candidate
+   * indexes, pick the one whose constrained query uses the MOST fixed
+   * prefix bits, i.e. decomposes into the fewest, longest key runs — the
+   * stats-free chooser that optimizes scan contiguity rather than
+   * estimated row count. A wide box with a narrow time window prefers the
+   * spatial-temporal index (time contributes its prefix bits); a tight box
+   * with a year-wide window prefers pure spatial (the time dimension
+   * degrades to 0 fixed bits and bounds the min).
+   */
+  def queryBestLocality(store: DataFrame,
+                        lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+                        tsMin: java.sql.Timestamp, tsMax: java.sql.Timestamp,
+                        tsCol: String = "ts"): (String, DataFrame, (Double, Double)) = {
+    val spatialScore =
+      dimensionalBitsUsed(GeoCodec.spatial, Seq(lonMax - lonMin, latMax - latMin))
+    val stScore = dimensionalBitsUsed(GeoCodec.spatialTemporal,
+      Seq(lonMax - lonMin, latMax - latMin, (tsMax.getTime - tsMin.getTime).toDouble))
+    val fine = SpatialPlanner.boxPredicate(col("lon"), col("lat"),
+      lonMin, lonMax, latMin, latMax) &&
+      col(tsCol) >= lit(tsMin) && col(tsCol) <= lit(tsMax)
+    if (stScore > spatialScore) {
+      val ranges = SpatialPlanner.stBoxRanges(lonMin, lonMax, latMin, latMax,
+        tsMin.getTime, tsMax.getTime)
+      ("spatial_temporal",
+        store.where(SpatialPlanner.rangesPredicate(col("cell_id_st"), ranges)).where(fine),
+        (spatialScore, stScore))
+    } else {
+      val ranges = SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax)
+      ("spatial",
+        store.where(SpatialPlanner.rangesPredicate(col("cell_id"), ranges)).where(fine),
+        (spatialScore, stScore))
+    }
+  }
+
   // ------------------------------------------------- statistics-driven path
 
   /** default histogram prefix lengths: spatial keys are tier ‖ 8 sfc bytes

@@ -293,6 +293,40 @@ class Round3Spec extends SparkTestBase {
     assert("""\*\(\d+\) Project""".r.findFirstIn(plan).nonEmpty, plan.take(1200))
   }
 
+  test("queryBestLocality: narrow time + wide box prefers ST; wide time + tight box prefers spatial") {
+    val base = java.sql.Timestamp.valueOf("2024-03-15 06:00:00").getTime
+    val rows = (0 until 1000).map { i =>
+      val lon = ((i * 7919) % 36000) / 100.0 - 180.0
+      val lat = ((i * 104729) % 17000) / 100.0 - 85.0
+      (i.toLong, lon, lat, new java.sql.Timestamp(base + (i % 86400) * 1000L))
+    }.toDF("event_id", "lon", "lat", "ts")
+    val store = MultiIndex.encode(rows)
+    def want(lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+             t0: String, t1: String): (String, Set[Long]) = {
+      val (choice, out, _) = MultiIndex.queryBestLocality(store,
+        lonMin, lonMax, latMin, latMax,
+        java.sql.Timestamp.valueOf(t0), java.sql.Timestamp.valueOf(t1))
+      val exact = rows.where(col("lon").between(lonMin, lonMax) &&
+          col("lat").between(latMin, latMax) &&
+          col("ts").between(java.sql.Timestamp.valueOf(t0), java.sql.Timestamp.valueOf(t1)))
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(out.select("event_id").collect().map(_.getLong(0)).toSet == exact)
+      (choice, exact)
+    }
+    // quarter-world box, one-hour window: the time dimension contributes
+    // prefix bits the wide spatial dims cannot — locality picks ST
+    val (c1, r1) = want(-90.0, 0.0, -45.0, 45.0,
+      "2024-03-15 06:00:00", "2024-03-15 07:00:00")
+    assert(c1 == "spatial_temporal", c1)
+    assert(r1.nonEmpty)
+    // tight box, year-wide window: time degrades to 0 fixed bits and
+    // bounds the ST min — locality picks pure spatial
+    val (c2, r2) = want(5.0, 8.0, 3.0, 17.0,
+      "2024-01-01 00:00:00", "2024-12-31 00:00:00")
+    assert(c2 == "spatial", c2)
+    assert(r2.nonEmpty)
+  }
+
   test("kdeTiles third band: norm = weight / global max, 0 in empty positions") {
     val pts = Tables.synthPages(spark, 1500)
     val cells = Analytics.kdeHeatmap(pts, 5).collect()
