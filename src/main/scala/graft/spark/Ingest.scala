@@ -189,6 +189,115 @@ object Ingest {
   def readStore(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/data")
 
+  /**
+   * Copy-on-write DELETE by query — the reference's `DataStore.delete`
+   * (core/store/.../base/BaseDataStore.java:327-499: scan the query,
+   * delete matching rows, fire the stats-adjusting deletion callbacks)
+   * re-expressed for an immutable-file store, Iceberg-style:
+   *
+   *  1. one pushdown-pruned scan counts matching rows PER BUCKET — only
+   *     buckets that actually contain matches are touched;
+   *  2. each affected bucket's SURVIVING rows are staged to
+   *     `.delete-staging/` preserving the row_key sort, then swapped over
+   *     the live bucket directory with an atomic FS rename;
+   *  3. the bucket's lineage record recommits with the new row count,
+   *     min/max cell and xor text checksum (the stats callback analogue).
+   *
+   * Untouched buckets' files are never rewritten or moved. A crash
+   * between stage and swap leaves a committed store (old or new bucket,
+   * never a mix) plus an inert staging dir; re-running the same delete is
+   * idempotent. Returns the updated lineage of the rewritten buckets.
+   */
+  def deleteByQuery(spark: SparkSession, outDir: String,
+                    predicate: org.apache.spark.sql.Column): Seq[BucketLineage] = {
+    val dataDir = s"$outDir/data"
+    // crash recovery: a `.bucket=N.retired` dir with no live twin means a
+    // previous delete died mid-swap — restore the original bucket first
+    // (dot-dirs are invisible to the parquet reader, so without this the
+    // bucket's rows would silently vanish from every scan)
+    val dd = Paths.get(dataDir)
+    if (Files.exists(dd)) {
+      val it = Files.list(dd).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val name = p.getFileName.toString
+        if (name.startsWith(".bucket=") && name.endsWith(".retired")) {
+          val live = dd.resolve(name.stripPrefix(".").stripSuffix(".retired"))
+          if (!Files.exists(live)) Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
+          else deleteRecursively(p)
+        }
+      }
+    }
+    val store = spark.read.parquet(dataDir)
+    val affected = store.where(predicate)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (affected.isEmpty) return Seq.empty
+    val stagingRoot = Paths.get(outDir, ".delete-staging")
+    deleteRecursively(stagingRoot)
+    Files.createDirectories(stagingRoot)
+    val buckets = affected.keys.toSeq.sorted
+    // null predicate values are NOT matches: such rows must survive
+    val survivors = store
+      .where(col("bucket").isin(buckets: _*))
+      .where(!coalesce(predicate, lit(false)))
+    val obs = org.apache.spark.sql.Observation(s"delete-${System.nanoTime()}")
+    val metricAggs = buckets.flatMap { b =>
+      val in = col("bucket") === b
+      Seq(
+        count(when(in, 1)).as(s"rows_$b"),
+        min(when(in, col("cell_id"))).as(s"min_$b"),
+        max(when(in, col("cell_id"))).as(s"max_$b"),
+        expr(s"bit_xor(CASE WHEN bucket = $b THEN xxhash64(text) ELSE 0L END)").as(s"xor_$b"))
+    }
+    val t0 = System.nanoTime()
+    survivors
+      .repartitionByRange(math.max(buckets.size, 1), col("bucket"), col("row_key"))
+      .observe(obs, metricAggs.head, metricAggs.tail: _*)
+      .sortWithinPartitions(col("bucket"), col("row_key"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(stagingRoot.toString)
+    val m = obs.get
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val out = Seq.newBuilder[BucketLineage]
+    for (b <- buckets) {
+      val staged = stagingRoot.resolve(s"bucket=$b")
+      val live = Paths.get(dataDir, s"bucket=$b")
+      // swap via a retired name so a crash mid-swap never loses the
+      // bucket: the live dir is renamed aside, the staged dir renamed in,
+      // and only then is the retired copy dropped
+      val retired = Paths.get(dataDir, s".bucket=$b.retired")
+      deleteRecursively(retired)
+      if (Files.exists(live)) Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(staged)) // a fully-deleted bucket stages nothing
+        Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+      deleteRecursively(retired)
+      val rows = m(s"rows_$b").asInstanceOf[Long]
+      def hex(key: String): String = m(key) match {
+        case null => ""
+        case bytes: Array[Byte] => graft.index.ByteUtils.toHex(bytes)
+      }
+      val lin =
+        if (rows == 0) BucketLineage(b, 0L, "", "", 0L, wallMs)
+        else BucketLineage(b, rows, hex(s"min_$b"), hex(s"max_$b"),
+          m(s"xor_$b").asInstanceOf[Long], wallMs)
+      commitLineage(outDir, lin)
+      out += lin
+    }
+    deleteRecursively(stagingRoot)
+    out.result()
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+
   /** lineage records as a DataFrame (the per-partition metrics table). */
   def readLineage(spark: SparkSession, outDir: String): DataFrame =
     spark.read.json(s"$outDir/_lineage/bucket-*.json")

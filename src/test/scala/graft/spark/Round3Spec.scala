@@ -177,6 +177,53 @@ class Round3Spec extends SparkTestBase {
     assert(want.nonEmpty)
   }
 
+  // ------------------------------------------------ copy-on-write delete
+
+  test("deleteByQuery: rewrites only affected buckets, recommits lineage, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delete").toString
+    val pages = Tables.synthPages(spark, 4000)
+      .select(col("doc_id"), col("url"), col("lon"), col("lat"), col("text"))
+    Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 8, batchSize = 8))
+    val before = Ingest.readStore(spark, dir)
+    val total = before.count()
+    // victims live in ONE url-hash bucket, so only that bucket is affected
+    val victims = before.where(col("bucket") === 3)
+      .select("url").limit(50).collect().map(_.getString(0)).toSeq
+    assert(victims.size == 50)
+    def bucketFiles(b: Int): Set[(String, Long)] = {
+      val d = java.nio.file.Paths.get(s"$dir/data/bucket=$b")
+      val it = java.nio.file.Files.list(d).iterator()
+      val out = Set.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val p = it.next()
+        out += ((p.getFileName.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      }
+      out.result()
+    }
+    val untouchedBefore = bucketFiles(5)
+
+    val lin = Ingest.deleteByQuery(spark, dir, col("url").isin(victims: _*))
+    assert(lin.map(_.bucket) == Seq(3), lin.toString)
+    val after = Ingest.readStore(spark, dir)
+    assert(after.count() == total - 50)
+    assert(after.where(col("url").isin(victims: _*)).count() == 0)
+    // untouched buckets: identical files, not rewritten
+    assert(bucketFiles(5) == untouchedBefore)
+    // lineage recommit matches a fresh recompute (the stats callback)
+    val b3 = after.where(col("bucket") === 3)
+    assert(lin.head.rows == b3.count())
+    val xorWant = b3.agg(expr("bit_xor(xxhash64(text))")).collect()(0).getLong(0)
+    assert(lin.head.textChecksum == xorWant)
+    val linDf = Ingest.readLineage(spark, dir)
+      .where(col("bucket") === 3).collect()
+    assert(linDf.length == 1 && linDf(0).getAs[Long]("rows") == lin.head.rows)
+    // the same delete again touches nothing
+    assert(Ingest.deleteByQuery(spark, dir, col("url").isin(victims: _*)).isEmpty)
+    // surviving store keeps its sorted-run contract queryable
+    assert(Ops.spatialBoxQuery(after, -90, 0, -40, 40).count() ==
+      after.where(col("lon").between(-90, 0) && col("lat").between(-40, 40)).count())
+  }
+
   // --------------------------------------- corpus split & per-host cap
 
   test("hashSplit: exact duplicates share a fold; cuts respected; no shuffle") {
