@@ -59,6 +59,9 @@ object Bench {
     dir
   }
 
+  /** one measured headline run in a fresh local[cpus] session: cache the
+    * input, one identical-plan warmup (codegen; JIT persists across
+    * sessions in this JVM), one timed run. */
   private def timeHeadline(cpus: Int, inputDir: String): (Double, Long) = {
     val spark = session(cpus)
     try {
@@ -67,16 +70,10 @@ object Bench {
         .repartition(cpus * 2) // balanced executor-memory partitions
         .cache()
       pts.count() // materialize the cache
-      // warm with the IDENTICAL plan (same literals) so codegen compilation
-      // and JIT are out of the timed runs; report the median of 3
       headline(pts)
-      var rows = 0L
-      val times = (0 until 3).map { _ =>
-        val t0 = System.nanoTime()
-        rows = headline(pts)
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      (times(1), rows)
+      val t0 = System.nanoTime()
+      val rows = headline(pts)
+      ((System.nanoTime() - t0) / 1e9, rows)
     } finally spark.stop()
   }
 
@@ -88,14 +85,27 @@ object Bench {
     // executors). 4/16 instead of 8/32 keeps the 4N run off the machine's
     // full core count, so the comparison isn't confounded by all-core
     // frequency scaling and memory-bandwidth saturation at 32 threads.
+    // The widths are INTERLEAVED (N, 4N, N, 4N, …) and efficiency is the
+    // median of per-round adjacent ratios: page-cache / clock drift over
+    // the benchmark's lifetime then cancels out of the ratio instead of
+    // landing entirely on one side (BASELINE §C).
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "4").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val inputDir = stageInput(n)
-    val (sec8, _) = timeHeadline(nCores, inputDir)
-    val (sec32, joinRows) = timeHeadline(4 * nCores, inputDir)
+    var joinRows = 0L
+    val pairs = (0 until rounds).map { _ =>
+      val (sN, _) = timeHeadline(nCores, inputDir)
+      val (s4N, r) = timeHeadline(4 * nCores, inputDir)
+      joinRows = r
+      (sN, s4N)
+    }
     ScalingEvidence.deleteRecursively(inputDir) // multi-GB staging; never leak it
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val sec8 = median(pairs.map(_._1))
+    val sec32 = median(pairs.map(_._2))
     val thr8 = n / sec8
     val thr32 = n / sec32
-    val eff = (thr32 / thr8) / 4.0
+    val eff = median(pairs.map { case (a, b) => (a / b) / 4.0 })
 
     // per-query phase at local[32]
     val spark = session(32)
