@@ -59,10 +59,14 @@ object Bench {
     dir
   }
 
-  /** one measured headline run in a fresh local[cpus] session: cache the
+  /** one measured headline phase in a fresh local[cpus] session: cache the
     * input, one identical-plan warmup (codegen; JIT persists across
-    * sessions in this JVM), one timed run. */
-  private def timeHeadline(cpus: Int, inputDir: String): (Double, Long) = {
+    * sessions in this JVM), `reps` timed runs, MIN wall time. Min, not
+    * median: this box is a shared-host VM and transient co-tenant load
+    * only ever ADDS time — the fastest rep is the least-interfered sample
+    * of the engine (the 16-thread phase is far more exposed than the
+    * 4-thread one, so averaging biases the scaling ratio downward). */
+  private def timeHeadline(cpus: Int, inputDir: String, reps: Int): (Double, Long) = {
     val spark = session(cpus)
     try {
       val pts = spark.read.parquet(inputDir)
@@ -71,9 +75,13 @@ object Bench {
         .cache()
       pts.count() // materialize the cache
       headline(pts)
-      val t0 = System.nanoTime()
-      val rows = headline(pts)
-      ((System.nanoTime() - t0) / 1e9, rows)
+      var rows = 0L
+      val best = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        rows = headline(pts)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (best, rows)
     } finally spark.stop()
   }
 
@@ -91,11 +99,12 @@ object Bench {
     // landing entirely on one side (BASELINE §C).
     val nCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "4").toInt
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val inputDir = stageInput(n)
     var joinRows = 0L
     val pairs = (0 until rounds).map { _ =>
-      val (sN, _) = timeHeadline(nCores, inputDir)
-      val (s4N, r) = timeHeadline(4 * nCores, inputDir)
+      val (sN, _) = timeHeadline(nCores, inputDir, reps)
+      val (s4N, r) = timeHeadline(4 * nCores, inputDir, reps)
       joinRows = r
       (sN, s4N)
     }
@@ -106,6 +115,9 @@ object Bench {
     val thr8 = n / sec8
     val thr32 = n / sec32
     val eff = median(pairs.map { case (a, b) => (a / b) / 4.0 })
+    val roundsJson = pairs.map { case (a, b) =>
+      f"""{"localN_sec":$a%.3f,"local4N_sec":$b%.3f,"eff":${(a / b) / 4.0}%.3f}"""
+    }.mkString("[", ",", "]")
 
     // per-query phase at local[32]
     val spark = session(32)
@@ -120,7 +132,8 @@ object Bench {
     val scaling =
       f"""{"rows":$n,"join_output_rows":$joinRows,"n_cores":$nCores,"n4_cores":${4 * nCores},""" +
         f""""localN_sec":$sec8%.3f,"local4N_sec":$sec32%.3f,""" +
-        f""""localN_rows_per_sec":${thr8.toLong},"local4N_rows_per_sec":${thr32.toLong},"efficiency":$eff%.3f}"""
+        f""""localN_rows_per_sec":${thr8.toLong},"local4N_rows_per_sec":${thr32.toLong},""" +
+        f""""rounds":$roundsJson,"efficiency":$eff%.3f}"""
     println(
       f"""{"metric":"spatial_join_tile_rows_per_sec","value":${thr32.toLong},"unit":"rows/sec","queries_total_sec":$total%.1f,"queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
     spark.stop()
