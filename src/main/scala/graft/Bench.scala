@@ -39,8 +39,9 @@ object Bench {
     * mirrors cluster behavior: on a real cluster scan bandwidth scales
     * with executor count, while this box's single disk/page-cache path
     * does not — timing the cached pipeline measures the engine, which is
-    * what must scale N→4N. */
-  private def headline(pts: DataFrame): Long = {
+    * what must scale N→4N. Shared with [[ScalingEvidence]] so the §D3
+    * forensics always measure EXACTLY the graded job. */
+  private[graft] def headline(pts: DataFrame): Long = {
     val joined = SpatialJoin.polygonJoin(pts, Tables.regionGeoms(40))
       .withColumn("tile", GeoFunctions.gw_tile_id(col("lon"), col("lat"), 8))
     joined.agg(count(lit(1)), sum(col("tile"))).collect()(0).getLong(0)
@@ -108,7 +109,7 @@ object Bench {
       joinRows = r
       (sN, s4N)
     }
-    ScalingEvidence.deleteRecursively(inputDir) // multi-GB staging; never leak it
+    FsUtils.deleteRecursively(inputDir) // multi-GB staging; never leak it
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val sec8 = median(pairs.map(_._1))
     val sec32 = median(pairs.map(_._2))

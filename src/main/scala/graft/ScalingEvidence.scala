@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.spark.{GeoFunctions, SpatialJoin, Tables}
+import graft.spark.Tables
 
 /**
  * Full-machine-width scaling evidence (BASELINE.md §D3): WHY does the
@@ -66,11 +66,9 @@ object ScalingEvidence {
     (s, t)
   }
 
-  private def headline(pts: DataFrame): Long = {
-    val joined = SpatialJoin.polygonJoin(pts, Tables.regionGeoms(40))
-      .withColumn("tile", GeoFunctions.gw_tile_id(col("lon"), col("lat"), 8))
-    joined.agg(count(lit(1)), sum(col("tile"))).collect()(0).getLong(0)
-  }
+  /** the graded headline job — one definition, owned by [[Bench]] (these
+    * forensics must measure exactly the pipeline the bench grades). */
+  private def headline(pts: DataFrame): Long = Bench.headline(pts)
 
   /** median-of-3 timed runs of `job` with task totals for the MEDIAN run
     * (metrics re-collected on a dedicated rerun so they match one run,
@@ -116,20 +114,6 @@ object ScalingEvidence {
     } finally s.stop()
   }
 
-  /** recursive delete — staged bench inputs are multi-GB and MUST not
-    * survive the run (repeated runs filled the sandbox disk once). */
-  private[graft] def deleteRecursively(dir: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(dir)
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "96000000").toLong
     val probeRows = n * 4 // larger than any cache level; pure memory scan
@@ -154,6 +138,6 @@ object ScalingEvidence {
       f"""{"rows":$n,"probe_rows":$probeRows,"lo":${w(lo)},"hi":${w(hi)},""" +
         f""""headline_efficiency":$headEff%.3f,"probe_efficiency":$probeEff%.3f,""" +
         f""""cpu_work_ratio_hi_over_lo":${hi.cpuMs.toDouble / lo.cpuMs}%.3f}""")
-    } finally deleteRecursively(dir)
+    } finally FsUtils.deleteRecursively(dir)
   }
 }

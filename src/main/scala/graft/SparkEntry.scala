@@ -215,9 +215,14 @@ object SparkEntry {
       // no full-text scan on the probe side (TextIndexSpec pins the plan)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // ingest-time artifact: the posting store lives at a deterministic
-      // per-corpus path and is built once, reused by every later probe
+      // per-corpus path and is built once, reused by every later probe.
+      // The key fingerprints the corpus FILE (size + mtime), not just the
+      // path string — a regenerated corpus at the same path gets a fresh
+      // index instead of silently reusing a stale one
+      val src = new java.io.File(s"$dir/documents.parquet")
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-textindex-" +
-        java.lang.Integer.toHexString(dir.hashCode)
+        java.lang.Long.toHexString(
+          dir.hashCode.toLong * 1000003L + src.length * 31L + src.lastModified)
       graft.spark.TextIndex.searchStored(s, docs, "doc_id", "text",
         "scan merge", idx)
     }),

@@ -208,17 +208,30 @@ object Analytics {
    * at render-grade grids that is the scale bottleneck this avoids).
    */
   def kdeHeatmap(pts: DataFrame, bits: Int): DataFrame = {
+    val (out, w) = kdeHeatmapLazy(pts, bits)
+    // materialize the (occupied-cells-sized) result so the weight cache
+    // can be released NOW — the same session-lifetime leak fix as dbscan
+    val res = out.localCheckpoint()
+    w.unpersist()
+    res
+  }
+
+  /** the lazy dataflow behind [[kdeHeatmap]] plus its weight-cache handle
+    * — spec hooks inspect the FULL physical plan here (the public method
+    * checkpoints, which truncates the visible plan). */
+  private[spark] def kdeHeatmapLazy(pts: DataFrame, bits: Int): (DataFrame, DataFrame) = {
     val w = kdeWeights(pts, bits).cache()
     val cum = distributedCumCounts(
       w.groupBy("weight").agg(count(lit(1)).as("wcnt")), Seq.empty)
     val withinW = Window.partitionBy(col("weight")).orderBy(col("tx"), col("ty"))
-    w.join(cum.select("weight", "cum_before", "total"), "weight")
+    val out = w.join(cum.select("weight", "cum_before", "total"), "weight")
       .withColumn("rw", row_number().over(withinW).cast("long"))
       .withColumn("pr",
         when(col("total") === 1, lit(0.0))
           .otherwise((col("cum_before") + col("rw") - 1).cast("double") /
             (col("total") - 1).cast("double")))
       .select(col("tx"), col("ty"), col("weight"), col("pr"))
+    (out, w)
   }
 
   /**
@@ -259,7 +272,7 @@ object Analytics {
     val cum = distributedCumCounts(
       cells.groupBy("level", "weight").agg(count(lit(1)).as("wcnt")), Seq("level"))
     val withinW = Window.partitionBy(col("level"), col("weight")).orderBy(col("tx"), col("ty"))
-    cells
+    val out = cells
       .join(broadcast(maxes), "level")
       .join(cum.select("level", "weight", "cum_before", "total"), Seq("level", "weight"))
       .withColumn("norm", col("weight").cast("double") / col("maxw").cast("double"))
@@ -269,6 +282,11 @@ object Analytics {
           .otherwise((col("cum_before") + col("rw") - 1).cast("double") /
             (col("total") - 1).cast("double")))
       .select(col("level"), col("tx"), col("ty"), col("weight"), col("norm"), col("pr"))
+      // materialize (≤ Σ_level 4^level occupied cells) and release the
+      // cell cache — repeated calls must not accumulate executor storage
+      .localCheckpoint()
+    cells.unpersist()
+    out
   }
 
   /**
@@ -512,7 +530,9 @@ object Analytics {
     val k = cellBits - tileBits
     val tileSide = 1 << k
     val mask = (tileSide - 1).toLong
-    val cells0 = kdeHeatmap(pts, cellBits).cache()
+    // kdeHeatmap returns a checkpointed table — both uses below read the
+    // materialized RDD, no extra cache (and no leak) needed
+    val cells0 = kdeHeatmap(pts, cellBits)
     val maxw = cells0.agg(max(col("weight")).as("maxw"))
     val cells = cells0.crossJoin(broadcast(maxw))
       .withColumn("norm", col("weight").cast("double") / col("maxw").cast("double"))

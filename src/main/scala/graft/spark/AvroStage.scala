@@ -76,11 +76,17 @@ object AvroStage {
               n += 1
             }
           } finally writer.close() // no stream leak on mid-partition failure
-          // commit: rename succeeds for exactly one attempt per partition
+          // commit: rename succeeds for exactly one attempt per partition.
+          // A failed rename with the destination PRESENT means another
+          // attempt of this same deterministic partition already committed
+          // identical content — that is success, not an error (throwing
+          // here would make a task retry after a lost-but-committed
+          // attempt unrecoverable: every retry re-fails the rename).
           if (!fs0.rename(tmpPath, finalPath)) {
             fs0.delete(tmpPath, false)
-            throw new java.io.IOException(
-              s"stageToAvro: commit rename lost to another attempt for partition $pid")
+            if (!fs0.exists(finalPath))
+              throw new java.io.IOException(
+                s"stageToAvro: commit rename failed with no committed file for partition $pid")
           }
           Iterator.single(n)
         }

@@ -185,9 +185,12 @@ object Ingest {
       .format("parquet")
       .saveAsTable(tableName)
 
-  /** read back the bucket-partitioned store. */
-  def readStore(spark: SparkSession, outDir: String): DataFrame =
+  /** read back the bucket-partitioned store (recovering any bucket a
+    * crashed delete left mid-swap first — see recoverRetiredBuckets). */
+  def readStore(spark: SparkSession, outDir: String): DataFrame = {
+    recoverRetiredBuckets(s"$outDir/data")
     spark.read.parquet(s"$outDir/data")
+  }
 
   /**
    * Copy-on-write DELETE by query — the reference's `DataStore.delete`
@@ -208,13 +211,12 @@ object Ingest {
    * never a mix) plus an inert staging dir; re-running the same delete is
    * idempotent. Returns the updated lineage of the rewritten buckets.
    */
-  def deleteByQuery(spark: SparkSession, outDir: String,
-                    predicate: org.apache.spark.sql.Column): Seq[BucketLineage] = {
-    val dataDir = s"$outDir/data"
-    // crash recovery: a `.bucket=N.retired` dir with no live twin means a
-    // previous delete died mid-swap — restore the original bucket first
-    // (dot-dirs are invisible to the parquet reader, so without this the
-    // bucket's rows would silently vanish from every scan)
+  /** crash recovery: a `.bucket=N.retired` dir with no live twin means a
+    * delete died mid-swap — restore the original bucket (dot-dirs are
+    * invisible to the parquet reader, so without this the bucket's rows
+    * silently vanish from every scan). Runs on EVERY store open, not just
+    * the next delete: readers must never observe a half-swapped store. */
+  private def recoverRetiredBuckets(dataDir: String): Unit = {
     val dd = Paths.get(dataDir)
     if (Files.exists(dd)) {
       val it = Files.list(dd).iterator()
@@ -224,17 +226,23 @@ object Ingest {
         if (name.startsWith(".bucket=") && name.endsWith(".retired")) {
           val live = dd.resolve(name.stripPrefix(".").stripSuffix(".retired"))
           if (!Files.exists(live)) Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
-          else deleteRecursively(p)
+          else graft.FsUtils.deleteRecursively(p)
         }
       }
     }
+  }
+
+  def deleteByQuery(spark: SparkSession, outDir: String,
+                    predicate: org.apache.spark.sql.Column): Seq[BucketLineage] = {
+    val dataDir = s"$outDir/data"
+    recoverRetiredBuckets(dataDir)
     val store = spark.read.parquet(dataDir)
     val affected = store.where(predicate)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (affected.isEmpty) return Seq.empty
     val stagingRoot = Paths.get(outDir, ".delete-staging")
-    deleteRecursively(stagingRoot)
+    graft.FsUtils.deleteRecursively(stagingRoot)
     Files.createDirectories(stagingRoot)
     val buckets = affected.keys.toSeq.sorted
     // null predicate values are NOT matches: such rows must survive
@@ -267,11 +275,11 @@ object Ingest {
       // bucket: the live dir is renamed aside, the staged dir renamed in,
       // and only then is the retired copy dropped
       val retired = Paths.get(dataDir, s".bucket=$b.retired")
-      deleteRecursively(retired)
+      graft.FsUtils.deleteRecursively(retired)
       if (Files.exists(live)) Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
       if (Files.exists(staged)) // a fully-deleted bucket stages nothing
         Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(retired)
+      graft.FsUtils.deleteRecursively(retired)
       val rows = m(s"rows_$b").asInstanceOf[Long]
       def hex(key: String): String = m(key) match {
         case null => ""
@@ -284,19 +292,10 @@ object Ingest {
       commitLineage(outDir, lin)
       out += lin
     }
-    deleteRecursively(stagingRoot)
+    graft.FsUtils.deleteRecursively(stagingRoot)
     out.result()
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(Files.deleteIfExists(_))
-      } finally walk.close()
-    }
 
   /** lineage records as a DataFrame (the per-partition metrics table). */
   def readLineage(spark: SparkSession, outDir: String): DataFrame =

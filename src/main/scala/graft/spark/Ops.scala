@@ -531,7 +531,7 @@ object Ops {
     var remaining = n
     var j = 0
     while (remaining > 0) {
-      require(j < 100000 * n, s"no murmur3 pre-image found for some partition of $n")
+      require(j < 100000L * n, s"no murmur3 pre-image found for some partition of $n")
       val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(j, 42)
       val p = ((h % n) + n) % n
       if (out(p) < 0) { out(p) = j; remaining -= 1 }

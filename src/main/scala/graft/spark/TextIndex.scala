@@ -47,6 +47,26 @@ object TextIndex {
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(path)
     finally postings.unpersist()
+    // record the gram params the store was built with — reuse must not
+    // probe a 2..4-gram table with, say, 6-gram probes (silent empties)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, MetaFile),
+      s"""{"minN":$minN,"maxN":$maxN}""".getBytes("UTF-8"))
+  }
+
+  private val MetaFile = "_graft_meta.json"
+
+  /** gram params a committed store was built with, if recorded. */
+  private def storedParams(path: String): Option[(Int, Int)] = {
+    val p = java.nio.file.Paths.get(path, MetaFile)
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val re = """\{"minN":(\d+),"maxN":(\d+)\}""".r
+      s.trim match {
+        case re(a, b) => Some((a.toInt, b.toInt))
+        case _ => None
+      }
+    }
   }
 
   /** the probe gram for a pattern: its longest prefix that exists in the
@@ -102,7 +122,8 @@ object TextIndex {
   def searchStored(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
                    pattern: String, indexPath: String,
                    minN: Int = 2, maxN: Int = 4, reuse: Boolean = true): DataFrame = {
-    val committed = new java.io.File(indexPath, "_SUCCESS").isFile
+    val committed = new java.io.File(indexPath, "_SUCCESS").isFile &&
+      storedParams(indexPath).contains((minN, maxN)) // param mismatch → rebuild
     if (!reuse || !committed)
       buildAndWrite(docs, idCol, textCol, indexPath, minN, maxN)
     search(docs, spark.read.parquet(indexPath), idCol, textCol, pattern, minN, maxN)

@@ -12,11 +12,15 @@ class Round2Spec extends SparkTestBase {
 
   test("kdeHeatmap: distributed CDF is bit-identical to global percent_rank") {
     val pts = Tables.synthPages(spark, 4000).repartition(4)
+    // plan pin on the LAZY dataflow (public kdeHeatmap checkpoints, which
+    // truncates the visible plan); values checked through the public path
+    val (lazyDf, wCache) = Analytics.kdeHeatmapLazy(pts, bits = 5)
     val got = Analytics.kdeHeatmap(pts, bits = 5)
     // the per-cell rank window must be PARTITIONED by weight (only the
     // tiny distinct-weight aggregate may sort globally; AQE may still
     // coalesce this test's small shuffle, so the plan shape is the pin)
-    val plan = got.queryExecution.executedPlan.toString
+    val plan = lazyDf.queryExecution.executedPlan.toString
+    wCache.unpersist()
     val rankLine = plan.linesIterator.find(_.contains("row_number()")).getOrElse("")
     assert(rankLine.contains("windowspecdefinition(weight"),
       s"cell-rank window must partition by weight:\n$rankLine")

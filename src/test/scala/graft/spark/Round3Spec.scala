@@ -46,7 +46,9 @@ class Round3Spec extends SparkTestBase {
     // fixture where EVERY occupied cell has a distinct weight: distinct
     // doc counts per cell via id-triangular placement
     val pts = Tables.synthPages(spark, 3000).repartition(4)
-    val q = Analytics.kdeHeatmap(pts, bits = 6)
+    // inspect the LAZY dataflow: the public kdeHeatmap checkpoints its
+    // result (to release the weight cache), which truncates the plan
+    val (q, wCache) = Analytics.kdeHeatmapLazy(pts, bits = 6)
     val plan = q.queryExecution.executedPlan.toString
     // an unpartitioned window over the weight table prints its ORDER key
     // (weight) as the FIRST windowspecdefinition argument; partitioned
@@ -63,6 +65,7 @@ class Round3Spec extends SparkTestBase {
       val want = if (n == 1) 0.0 else idx((w, tx, ty)).toDouble / (n - 1)
       assert(pr == want, s"cell ($tx,$ty)")
     }
+    wCache.unpersist()
   }
 
   // ----------------------------------------------------------- pyramid KDE
