@@ -53,13 +53,30 @@ object Pipeline {
     val knnSec = (System.nanoTime() - t2) / 1e9
 
     val totalRows = store.count()
+    store.unpersist()
+
+    // 3. copy-on-write delete over the committed store (only freshly
+    // ingested runs delete — a resumed run with 0 buckets written has
+    // already taken this branch, keeping re-runs idempotent)
+    val t3 = System.nanoTime()
+    val deleted =
+      if (written.nonEmpty)
+        Ingest.deleteByQuery(spark, storeDir, col("doc_id") % 10007 === 0)
+          .map(_.bucket).size
+      else 0
+    val deleteSec = (System.nanoTime() - t3) / 1e9
+    val afterRows = Ingest.readStore(spark, storeDir).count()
+
     val lineageRows = Ingest.readLineage(spark, storeDir)
       .agg(sum("rows")).collect()(0).getLong(0)
+    require(lineageRows == afterRows,
+      s"lineage ($lineageRows) must track the store ($afterRows) through the delete")
 
     println(
       f"""{"rows":$totalRows,"lineage_rows":$lineageRows,"buckets_written":${written.size},""" +
         f""""ingest_sec":$ingestSec%.2f,"join_rows":$joinRows,"join_sec":$querySec%.2f,""" +
         f""""knn_rows":$knnRows,"knn_sec":$knnSec%.2f,""" +
+        f""""deleted_buckets":$deleted,"rows_after_delete":$afterRows,"delete_sec":$deleteSec%.2f,""" +
         f""""join_rows_per_sec":${(totalRows / querySec).toLong}}""")
     spark.stop()
   }
