@@ -227,6 +227,23 @@ class Round3Spec extends SparkTestBase {
       after.where(col("lon").between(-90, 0) && col("lat").between(-40, 40)).count())
   }
 
+  test("readStore recovers a bucket a crashed delete left retired") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-delrec").toString
+    val pages = Tables.synthPages(spark, 1000)
+      .select(col("doc_id"), col("url"), col("lon"), col("lat"), col("text"))
+    Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 4, batchSize = 4))
+    val total = Ingest.readStore(spark, dir).count()
+    // simulate a crash between the delete's two swap renames: the live
+    // bucket was renamed aside and the staged one never moved in
+    val dd = java.nio.file.Paths.get(s"$dir/data")
+    java.nio.file.Files.move(dd.resolve("bucket=2"), dd.resolve(".bucket=2.retired"))
+    // a raw parquet read silently misses the bucket (dot-dirs invisible)…
+    assert(spark.read.parquet(s"$dir/data").count() < total)
+    // …but the store API restores it before reading
+    assert(Ingest.readStore(spark, dir).count() == total)
+    assert(java.nio.file.Files.exists(dd.resolve("bucket=2")))
+  }
+
   // --------------------------------------- corpus split & per-host cap
 
   test("hashSplit: exact duplicates share a fold; cuts respected; no shuffle") {
