@@ -211,6 +211,50 @@ object Ingest {
    * never a mix) plus an inert staging dir; re-running the same delete is
    * idempotent. Returns the updated lineage of the rewritten buckets.
    */
+  // --------------------------------------------------------- alt index
+
+  /**
+   * ALT (data id → location) index — the reference's optional secondary
+   * mapping written beside the primary store so id-addressed operations
+   * need no primary scan (BaseDataStore secondary/alt-index path;
+   * DeleteWriterAltIndexTest semantics). Here: an (id, bucket) parquet
+   * table sorted by id, so a `WHERE id IN (…)` probe prunes to matching
+   * row groups. Entries are an OVER-approximation after deletes (a stale
+   * id maps to a bucket that no longer holds it — harmless: the rewrite
+   * simply finds no rows); rebuild to compact.
+   */
+  def buildAltIndex(spark: SparkSession, outDir: String,
+                    idCol: String = "doc_id", numFiles: Int = 8): Unit = {
+    val alt = readStore(spark, outDir).select(col(idCol), col("bucket")).persist()
+    try alt
+      .repartitionByRange(numFiles, col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode("overwrite").parquet(s"$outDir/_alt")
+    finally alt.unpersist()
+  }
+
+  /**
+   * Delete rows by data id THROUGH the alt index: the (pushdown-pruned)
+   * alt probe yields the affected buckets, so only those buckets are
+   * scanned and rewritten — no full-store scan to discover locations,
+   * which at 100 TB is the difference between touching 3 partitions and
+   * reading the corpus. Falls back to [[deleteByQuery]] when no alt
+   * index exists. The alt index itself is left over-approximate (see
+   * [[buildAltIndex]]).
+   */
+  def deleteByIds(spark: SparkSession, outDir: String, ids: Seq[Long],
+                  idCol: String = "doc_id"): Seq[BucketLineage] = {
+    if (ids.isEmpty) return Seq.empty
+    val pred = col(idCol).isin(ids: _*)
+    if (!Files.exists(Paths.get(outDir, "_alt", "_SUCCESS")))
+      return deleteByQuery(spark, outDir, pred)
+    val buckets = spark.read.parquet(s"$outDir/_alt")
+      .where(pred).select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (buckets.isEmpty) Seq.empty
+    else rewriteBuckets(spark, outDir, buckets, pred)
+  }
+
   /** crash recovery: a `.bucket=N.retired` dir with no live twin means a
     * delete died mid-swap — restore the original bucket (dot-dirs are
     * invisible to the parquet reader, so without this the bucket's rows
@@ -241,10 +285,21 @@ object Ingest {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (affected.isEmpty) return Seq.empty
+    rewriteBuckets(spark, outDir, affected.keys.toSeq.sorted, predicate)
+  }
+
+  /** stage + atomically swap the surviving rows of `buckets`, dropping
+    * rows matching `predicate`, and recommit each bucket's lineage. The
+    * shared rewrite behind [[deleteByQuery]] and [[deleteByIds]]. */
+  private def rewriteBuckets(spark: SparkSession, outDir: String,
+                             buckets: Seq[Int],
+                             predicate: org.apache.spark.sql.Column): Seq[BucketLineage] = {
+    val dataDir = s"$outDir/data"
+    recoverRetiredBuckets(dataDir)
+    val store = spark.read.parquet(dataDir)
     val stagingRoot = Paths.get(outDir, ".delete-staging")
     graft.FsUtils.deleteRecursively(stagingRoot)
     Files.createDirectories(stagingRoot)
-    val buckets = affected.keys.toSeq.sorted
     // null predicate values are NOT matches: such rows must survive
     val survivors = store
       .where(col("bucket").isin(buckets: _*))

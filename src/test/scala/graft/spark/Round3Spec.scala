@@ -227,6 +227,45 @@ class Round3Spec extends SparkTestBase {
       after.where(col("lon").between(-90, 0) && col("lat").between(-40, 40)).count())
   }
 
+  test("deleteByIds probes the alt index: only id-bearing buckets rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alt").toString
+    val pages = Tables.synthPages(spark, 2000)
+      .select(col("doc_id"), col("url"), col("lon"), col("lat"), col("text"))
+    Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 8, batchSize = 8))
+    Ingest.buildAltIndex(spark, dir)
+    val store = Ingest.readStore(spark, dir)
+    val total = store.count()
+    // ids drawn from exactly two buckets
+    val byBucket = store.select("bucket", "doc_id").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).sorted.take(5)).toMap
+    val targets = byBucket.keys.toSeq.sorted.take(2)
+    val ids = targets.flatMap(byBucket(_))
+    def files(b: Int): Set[(String, Long)] = {
+      val d = java.nio.file.Paths.get(s"$dir/data/bucket=$b")
+      val it = java.nio.file.Files.list(d).iterator()
+      val out = Set.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val p = it.next()
+        out += ((p.getFileName.toString, java.nio.file.Files.getLastModifiedTime(p).toMillis))
+      }
+      out.result()
+    }
+    val untouched = byBucket.keys.toSeq.sorted.drop(2).map(b => b -> files(b)).toMap
+
+    val lin = Ingest.deleteByIds(spark, dir, ids)
+    assert(lin.map(_.bucket).sorted == targets, lin.toString)
+    val after = Ingest.readStore(spark, dir)
+    assert(after.count() == total - ids.size)
+    assert(after.where(col("doc_id").isin(ids: _*)).count() == 0)
+    untouched.foreach { case (b, f) => assert(files(b) == f, s"bucket $b rewritten") }
+    // stale alt entries are harmless: rerun rewrites the same buckets to
+    // identical contents (0 matching rows), lineage counts unchanged
+    val again = Ingest.deleteByIds(spark, dir, ids)
+    assert(again.map(_.bucket).sorted == targets)
+    assert(again.map(l => l.bucket -> l.rows).toMap == lin.map(l => l.bucket -> l.rows).toMap)
+    assert(Ingest.readStore(spark, dir).count() == total - ids.size)
+  }
+
   test("readStore recovers a bucket a crashed delete left retired") {
     val dir = java.nio.file.Files.createTempDirectory("graft-delrec").toString
     val pages = Tables.synthPages(spark, 1000)
