@@ -114,20 +114,32 @@ object Ops {
    * output. This is the reference's partitioner-shuffle
    * (AbstractPartitioner.getCubeIdentifiers + NNMapReduce keying) as one
    * equi-join; AQE splits hot cells at runtime.
+   *
+   * `wrapX = true` wraps the x-neighborhood modulo the tile count so
+   * pairs straddling the ANTIMERIDIAN still meet on a key — required
+   * whenever the fine metric itself wraps (haversine; the reference's
+   * orthodromic partitioner expands through normalized longitude,
+   * OrthodromicDistancePartitioner.java:98-145). Leave false for
+   * euclidean-degree metrics, whose distance does not wrap either.
    */
   private[spark] def neighborhoodSelfJoin(pts: DataFrame, bits: Int,
-                                          kx: Long = 1, ky: Long = 1): DataFrame = {
+                                          kx: Long = 1, ky: Long = 1,
+                                          wrapX: Boolean = false): DataFrame = {
     val cols = pts.columns
+    val bins = 1L << bits
     val base = pts
       .withColumn("cx", gw_tile_x(col("lon"), bits))
       .withColumn("cy", gw_tile_y(col("lat"), bits))
     val neigh = (for (dx <- -kx to kx; dy <- -ky to ky)
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))).toSeq
+    val jxExpr =
+      if (wrapX) pmod(col("cx") + col("o.dx"), lit(bins))
+      else col("cx") + col("o.dx")
     val a = base
       .select(cols.map(c => col(c).as(s"a_$c")) ++
         Seq(explode(array(neigh: _*)).as("o"), col("cx"), col("cy")): _*)
       .select(cols.map(c => col(s"a_$c")) ++
-        Seq((col("cx") + col("o.dx")).as("jx"), (col("cy") + col("o.dy")).as("jy")): _*)
+        Seq(jxExpr.as("jx"), (col("cy") + col("o.dy")).as("jy")): _*)
     val b = base.select(cols.map(c => col(c).as(s"b_$c")) ++
       Seq(col("cx").as("jx"), col("cy").as("jy")): _*)
     a.join(b, Seq("jx", "jy")).drop("jx", "jy")
@@ -188,8 +200,12 @@ object Ops {
     // the lon-expansion bound is only valid up to maxAbsLatDeg; enforce it
     // here (near-pole rows would otherwise silently miss qualifying pairs)
     val inBand = pts.where(abs(col("lat")) <= lit(maxAbsLatDeg))
+    // wrapX: haversine wraps at the antimeridian, so the tile
+    // neighborhood must too — otherwise pairs straddling ±180° never
+    // meet on a join key and silently vanish (the exact-haversine oracle
+    // DOES count them)
     neighborhoodSelfJoin(inBand.select(col(idCol).as("id"), col("lon"), col("lat")),
-        bits, kx, ky)
+        bits, kx, ky, wrapX = true)
       .where(col("a_id") < col("b_id"))
       .withColumn("dist_m", dist)
       .where(col("dist_m") < lit(dMeters))

@@ -320,6 +320,16 @@ class Round3Spec extends SparkTestBase {
       q.queryExecution.executedPlan.toString.take(1200))
   }
 
+  test("distanceJoinMeters finds pairs straddling the antimeridian") {
+    // wrapped Δlon = 0.08° ≈ 8.8 km at lat 10 — within 20 km; the
+    // unwrapped tile neighborhood would put these in non-adjacent cells
+    val pts = Seq((1L, 179.96, 10.0), (2L, -179.96, 10.0), (3L, 0.0, 10.0),
+      (4L, 179.96, 10.05)).toDF("id", "lon", "lat")
+    val got = Ops.distanceJoinMeters(pts, "id", dMeters = 20000.0, bits = 7)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 4L), (2L, 4L)), got.toString)
+  }
+
   // ------------------------------------------------- dateline box query
 
   test("spatialBoxQuery wraps the antimeridian: coarse ranges cover both sides") {
