@@ -64,6 +64,57 @@ class SplitsSpec extends AnyFunSuite {
     assert(cards.min >= 100.0, cards.toString) // singleton smalls all merged away
   }
 
+  test("fuzz: planner invariants hold over random histograms and ranges") {
+    val rnd = new scala.util.Random(20260817)
+    for (trial <- 0 until 100) {
+      // random sorted histogram of 1..40 single-byte-prefix buckets
+      val nBuckets = 1 + rnd.nextInt(40)
+      val prefixes = rnd.shuffle((0 until 256).toList).take(nBuckets).sorted
+      val hist: IndexedSeq[(Array[Byte], Long)] =
+        prefixes.map(p => (b(p), 1L + rnd.nextInt(10000).toLong)).toIndexedSeq
+      // random disjoint input ranges
+      val nRanges = 1 + rnd.nextInt(6)
+      val cuts = Seq.fill(nRanges * 2)(rnd.nextInt(255)).sorted.distinct
+      val ranges = cuts.grouped(2).collect {
+        case Seq(s, e) if s < e => Splits.KeyRange(b(s), b(e, 0xff))
+      }.toSeq
+      if (ranges.nonEmpty) {
+        val minS = 1 + rnd.nextInt(12)
+        val maxS = minS + rnd.nextInt(12)
+        val splits = Splits.plan(ranges, hist, minS, maxS)
+        // size bounds (minS may be unreachable on degenerate mass)
+        assert(splits.nonEmpty && splits.size <= maxS, s"trial $trial size ${splits.size}")
+        // total estimated cardinality is conserved (bisection splits
+        // exactly at interpolated cdf points; merging adds)
+        val inCard = ranges.map(r => Splits.cardinality(hist, r.start, r.end)).sum
+        val outCard = splits.map(_.cardinality).sum
+        assert(math.abs(inCard - outCard) <= math.max(1.0, inCard * 1e-6),
+          s"trial $trial cardinality $inCard -> $outCard")
+        // every output piece nests inside exactly one input range, and the
+        // pieces of each input range tile it exactly (adjacent boundaries)
+        val pieces = splits.flatMap(_.ranges)
+        for (r <- ranges) {
+          val mine = pieces.filter(p =>
+            ByteUtils.compareUnsigned(p.start, r.start) >= 0 &&
+              ByteUtils.compareUnsigned(p.end, r.end) <= 0)
+            .sortWith((x, y) => ByteUtils.compareUnsigned(x.start, y.start) < 0)
+          assert(mine.nonEmpty, s"trial $trial range lost")
+          assert(mine.head.start.sameElements(r.start) && mine.last.end.sameElements(r.end),
+            s"trial $trial bounds not preserved")
+          mine.sliding(2).foreach {
+            case Seq(x, y) => assert(x.end.sameElements(y.start),
+              s"trial $trial gap/overlap inside a range")
+            case _ =>
+          }
+        }
+        assert(pieces.size == ranges.map(r =>
+          pieces.count(p => ByteUtils.compareUnsigned(p.start, r.start) >= 0 &&
+            ByteUtils.compareUnsigned(p.end, r.end) <= 0)).sum,
+          s"trial $trial piece outside every input range")
+      }
+    }
+  }
+
   test("degenerate bisection terminates: all mass on one exact key") {
     // one bucket, and ranges so narrow the quantile key cannot separate
     val hist: IndexedSeq[(Array[Byte], Long)] = IndexedSeq((b(5, 5, 5, 5, 5, 5, 5), 1000L))
