@@ -55,15 +55,14 @@ object Pipeline {
     val totalRows = store.count()
     store.unpersist()
 
-    // 3. copy-on-write delete over the committed store (only freshly
-    // ingested runs delete — a resumed run with 0 buckets written has
-    // already taken this branch, keeping re-runs idempotent)
+    // 3. copy-on-write delete over the committed store — run
+    // UNCONDITIONALLY: deleteByQuery is idempotent (a resumed run after
+    // the rows are gone finds no matches and touches nothing), and any
+    // gate on "did this run ingest" would skip the delete forever after
+    // a crash between ingest completion and this step
     val t3 = System.nanoTime()
-    val deleted =
-      if (written.nonEmpty)
-        Ingest.deleteByQuery(spark, storeDir, col("doc_id") % 10007 === 0)
-          .map(_.bucket).size
-      else 0
+    val deleted = Ingest.deleteByQuery(spark, storeDir, col("doc_id") % 10007 === 0)
+      .map(_.bucket).size
     val deleteSec = (System.nanoTime() - t3) / 1e9
     val afterRows = Ingest.readStore(spark, storeDir).count()
 

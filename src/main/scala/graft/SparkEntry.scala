@@ -216,13 +216,19 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // ingest-time artifact: the posting store lives at a deterministic
       // per-corpus path and is built once, reused by every later probe.
-      // The key fingerprints the corpus FILE (size + mtime), not just the
-      // path string — a regenerated corpus at the same path gets a fresh
-      // index instead of silently reusing a stale one
+      // The key fingerprints the corpus CONTENTS (part-file names, sizes,
+      // mtimes — documents.parquet may be a Spark-written DIRECTORY whose
+      // own inode stats never change), so a regenerated corpus at the
+      // same path gets a fresh index instead of silently reusing a stale
+      // one
       val src = new java.io.File(s"$dir/documents.parquet")
+      val parts =
+        if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
+      val fp = parts.foldLeft(dir.hashCode.toLong) { (acc, f) =>
+        ((acc * 1000003L + f.getName.hashCode) * 31L + f.length) * 31L + f.lastModified
+      }
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft-textindex-" +
-        java.lang.Long.toHexString(
-          dir.hashCode.toLong * 1000003L + src.length * 31L + src.lastModified)
+        java.lang.Long.toHexString(fp)
       graft.spark.TextIndex.searchStored(s, docs, "doc_id", "text",
         "scan merge", idx)
     }),

@@ -82,6 +82,10 @@ object AvroStage {
           // identical content — that is success, not an error (throwing
           // here would make a task retry after a lost-but-committed
           // attempt unrecoverable: every retry re-fails the rename).
+          // CONTRACT: the input partitioning must be deterministic (no
+          // sample()/unstable repartition upstream) — the returned count
+          // is this attempt's n, which equals the committed file's only
+          // under that determinism.
           if (!fs0.rename(tmpPath, finalPath)) {
             fs0.delete(tmpPath, false)
             if (!fs0.exists(finalPath))

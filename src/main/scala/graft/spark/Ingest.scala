@@ -231,6 +231,22 @@ object Ingest {
       .sortWithinPartitions(idCol)
       .write.mode("overwrite").parquet(s"$outDir/_alt")
     finally alt.unpersist()
+    // record WHICH buckets the index covers: buckets ingested after the
+    // build are invisible to the probe and must be scanned directly
+    // (ingest only ever ADDS whole buckets, never appends to one)
+    Files.write(Paths.get(outDir, "_alt", "_graft_covered.json"),
+      completedBuckets(outDir).toSeq.sorted.mkString("[", ",", "]").getBytes("UTF-8"))
+  }
+
+  /** bucket ids the committed alt index covers (None = no alt index). */
+  private def altCoveredBuckets(outDir: String): Option[Set[Int]] = {
+    val meta = Paths.get(outDir, "_alt", "_graft_covered.json")
+    if (!Files.exists(Paths.get(outDir, "_alt", "_SUCCESS")) || !Files.isRegularFile(meta))
+      None
+    else Some {
+      val s = new String(Files.readAllBytes(meta), "UTF-8").trim.stripPrefix("[").stripSuffix("]")
+      if (s.isEmpty) Set.empty[Int] else s.split(",").map(_.trim.toInt).toSet
+    }
   }
 
   /**
@@ -246,13 +262,24 @@ object Ingest {
                   idCol: String = "doc_id"): Seq[BucketLineage] = {
     if (ids.isEmpty) return Seq.empty
     val pred = col(idCol).isin(ids: _*)
-    if (!Files.exists(Paths.get(outDir, "_alt", "_SUCCESS")))
-      return deleteByQuery(spark, outDir, pred)
-    val buckets = spark.read.parquet(s"$outDir/_alt")
-      .where(pred).select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    if (buckets.isEmpty) Seq.empty
-    else rewriteBuckets(spark, outDir, buckets, pred)
+    altCoveredBuckets(outDir) match {
+      case None => deleteByQuery(spark, outDir, pred)
+      case Some(covered) =>
+        val probed = spark.read.parquet(s"$outDir/_alt")
+          .where(pred).select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSet
+        // buckets ingested AFTER the alt build are invisible to the probe:
+        // scan just those for matches (ids the stale index cannot locate)
+        val uncovered = (completedBuckets(outDir) -- covered).toSeq.sorted
+        val extra =
+          if (uncovered.isEmpty) Set.empty[Int]
+          else spark.read.parquet(s"$outDir/data")
+            .where(col("bucket").isin(uncovered: _*)).where(pred)
+            .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+        val buckets = (probed ++ extra).toSeq.sorted
+        if (buckets.isEmpty) Seq.empty
+        else rewriteBuckets(spark, outDir, buckets, pred)
+    }
   }
 
   /** crash recovery: a `.bucket=N.retired` dir with no live twin means a
@@ -260,26 +287,42 @@ object Ingest {
     * invisible to the parquet reader, so without this the bucket's rows
     * silently vanish from every scan). Runs on EVERY store open, not just
     * the next delete: readers must never observe a half-swapped store. */
-  private def recoverRetiredBuckets(dataDir: String): Unit = {
+  private def recoverRetiredBuckets(dataDir: String, force: Boolean = false): Unit = {
     val dd = Paths.get(dataDir)
+    // a LIVE delete (in-progress marker fresher than the grace window)
+    // owns the retired dirs — a READER recovering them mid-swap would
+    // make the deleter's staged rename fail, so readers only recover
+    // past a STALE marker (crashed delete). The delete path itself
+    // recovers unconditionally (`force`): a single concurrent deleter is
+    // assumed (no lock service), so any marker it finds is a crash's.
+    val marker = dd.resolveSibling(DeleteMarker)
+    if (!force && Files.exists(marker) &&
+      System.currentTimeMillis - Files.getLastModifiedTime(marker).toMillis < DeleteGraceMs)
+      return
     if (Files.exists(dd)) {
-      val it = Files.list(dd).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        val name = p.getFileName.toString
-        if (name.startsWith(".bucket=") && name.endsWith(".retired")) {
-          val live = dd.resolve(name.stripPrefix(".").stripSuffix(".retired"))
-          if (!Files.exists(live)) Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
-          else graft.FsUtils.deleteRecursively(p)
+      val ls = Files.list(dd)
+      try {
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith(".bucket=") && name.endsWith(".retired")) {
+            val live = dd.resolve(name.stripPrefix(".").stripSuffix(".retired"))
+            if (!Files.exists(live)) Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
+            else graft.FsUtils.deleteRecursively(p)
+          }
         }
-      }
+      } finally ls.close()
     }
   }
+
+  private val DeleteMarker = ".delete-inprogress"
+  private val DeleteGraceMs = 15L * 60 * 1000
 
   def deleteByQuery(spark: SparkSession, outDir: String,
                     predicate: org.apache.spark.sql.Column): Seq[BucketLineage] = {
     val dataDir = s"$outDir/data"
-    recoverRetiredBuckets(dataDir)
+    recoverRetiredBuckets(dataDir, force = true)
     val store = spark.read.parquet(dataDir)
     val affected = store.where(predicate)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
@@ -295,7 +338,7 @@ object Ingest {
                              buckets: Seq[Int],
                              predicate: org.apache.spark.sql.Column): Seq[BucketLineage] = {
     val dataDir = s"$outDir/data"
-    recoverRetiredBuckets(dataDir)
+    recoverRetiredBuckets(dataDir, force = true)
     val store = spark.read.parquet(dataDir)
     val stagingRoot = Paths.get(outDir, ".delete-staging")
     graft.FsUtils.deleteRecursively(stagingRoot)
@@ -322,6 +365,10 @@ object Ingest {
       .parquet(stagingRoot.toString)
     val m = obs.get
     val wallMs = (System.nanoTime() - t0) / 1000000
+    // own the swap window: concurrent readers must not "recover" a
+    // bucket we are mid-swap on (see recoverRetiredBuckets)
+    val marker = Paths.get(outDir, DeleteMarker)
+    Files.write(marker, Array.emptyByteArray)
     val out = Seq.newBuilder[BucketLineage]
     for (b <- buckets) {
       val staged = stagingRoot.resolve(s"bucket=$b")
@@ -348,6 +395,7 @@ object Ingest {
       out += lin
     }
     graft.FsUtils.deleteRecursively(stagingRoot)
+    Files.deleteIfExists(marker)
     out.result()
   }
 

@@ -127,10 +127,16 @@ object Ops {
                                           wrapX: Boolean = false): DataFrame = {
     val cols = pts.columns
     val bins = 1L << bits
+    // wrapped x-offsets reduce to DISTINCT residues mod the tile count —
+    // a neighborhood wider than the grid (2kx+1 > bins) would otherwise
+    // emit the same join key twice and duplicate every matching pair
+    val dxs =
+      if (wrapX) (-kx to kx).map(d => ((d % bins) + bins) % bins).distinct
+      else (-kx to kx).toSeq
     val base = pts
       .withColumn("cx", gw_tile_x(col("lon"), bits))
       .withColumn("cy", gw_tile_y(col("lat"), bits))
-    val neigh = (for (dx <- -kx to kx; dy <- -ky to ky)
+    val neigh = (for (dx <- dxs; dy <- -ky to ky)
       yield struct(lit(dx).as("dx"), lit(dy).as("dy"))).toSeq
     val jxExpr =
       if (wrapX) pmod(col("cx") + col("o.dx"), lit(bins))

@@ -266,6 +266,54 @@ class Round3Spec extends SparkTestBase {
     assert(Ingest.readStore(spark, dir).count() == total - ids.size)
   }
 
+  test("deleteByIds scans buckets ingested after the alt build (stale index cannot hide them)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-altstale").toString
+    val pages = Tables.synthPages(spark, 1600)
+      .select(col("doc_id"), col("url"), col("lon"), col("lat"), col("text"))
+    // first run crashes after one batch: 4 of 8 buckets committed
+    intercept[RuntimeException] {
+      Ingest.run(spark, pages, dir,
+        Ingest.Config(numBuckets = 8, batchSize = 4, failAfterBatches = 1))
+    }
+    Ingest.buildAltIndex(spark, dir) // covers only the first 4 buckets
+    val resumed = Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 8, batchSize = 4))
+    assert(resumed.nonEmpty)
+    val store = Ingest.readStore(spark, dir)
+    val total = store.count()
+    val lateBucket = resumed.head.bucket
+    val victim = store.where(col("bucket") === lateBucket)
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    // the alt index has never heard of this id — the uncovered-bucket
+    // scan must still find and delete it
+    val lin = Ingest.deleteByIds(spark, dir, Seq(victim))
+    assert(lin.map(_.bucket) == Seq(lateBucket), lin.toString)
+    assert(Ingest.readStore(spark, dir).count() == total - 1)
+    assert(Ingest.readStore(spark, dir).where(col("doc_id") === victim).count() == 0)
+  }
+
+  test("wrapped neighborhood wider than the grid yields no duplicate pairs") {
+    // bits=3 → 8 tiles of 45°; dMeters=2000km → kx=5, 2kx+1=11 > 8: the
+    // wrapped offsets must reduce to distinct residues or every pair
+    // would join on two keys and duplicate
+    val pts = Seq((1L, -170.0, 0.0), (2L, 170.0, 0.0), (3L, -150.0, 0.0),
+      (4L, 10.0, 0.0), (5L, 25.0, 0.0)).toDF("id", "lon", "lat")
+    val got = Ops.distanceJoinMeters(pts, "id", dMeters = 2000000.0, bits = 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.distinct.length, s"duplicate pairs: ${got.toSeq}")
+    // brute-force haversine oracle
+    val rows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val dLat = math.toRadians(b._3 - a._3); val dLon = math.toRadians(b._2 - a._2)
+      val s = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(a._3)) * math.cos(math.toRadians(b._3)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2 * 6371008.8 * math.asin(math.sqrt(s))
+    }
+    val want = (for (a <- rows; b <- rows if a._1 < b._1 && hav(a, b) < 2000000.0)
+      yield (a._1, b._1)).toSet
+    assert(got.toSet == want, s"got ${got.toSet} want $want")
+  }
+
   test("readStore recovers a bucket a crashed delete left retired") {
     val dir = java.nio.file.Files.createTempDirectory("graft-delrec").toString
     val pages = Tables.synthPages(spark, 1000)
