@@ -224,11 +224,19 @@ object SparkEntry {
       val src = new java.io.File(s"$dir/documents.parquet")
       val parts =
         if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
-      val fp = parts.foldLeft(dir.hashCode.toLong) { (acc, f) =>
+      val fp = parts.foldLeft(0L) { (acc, f) =>
         ((acc * 1000003L + f.getName.hashCode) * 31L + f.length) * 31L + f.lastModified
       }
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-textindex-" +
-        java.lang.Long.toHexString(fp)
+      // path = <corpusKey>-<contentFp>: a regenerated corpus changes the
+      // fp suffix, and any SUPERSEDED index of the same corpus path is
+      // deleted here (stale stores must not accumulate in tmp)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val corpusKey = java.lang.Integer.toHexString(dir.hashCode)
+      val name = s"graft-textindex-$corpusKey-${java.lang.Long.toHexString(fp)}"
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s"graft-textindex-$corpusKey-") && f.getName != name)
+        .foreach(f => graft.FsUtils.deleteRecursively(f.toPath))
+      val idx = s"$tmp/$name"
       graft.spark.TextIndex.searchStored(s, docs, "doc_id", "text",
         "scan merge", idx)
     }),

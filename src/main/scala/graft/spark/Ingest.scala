@@ -225,6 +225,11 @@ object Ingest {
    */
   def buildAltIndex(spark: SparkSession, outDir: String,
                     idCol: String = "doc_id", numFiles: Int = 8): Unit = {
+    // snapshot coverage BEFORE reading the store: a bucket committed by a
+    // concurrent ingest DURING the index write must count as uncovered
+    // (under-coverage just costs a redundant scan; over-coverage would
+    // make that bucket's ids permanently undeletable via the probe)
+    val covered = completedBuckets(outDir).toSeq.sorted
     val alt = readStore(spark, outDir).select(col(idCol), col("bucket")).persist()
     try alt
       .repartitionByRange(numFiles, col(idCol))
@@ -235,14 +240,19 @@ object Ingest {
     // build are invisible to the probe and must be scanned directly
     // (ingest only ever ADDS whole buckets, never appends to one)
     Files.write(Paths.get(outDir, "_alt", "_graft_covered.json"),
-      completedBuckets(outDir).toSeq.sorted.mkString("[", ",", "]").getBytes("UTF-8"))
+      covered.mkString("[", ",", "]").getBytes("UTF-8"))
   }
 
-  /** bucket ids the committed alt index covers (None = no alt index). */
+  /** bucket ids the committed alt index covers (None = no usable alt
+    * index — absent, or a pre-coverage-metadata build). */
   private def altCoveredBuckets(outDir: String): Option[Set[Int]] = {
     val meta = Paths.get(outDir, "_alt", "_graft_covered.json")
-    if (!Files.exists(Paths.get(outDir, "_alt", "_SUCCESS")) || !Files.isRegularFile(meta))
-      None
+    val hasAlt = Files.exists(Paths.get(outDir, "_alt", "_SUCCESS"))
+    if (hasAlt && !Files.isRegularFile(meta))
+      println(s"[graft] deleteByIds: alt index at $outDir/_alt has no coverage " +
+        "metadata (built by an older version?) — falling back to the full " +
+        "deleteByQuery scan; rebuild with buildAltIndex to restore the probe")
+    if (!hasAlt || !Files.isRegularFile(meta)) None
     else Some {
       val s = new String(Files.readAllBytes(meta), "UTF-8").trim.stripPrefix("[").stripSuffix("]")
       if (s.isEmpty) Set.empty[Int] else s.split(",").map(_.trim.toInt).toSet
@@ -261,6 +271,10 @@ object Ingest {
   def deleteByIds(spark: SparkSession, outDir: String, ids: Seq[Long],
                   idCol: String = "doc_id"): Seq[BucketLineage] = {
     if (ids.isEmpty) return Seq.empty
+    // this IS a delete path (single-deleter contract): recover any
+    // crash-retired bucket before scanning, or ids inside one would be
+    // invisible to both the probe and the uncovered-bucket scan
+    recoverRetiredBuckets(s"$outDir/data", force = true)
     val pred = col(idCol).isin(ids: _*)
     altCoveredBuckets(outDir) match {
       case None => deleteByQuery(spark, outDir, pred)
@@ -285,8 +299,12 @@ object Ingest {
   /** crash recovery: a `.bucket=N.retired` dir with no live twin means a
     * delete died mid-swap — restore the original bucket (dot-dirs are
     * invisible to the parquet reader, so without this the bucket's rows
-    * silently vanish from every scan). Runs on EVERY store open, not just
-    * the next delete: readers must never observe a half-swapped store. */
+    * silently vanish from every scan). Runs on every store open, so a
+    * reader self-heals a CRASHED delete — except while a live delete owns
+    * the swap window (fresh in-progress marker, below): during that
+    * window, and for up to the grace period after a hard crash, a reader
+    * can still observe the store minus an in-swap bucket. Delete paths
+    * recover unconditionally. */
   private def recoverRetiredBuckets(dataDir: String, force: Boolean = false): Unit = {
     val dd = Paths.get(dataDir)
     // a LIVE delete (in-progress marker fresher than the grace window)
@@ -296,9 +314,13 @@ object Ingest {
     // recovers unconditionally (`force`): a single concurrent deleter is
     // assumed (no lock service), so any marker it finds is a crash's.
     val marker = dd.resolveSibling(DeleteMarker)
-    if (!force && Files.exists(marker) &&
-      System.currentTimeMillis - Files.getLastModifiedTime(marker).toMillis < DeleteGraceMs)
-      return
+    // read the marker age defensively: the deleter can remove the marker
+    // between our existence check and the mtime read (treat as no marker)
+    val markerFresh =
+      try Files.exists(marker) &&
+        System.currentTimeMillis - Files.getLastModifiedTime(marker).toMillis < DeleteGraceMs
+      catch { case _: java.nio.file.NoSuchFileException => false }
+    if (!force && markerFresh) return
     if (Files.exists(dd)) {
       val ls = Files.list(dd)
       try {
@@ -366,36 +388,41 @@ object Ingest {
     val m = obs.get
     val wallMs = (System.nanoTime() - t0) / 1000000
     // own the swap window: concurrent readers must not "recover" a
-    // bucket we are mid-swap on (see recoverRetiredBuckets)
+    // bucket we are mid-swap on (see recoverRetiredBuckets). The marker
+    // comes off in a FINALLY — after an in-JVM exception (not a crash)
+    // the process keeps running, and leaving the marker would make every
+    // reader silently skip recovery for the whole grace window; with it
+    // removed, the very next readStore self-heals the half-swap.
     val marker = Paths.get(outDir, DeleteMarker)
     Files.write(marker, Array.emptyByteArray)
     val out = Seq.newBuilder[BucketLineage]
-    for (b <- buckets) {
-      val staged = stagingRoot.resolve(s"bucket=$b")
-      val live = Paths.get(dataDir, s"bucket=$b")
-      // swap via a retired name so a crash mid-swap never loses the
-      // bucket: the live dir is renamed aside, the staged dir renamed in,
-      // and only then is the retired copy dropped
-      val retired = Paths.get(dataDir, s".bucket=$b.retired")
-      graft.FsUtils.deleteRecursively(retired)
-      if (Files.exists(live)) Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
-      if (Files.exists(staged)) // a fully-deleted bucket stages nothing
-        Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
-      graft.FsUtils.deleteRecursively(retired)
-      val rows = m(s"rows_$b").asInstanceOf[Long]
-      def hex(key: String): String = m(key) match {
-        case null => ""
-        case bytes: Array[Byte] => graft.index.ByteUtils.toHex(bytes)
+    try {
+      for (b <- buckets) {
+        val staged = stagingRoot.resolve(s"bucket=$b")
+        val live = Paths.get(dataDir, s"bucket=$b")
+        // swap via a retired name so a crash mid-swap never loses the
+        // bucket: the live dir is renamed aside, the staged dir renamed in,
+        // and only then is the retired copy dropped
+        val retired = Paths.get(dataDir, s".bucket=$b.retired")
+        graft.FsUtils.deleteRecursively(retired)
+        if (Files.exists(live)) Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
+        if (Files.exists(staged)) // a fully-deleted bucket stages nothing
+          Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
+        graft.FsUtils.deleteRecursively(retired)
+        val rows = m(s"rows_$b").asInstanceOf[Long]
+        def hex(key: String): String = m(key) match {
+          case null => ""
+          case bytes: Array[Byte] => graft.index.ByteUtils.toHex(bytes)
+        }
+        val lin =
+          if (rows == 0) BucketLineage(b, 0L, "", "", 0L, wallMs)
+          else BucketLineage(b, rows, hex(s"min_$b"), hex(s"max_$b"),
+            m(s"xor_$b").asInstanceOf[Long], wallMs)
+        commitLineage(outDir, lin)
+        out += lin
       }
-      val lin =
-        if (rows == 0) BucketLineage(b, 0L, "", "", 0L, wallMs)
-        else BucketLineage(b, rows, hex(s"min_$b"), hex(s"max_$b"),
-          m(s"xor_$b").asInstanceOf[Long], wallMs)
-      commitLineage(outDir, lin)
-      out += lin
-    }
-    graft.FsUtils.deleteRecursively(stagingRoot)
-    Files.deleteIfExists(marker)
+      graft.FsUtils.deleteRecursively(stagingRoot)
+    } finally Files.deleteIfExists(marker)
     out.result()
   }
 
