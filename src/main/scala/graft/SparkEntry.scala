@@ -433,6 +433,15 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id", k = 3)
         .select(col("doc_id"), col("source"))
     }),
+    "q67_multi_index_locality" -> ((s, dir) => {
+      // the LOCALITY-PRESERVING chooser (max fixed-prefix-bits,
+      // ChooseLocalityPreservingQueryStrategy) — identical result set to
+      // q48/q64 whichever index the bits-used score elects
+      val mi = graft.spark.MultiIndex
+      val store = mi.encode(Tables.geoEvents(s, dir))
+      mi.queryBestLocality(store, Box._1, Box._2, Box._3, Box._4, TsMin, TsMax)._2
+        .select(col("event_id"), col("lon"), col("lat"), col("ts"))
+    }),
     "q64_multi_index_stats" -> ((s, dir) => {
       // the STATS-driven best-match chooser (scored by the store's own
       // prefix-histogram row counts, ChooseBestMatchIndexQueryStrategy
@@ -1017,6 +1026,11 @@ object SparkEntry {
          |  SELECT doc_id, source,
          |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn <= 3""".stripMargin,
+    "q67_multi_index_locality" ->
+      s"""$eventsCte
+         |SELECT event_id, lon, lat, ts FROM ev
+         |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}
+         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     "q64_multi_index_stats" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev
