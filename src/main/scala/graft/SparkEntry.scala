@@ -433,6 +433,14 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), "source", "doc_id", k = 3)
         .select(col("doc_id"), col("source"))
     }),
+    "q68_text_range" -> ((s, dir) => {
+      // case-insensitive lexicographic text range (TextRangeFilter):
+      // whole-value BETWEEN with both sides case-folded
+      graft.spark.TextOps.textRange(
+          s.read.parquet(s"$dir/documents.parquet"), "text",
+          "the", "these", caseSensitive = false)
+        .select(col("doc_id"), col("n_chars"))
+    }),
     "q67_multi_index_locality" -> ((s, dir) => {
       // the LOCALITY-PRESERVING chooser (max fixed-prefix-bits,
       // ChooseLocalityPreservingQueryStrategy) — identical result set to
@@ -1026,6 +1034,9 @@ object SparkEntry {
          |  SELECT doc_id, source,
          |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
          |  FROM documents) WHERE rn <= 3""".stripMargin,
+    "q68_text_range" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE lower(text) >= 'the' AND lower(text) <= 'these'""".stripMargin,
     "q67_multi_index_locality" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev

@@ -341,6 +341,20 @@ object TextOps {
       size(filter(split(col(textCol), " "), w => length(w) > 0)).cast("long").as("n_words"),
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_tokens"))
 
+  /** Lexicographic text range filter over a whole field value — the
+    * reference's FilterableTextRangeConstraint / TextRangeFilter
+    * (core/store/.../index/text/FilterableTextRangeConstraint.java:22-44,
+    * TextRangeFilter.accept:52-66): value ∈ [start, end] inclusive;
+    * case-insensitive mode case-folds BOTH the value and the bounds
+    * before comparing (equality = start == end). Pure column predicate —
+    * pushes into the scan. */
+  def textRange(docs: DataFrame, textCol: String, start: String, end: String,
+                caseSensitive: Boolean = true): DataFrame = {
+    val v = if (caseSensitive) col(textCol) else lower(col(textCol))
+    val (s, e) = if (caseSensitive) (start, end) else (start.toLowerCase, end.toLowerCase)
+    docs.where(v >= lit(s) && v <= lit(e))
+  }
+
   /** Deterministic train/val/test assignment: portable CONTENT hash mod
     * 100 against cumulative percentage cuts. Keying on the text (not a
     * row id) makes the split stable across re-ingests of a growing corpus

@@ -331,6 +331,23 @@ class Round3Spec extends SparkTestBase {
     assert(java.nio.file.Files.exists(dd.resolve("bucket=2")))
   }
 
+  test("textRange: ported FilterableTextRangeConstraintTest truth table") {
+    val docs = Seq("fReddog", "RedDog", "reddog", "RodDog", "SidDog", "ridDog", "roddOg")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def got(start: String, end: String, cs: Boolean): Set[String] =
+      TextOps.textRange(docs, "text", start, end, cs)
+        .select("text").collect().map(_.getString(0)).toSet
+    // equals, case-sensitive: only the exact value
+    assert(got("RedDog", "RedDog", cs = true) == Set("RedDog"))
+    // equals, case-insensitive: both casings, never the 'f'-prefixed one
+    assert(got("RedDog", "RedDog", cs = false) == Set("RedDog", "reddog"))
+    // range, case-sensitive: RedDog..SadDog keeps RedDog and RodDog only
+    assert(got("RedDog", "SadDog", cs = true) == Set("RedDog", "RodDog"))
+    // range, case-insensitive: roddOg and ridDog fold into the range too
+    assert(got("RedDog", "SadDog", cs = false) ==
+      Set("RedDog", "reddog", "RodDog", "ridDog", "roddOg"))
+  }
+
   // --------------------------------------- corpus split & per-host cap
 
   test("hashSplit: exact duplicates share a fold; cuts respected; no shuffle") {
