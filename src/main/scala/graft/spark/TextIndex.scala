@@ -47,26 +47,119 @@ object TextIndex {
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(path)
     finally postings.unpersist()
-    // record the gram params the store was built with — reuse must not
-    // probe a 2..4-gram table with, say, 6-gram probes (silent empties)
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, MetaFile),
-      s"""{"minN":$minN,"maxN":$maxN}""".getBytes("UTF-8"))
+    // record the gram params AND KIND the store was built with — reuse
+    // must not probe a 2..4-gram table with 6-gram probes, nor an
+    // anchored (case-folded, boundary-marked) probe against a plain
+    // store or vice versa (silent empties either way)
+    writeMeta(path, minN, maxN, "plain")
   }
+
+  private def writeMeta(path: String, minN: Int, maxN: Int, kind: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, MetaFile),
+      s"""{"minN":$minN,"maxN":$maxN,"kind":"$kind"}""".getBytes("UTF-8"))
 
   private val MetaFile = "_graft_meta.json"
 
-  /** gram params a committed store was built with, if recorded. */
-  private def storedParams(path: String): Option[(Int, Int)] = {
+  /** (minN, maxN, kind) a committed store was built with, if recorded. */
+  private def storedParams(path: String): Option[(Int, Int, String)] = {
     val p = java.nio.file.Paths.get(path, MetaFile)
     if (!java.nio.file.Files.isRegularFile(p)) None
     else {
       val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      val re = """\{"minN":(\d+),"maxN":(\d+)\}""".r
+      val re = """\{"minN":(\d+),"maxN":(\d+),"kind":"(\w+)"\}""".r
       s.trim match {
-        case re(a, b) => Some((a.toInt, b.toInt))
+        case re(a, b, k) => Some((a.toInt, b.toInt, k))
         case _ => None
       }
     }
+  }
+
+  /** start/end-of-value marker for ANCHORED posting rows (the reference's
+    * boundary byte: TextIndexStrategyTest expects "\u0001i" and "le\u0001"
+    * among the test sentence's index ids). \u0001 sorts below every
+    * printable char, so anchored grams occupy their own key range. */
+  val Anchor = "\u0001"
+
+  /**
+   * ANCHORED posting rows: grams enumerated over `\u0001 ‖ lower(text) ‖
+   * \u0001` — the reference's boundary-marked, case-folded text-index rows
+   * (TextIndexStrategy.java:21-130; its test sentence yields ids
+   * "\u0001i", "ity ", "le\u0001"). The boundary grams make whole-value
+   * RANGE and prefix/suffix probes indexable; interior grams still serve
+   * `contains`. Case-folding makes the index usable for both sensitive
+   * and insensitive queries (folded candidates over-approximate the
+   * sensitive answer; exact verification decides).
+   */
+  def buildAnchored(docs: DataFrame, idCol: String, textCol: String,
+                    minN: Int = 2, maxN: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    val decorated = concat(lit(Anchor), lower(col(textCol)), lit(Anchor))
+    docs.select(col(idCol),
+        explode(column(CharGrams(expression(decorated), minN, maxN))).as("gram"))
+      .distinct()
+      .select(col("gram"), col(idCol))
+  }
+
+  /** materialize the anchored posting table sorted by gram (see
+    * [[buildAndWrite]] for the write shape). */
+  def buildAnchoredAndWrite(docs: DataFrame, idCol: String, textCol: String, path: String,
+                            minN: Int = 2, maxN: Int = 4, numFiles: Int = 8): Unit = {
+    val postings = buildAnchored(docs, idCol, textCol, minN, maxN).persist()
+    try postings
+      .repartitionByRange(numFiles, col("gram"))
+      .sortWithinPartitions("gram")
+      .write.mode("overwrite").parquet(path)
+    finally postings.unpersist()
+    writeMeta(path, minN, maxN, "anchored")
+  }
+
+  /** the anchored-gram probe interval for a whole-value range [start, end]
+    * — the reference's FilterableTextRangeConstraint.getQueryRanges
+    * (TextIndexStrategyTest.testQueryTextRange: strategy(3,4) with
+    * deal..dumn probes [\u0001dea, \u0001dum]): gram length
+    * L = min(maxN, min(|start|,|end|) + 1), probe bounds = anchor ‖ the
+    * bounds' (L−1)-char prefixes. Truncation is monotone under
+    * lexicographic order, so every in-range value's anchored start gram
+    * falls inside the probe interval (candidates over-approximate). */
+  def rangeProbe(start: String, end: String, minN: Int, maxN: Int): (String, String) = {
+    val L = math.min(maxN, math.min(start.length, end.length) + 1)
+    require(L >= minN,
+      s"range bounds must be >= ${minN - 1} chars for the $minN..$maxN-gram index")
+    (Anchor + start.substring(0, L - 1), Anchor + end.substring(0, L - 1))
+  }
+
+  /**
+   * Whole-value text RANGE query through the ANCHORED stored index:
+   * byte-range probe on the posting table (pushes into the parquet scan
+   * as min/max pruning) → candidate ids → exact lexicographic verify
+   * ([[TextOps.textRange]] semantics, case-fold option). The committed
+   * index at `indexPath` is reused; params are recorded like
+   * [[searchStored]].
+   */
+  def rangeSearchStored(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+                        start: String, end: String, indexPath: String,
+                        caseSensitive: Boolean = false,
+                        minN: Int = 2, maxN: Int = 4,
+                        maxLookup: Int = 10000): DataFrame = {
+    val committed = new java.io.File(indexPath, "_SUCCESS").isFile &&
+      storedParams(indexPath).contains((minN, maxN, "anchored"))
+    if (!committed)
+      buildAnchoredAndWrite(docs, idCol, textCol, indexPath, minN, maxN)
+    // the index is case-folded; fold the probe to match
+    val (pLo, pHi) = rangeProbe(start.toLowerCase, end.toLowerCase, minN, maxN)
+    val hits = spark.read.parquet(indexPath)
+      .where(col("gram") >= lit(pLo) && col("gram") <= lit(pHi))
+      .select(col(idCol)).distinct()
+    val cand = hits.limit(maxLookup + 1).collect().map(_.get(0))
+    val candidates =
+      if (cand.length <= maxLookup) docs.where(col(idCol).isin(cand.toIndexedSeq: _*))
+      else {
+        println(s"[graft] TextIndex.rangeSearchStored: probe [$pLo, $pHi] matched more " +
+          s"than $maxLookup candidates; using the join plan instead of point lookups")
+        docs.join(hits, idCol)
+      }
+    TextOps.textRange(candidates, textCol, start, end, caseSensitive)
+      .select(col(idCol).as("id"))
   }
 
   /** the probe gram for a pattern: its longest prefix that exists in the
@@ -123,7 +216,7 @@ object TextIndex {
                    pattern: String, indexPath: String,
                    minN: Int = 2, maxN: Int = 4, reuse: Boolean = true): DataFrame = {
     val committed = new java.io.File(indexPath, "_SUCCESS").isFile &&
-      storedParams(indexPath).contains((minN, maxN)) // param mismatch → rebuild
+      storedParams(indexPath).contains((minN, maxN, "plain")) // param/kind mismatch → rebuild
     if (!reuse || !committed)
       buildAndWrite(docs, idCol, textCol, indexPath, minN, maxN)
     search(docs, spark.read.parquet(indexPath), idCol, textCol, pattern, minN, maxN)

@@ -85,6 +85,48 @@ class TextIndexSpec extends SparkTestBase {
     assert(q.collect().map(_.getLong(0)).toSet == bruteForce("quick"))
   }
 
+  test("anchored build: ported TextIndexStrategyTest insertion vectors") {
+    val sentence =
+      "inability to deal with or understand something complicated or unaccountable"
+    val one = Seq((0L, sentence)).toDF("doc_id", "text")
+    val grams = TextIndex.buildAnchored(one, "doc_id", "text")
+      .select("gram").collect().map(_.getString(0)).toSet
+    // the reference's literal expectations (TextIndexStrategyTest:35-43)
+    assert(grams.contains("i"))
+    assert(grams.contains("ity "))
+    assert(grams.contains("le"))
+    // the reference emits one id per OCCURRENCE (225); distinct grams = 200
+    assert(grams.size == 200)
+    val decorated = "" + sentence + ""
+    val occurrences = (2 to 4).map(n => decorated.length - n + 1).sum
+    assert(occurrences == 225)
+  }
+
+  test("rangeProbe: ported TextIndexStrategyTest.testQueryTextRange vectors") {
+    assert(TextIndex.rangeProbe("deal", "dumn", 3, 4) == ("dea", "dum"))
+    assert(TextIndex.rangeProbe("dealing", "durango", 3, 4) == ("dea", "dur"))
+    assertThrows[IllegalArgumentException](TextIndex.rangeProbe("d", "x", 3, 4))
+  }
+
+  test("rangeSearchStored matches textRange brute force; probe reads only anchored grams") {
+    val dir = Files.createTempDirectory("graft-textrange-idx").toString
+    def brute(start: String, end: String, cs: Boolean): Set[Long] =
+      TextOps.textRange(docs, "text", start, end, cs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    for ((s, e, cs) <- Seq(("pack", "sphinx of blacl", false),
+      ("a quick", "the quick brown fox jumps over the lazy dog", false),
+      ("qq", "qq", true), ("the", "tz", false))) {
+      val got = TextIndex.rangeSearchStored(spark, docs, "doc_id", "text",
+        s, e, dir, caseSensitive = cs)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == brute(s, e, cs), s"range [$s, $e] cs=$cs")
+    }
+    // the probe interval sits entirely in the anchored (-prefixed)
+    // key range, below every interior gram
+    val (lo, hi) = TextIndex.rangeProbe("pack", "sphinx", 2, 4)
+    assert(lo.startsWith("") && hi.startsWith("") && lo <= hi)
+  }
+
   test("unselective gram falls back to the join plan and stays correct") {
     val q = TextIndex.search(docs, postings, "doc_id", "text", "quick", maxLookup = 1)
     val plan = q.queryExecution.executedPlan.toString
