@@ -331,6 +331,24 @@ class Round3Spec extends SparkTestBase {
     assert(java.nio.file.Files.exists(dd.resolve("bucket=2")))
   }
 
+  test("range merge ops: ported ByteArrayRangeTest union/intersection vectors") {
+    def b(s: String) = s.getBytes("UTF-8")
+    val bar1 = (b("232"), b("332")); val bar2 = (b("282"), b("300"))
+    val bar3 = (b("272"), b("340")); val bar4 = (b("392"), b("410"))
+    def show(rs: Seq[(Array[Byte], Array[Byte])]) =
+      rs.map { case (s, e) => (new String(s, "UTF-8"), new String(e, "UTF-8")) }
+    // UNION, both insertion orders → [(232,340), (392,410)]
+    for (order <- Seq(Seq(bar4, bar3, bar1, bar2), Seq(bar1, bar4, bar2, bar3))) {
+      assert(show(SpatialPlanner.mergeRanges(order)) ==
+        Seq(("232", "340"), ("392", "410")), order.toString)
+    }
+    // INTERSECTION, both orders → [(282,300), (392,410)]
+    for (order <- Seq(Seq(bar4, bar3, bar1, bar2), Seq(bar1, bar4, bar2, bar3))) {
+      assert(show(SpatialPlanner.intersectRanges(order)) ==
+        Seq(("282", "300"), ("392", "410")), order.toString)
+    }
+  }
+
   test("textRange: ported FilterableTextRangeConstraintTest truth table") {
     val docs = Seq("fReddog", "RedDog", "reddog", "RodDog", "SidDog", "ridDog", "roddOg")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
