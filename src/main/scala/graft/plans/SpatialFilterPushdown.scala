@@ -37,11 +37,25 @@ object SpatialFilterPushdown extends Rule[LogicalPlan] with PredicateHelper {
       val cellAttr: Option[Attribute] = child.output.find(_.name == "cell_id")
       // only a conjunct that IS the predicate (not one merely containing
       // it under Or/Not/...) licenses AND-ing the range prefilter
-      val covers = splitConjunctivePredicates(cond).collectFirst { case c: STCoversPoint => c }
+      val covers = splitConjunctivePredicates(cond).collect { case c: STCoversPoint => c }
       (cellAttr, covers) match {
-        case (Some(attr), Some(c)) if !cond.references.contains(attr) =>
-          val geom = new org.locationtech.jts.io.WKBReader().read(c.wkb)
-          val ranges = SpatialPlanner.spatialGeometryRanges(geom)
+        case (Some(attr), cs) if cs.nonEmpty && !cond.references.contains(attr) =>
+          // several spatial conjuncts AND-compose: EXACT set intersection
+          // of the per-geometry range sets (a point satisfying every
+          // predicate lies in every geometry's decomposed coverage, so
+          // the intersection is a sound prefilter and is ⊆ each single
+          // geometry's ranges — strictly better pruning). Deliberately
+          // NOT the reference's mergeIntersections chain, which keeps
+          // isolated ranges whole and can be looser than one input.
+          val sets = cs.map { c =>
+            val geom = new org.locationtech.jts.io.WKBReader().read(c.wkb)
+            SpatialPlanner.mergeRanges(SpatialPlanner.spatialGeometryRanges(geom))
+          }
+          val inter = sets.reduce(SpatialPlanner.intersectSets)
+          // disjoint geometries → empty intersection; keep one set's
+          // ranges rather than build a predicate over zero ranges (the
+          // exact residual then rejects everything anyway)
+          val ranges = if (inter.nonEmpty) inter else sets.head
           val rangePred: Expression = SpatialPlanner.rangesPredicateExpr(attr, ranges)
           Filter(And(rangePred, cond), child)
         case _ => f

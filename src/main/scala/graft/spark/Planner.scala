@@ -127,6 +127,30 @@ object SpatialPlanner {
     out.result()
   }
 
+  /** EXACT intersection of two internally-disjoint sorted range sets
+    * (two-pointer sweep): emits each pairwise overlap and drops
+    * non-overlapping leftovers — unlike [[intersectRanges]] (the faithful
+    * mergeIntersections port), which keeps isolated ranges whole. This is
+    * the sound-and-minimal AND-composition the pushdown rule wants: the
+    * result covers exactly (∪a) ∩ (∪b). */
+  def intersectSets(a: Seq[(Array[Byte], Array[Byte])],
+                    b: Seq[(Array[Byte], Array[Byte])]): Seq[(Array[Byte], Array[Byte])] = {
+    val sa = mergeRanges(a).toIndexedSeq
+    val sb = mergeRanges(b).toIndexedSeq
+    val out = Seq.newBuilder[(Array[Byte], Array[Byte])]
+    var i = 0
+    var j = 0
+    while (i < sa.length && j < sb.length) {
+      val (as, ae) = sa(i)
+      val (bs, be) = sb(j)
+      val lo = if (ByteUtils.compareUnsigned(as, bs) >= 0) as else bs
+      val hi = if (ByteUtils.compareUnsigned(ae, be) <= 0) ae else be
+      if (ByteUtils.compareUnsigned(lo, hi) <= 0) out += ((lo, hi))
+      if (ByteUtils.compareUnsigned(ae, be) <= 0) i += 1 else j += 1
+    }
+    out.result()
+  }
+
   /** coarse predicate on a cell-id column from decomposed ranges. Small
     * sets become an OR-chain of BETWEENs (pushes into the parquet scan as
     * row-group min/max pruning); large sets use the binary-search

@@ -44,6 +44,45 @@ class SpatialFilterPushdownSpec extends SparkTestBase {
     }
   }
 
+  test("two spatial conjuncts intersect their range sets (reference constraint-AND)") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SpatialFilterPushdown
+    try {
+      // two polygons with a small overlap region
+      val gA = new WKTReader().read("POLYGON ((-40 -30, 60 -30, 60 50, -40 50, -40 -30))")
+      val gB = new WKTReader().read("POLYGON ((30 20, 120 20, 120 80, 30 80, 30 20))")
+      val w = new WKBWriter(2)
+      val store = Ingest.readStore(spark, storeDir)
+      val both = store.where(
+        GeoFunctions.st_covers_point(col("lon"), col("lat"), w.write(gA)) &&
+          GeoFunctions.st_covers_point(col("lon"), col("lat"), w.write(gB)))
+      // exact answer = points in the geometric intersection
+      val gf = new org.locationtech.jts.geom.GeometryFactory()
+      val want = store.select("url", "lon", "lat").collect().collect {
+        case r if gA.intersects(gf.createPoint(new org.locationtech.jts.geom.Coordinate(
+          r.getDouble(1), r.getDouble(2)))) &&
+          gB.intersects(gf.createPoint(new org.locationtech.jts.geom.Coordinate(
+            r.getDouble(1), r.getDouble(2)))) => r.getString(0)
+      }.toSet
+      assert(both.select("url").collect().map(_.getString(0)).toSet == want)
+      assert(want.nonEmpty)
+      // the injected prefilter is the INTERSECTED set: strictly fewer
+      // coarse candidates than either single geometry's ranges admit
+      def coarseCount(ranges: Seq[(Array[Byte], Array[Byte])]): Long =
+        store.where(graft.spark.SpatialPlanner.rangesPredicate(col("cell_id"), ranges)).count()
+      val sA = graft.spark.SpatialPlanner.mergeRanges(
+        graft.spark.SpatialPlanner.spatialGeometryRanges(gA))
+      val sB = graft.spark.SpatialPlanner.mergeRanges(
+        graft.spark.SpatialPlanner.spatialGeometryRanges(gB))
+      val inter = graft.spark.SpatialPlanner.intersectSets(sA, sB)
+      assert(coarseCount(inter) < math.min(coarseCount(sA), coarseCount(sB)),
+        "intersected prefilter should admit fewer rows than either geometry alone")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SpatialFilterPushdown)
+    }
+  }
+
   test("rule must NOT fire on disjunctive or negated geometry predicates") {
     spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations :+ SpatialFilterPushdown
