@@ -441,6 +441,22 @@ object SparkEntry {
           "the", "these", caseSensitive = false)
         .select(col("doc_id"), col("n_chars"))
     }),
+    "q69_text_range_indexed" -> ((s, dir) => {
+      // the same whole-value range THROUGH the stored ANCHORED index:
+      // boundary-gram byte-range probe + exact verify (same answer as
+      // q68 by construction; the index is an ingest artifact, reused)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val src = new java.io.File(s"$dir/documents.parquet")
+      val parts =
+        if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
+      val fp = parts.foldLeft(0L) { (acc, f) =>
+        ((acc * 1000003L + f.getName.hashCode) * 31L + f.length) * 31L + f.lastModified
+      }
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-textanchored-" +
+        java.lang.Integer.toHexString(dir.hashCode) + "-" + java.lang.Long.toHexString(fp)
+      graft.spark.TextIndex.rangeSearchStored(s, docs, "doc_id", "text",
+        "the", "these", idx, caseSensitive = false)
+    }),
     "q67_multi_index_locality" -> ((s, dir) => {
       // the LOCALITY-PRESERVING chooser (max fixed-prefix-bits,
       // ChooseLocalityPreservingQueryStrategy) — identical result set to
@@ -1036,6 +1052,9 @@ object SparkEntry {
          |  FROM documents) WHERE rn <= 3""".stripMargin,
     "q68_text_range" ->
       s"""SELECT doc_id, n_chars FROM documents
+         |WHERE lower(text) >= 'the' AND lower(text) <= 'these'""".stripMargin,
+    "q69_text_range_indexed" ->
+      s"""SELECT doc_id AS id FROM documents
          |WHERE lower(text) >= 'the' AND lower(text) <= 'these'""".stripMargin,
     "q67_multi_index_locality" ->
       s"""$eventsCte
