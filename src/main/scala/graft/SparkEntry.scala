@@ -215,30 +215,10 @@ object SparkEntry {
       // no full-text scan on the probe side (TextIndexSpec pins the plan)
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // ingest-time artifact: the posting store lives at a deterministic
-      // per-corpus path and is built once, reused by every later probe.
-      // The key fingerprints the corpus CONTENTS (part-file names, sizes,
-      // mtimes — documents.parquet may be a Spark-written DIRECTORY whose
-      // own inode stats never change), so a regenerated corpus at the
-      // same path gets a fresh index instead of silently reusing a stale
-      // one
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val parts =
-        if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
-      val fp = parts.foldLeft(0L) { (acc, f) =>
-        ((acc * 1000003L + f.getName.hashCode) * 31L + f.length) * 31L + f.lastModified
-      }
-      // path = <corpusKey>-<contentFp>: a regenerated corpus changes the
-      // fp suffix, and any SUPERSEDED index of the same corpus path is
-      // deleted here (stale stores must not accumulate in tmp)
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      val corpusKey = java.lang.Integer.toHexString(dir.hashCode)
-      val name = s"graft-textindex-$corpusKey-${java.lang.Long.toHexString(fp)}"
-      Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(s"graft-textindex-$corpusKey-") && f.getName != name)
-        .foreach(f => graft.FsUtils.deleteRecursively(f.toPath))
-      val idx = s"$tmp/$name"
+      // per-corpus path and is built once, reused by every later probe
+      // (tmpIndexPath: content fingerprint + superseded-store cleanup)
       graft.spark.TextIndex.searchStored(s, docs, "doc_id", "text",
-        "scan merge", idx)
+        "scan merge", tmpIndexPath(dir, "graft-textindex"))
     }),
     "q39_zorder" -> ((s, dir) => {
       import graft.spark.GeoFunctions._
@@ -446,16 +426,9 @@ object SparkEntry {
       // boundary-gram byte-range probe + exact verify (same answer as
       // q68 by construction; the index is an ingest artifact, reused)
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val src = new java.io.File(s"$dir/documents.parquet")
-      val parts =
-        if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
-      val fp = parts.foldLeft(0L) { (acc, f) =>
-        ((acc * 1000003L + f.getName.hashCode) * 31L + f.length) * 31L + f.lastModified
-      }
-      val idx = s"${System.getProperty("java.io.tmpdir")}/graft-textanchored-" +
-        java.lang.Integer.toHexString(dir.hashCode) + "-" + java.lang.Long.toHexString(fp)
       graft.spark.TextIndex.rangeSearchStored(s, docs, "doc_id", "text",
-        "the", "these", idx, caseSensitive = false)
+        "the", "these", tmpIndexPath(dir, "graft-textanchored"),
+        caseSensitive = false)
     }),
     "q67_multi_index_locality" -> ((s, dir) => {
       // the LOCALITY-PRESERVING chooser (max fixed-prefix-bits,
@@ -488,6 +461,37 @@ object SparkEntry {
     * guarded (list_reduce errors on an empty list; the Spark fold yields
     * its 0 seed). Parity holds for ASCII text — FIXTURES.md pins the
     * documents fixture to ASCII, where bytes == chars == codepoints. */
+  /**
+   * Deterministic tmp path for an INGEST-TIME text-index artifact:
+   * `<prefix>-<corpusKey>-<contentFp>`. The fingerprint covers the corpus
+   * CONTENTS (part-file names, sizes, mtimes — documents.parquet may be a
+   * Spark-written directory whose own inode stats never change), so a
+   * regenerated corpus gets a fresh store. Superseded stores of the same
+   * corpus — new-scheme siblings with a different fingerprint AND
+   * legacy single-segment names from older builds — are deleted here:
+   * stale posting stores must never accumulate in tmp (CLAUDE.md).
+   */
+  private def tmpIndexPath(dir: String, prefix: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val parts =
+      if (src.isDirectory) src.listFiles().sortBy(_.getName).toSeq else Seq(src)
+    val fp = parts.foldLeft(0L) { (acc, f) =>
+      ((acc * 1000003L + f.getName.hashCode) * 31L + f.length) * 31L + f.lastModified
+    }
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val corpusKey = java.lang.Integer.toHexString(dir.hashCode)
+    val name = s"$prefix-$corpusKey-${java.lang.Long.toHexString(fp)}"
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        n != name && n.startsWith(s"$prefix-") &&
+          (n.startsWith(s"$prefix-$corpusKey-") || // superseded fingerprint
+            n.count(_ == '-') == prefix.count(_ == '-') + 1) // legacy scheme
+      }
+      .foreach(f => graft.FsUtils.deleteRecursively(f.toPath))
+    s"$tmp/$name"
+  }
+
   private def duckHash(e: String): String =
     s"(CASE WHEN length($e) = 0 THEN CAST(0 AS BIGINT) ELSE list_reduce(list_transform(range(1, length($e)+1), ch -> CAST(ord(substr($e, ch, 1)) AS BIGINT)), (a, x) -> (a * 31 + x) % 2147483647) END)"
 

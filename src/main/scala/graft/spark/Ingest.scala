@@ -225,20 +225,20 @@ object Ingest {
    */
   def buildAltIndex(spark: SparkSession, outDir: String,
                     idCol: String = "doc_id", numFiles: Int = 8): Unit = {
-    // snapshot coverage BEFORE reading the store: a bucket committed by a
-    // concurrent ingest DURING the index write must count as uncovered
-    // (under-coverage just costs a redundant scan; over-coverage would
-    // make that bucket's ids permanently undeletable via the probe)
-    val covered = completedBuckets(outDir).toSeq.sorted
     val alt = readStore(spark, outDir).select(col(idCol), col("bucket")).persist()
+    // coverage = the buckets whose rows the index ACTUALLY read — derived
+    // from the alt data itself, never from lineage: a bucket committed by
+    // a concurrent ingest mid-build, or hidden behind a crashed delete's
+    // grace marker, is then uncovered (redundantly scanned — harmless)
+    // instead of covered-but-absent (its ids would be permanently
+    // undeletable via the probe)
+    val covered = alt.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
     try alt
       .repartitionByRange(numFiles, col(idCol))
       .sortWithinPartitions(idCol)
       .write.mode("overwrite").parquet(s"$outDir/_alt")
     finally alt.unpersist()
-    // record WHICH buckets the index covers: buckets ingested after the
-    // build are invisible to the probe and must be scanned directly
-    // (ingest only ever ADDS whole buckets, never appends to one)
     Files.write(Paths.get(outDir, "_alt", "_graft_covered.json"),
       covered.mkString("[", ",", "]").getBytes("UTF-8"))
   }

@@ -145,8 +145,23 @@ object TextIndex {
       storedParams(indexPath).contains((minN, maxN, "anchored"))
     if (!committed)
       buildAnchoredAndWrite(docs, idCol, textCol, indexPath, minN, maxN)
-    // the index is case-folded; fold the probe to match
-    val (pLo, pHi) = rangeProbe(start.toLowerCase, end.toLowerCase, minN, maxN)
+    // CASE-SENSITIVE ranges cannot be probed through the case-FOLDED
+    // index: folding is not monotone under binary order (e.g. 'Z' lies in
+    // ['B','b'] but folds above 'b'), so a folded probe UNDER-approximates
+    // and the exact verify never sees the missed rows. Serve sensitive
+    // ranges with the exact scan predicate instead (still correct; no
+    // index pruning — a case-sensitive text index would need unfolded
+    // grams).
+    if (caseSensitive) {
+      println("[graft] TextIndex.rangeSearchStored: case-sensitive range on a " +
+        "case-folded index — serving via the exact scan predicate (no index pruning)")
+      return TextOps.textRange(docs, textCol, start, end, caseSensitive = true)
+        .select(col(idCol).as("id"))
+    }
+    // the index is case-folded; fold the probe to match (Locale.ROOT —
+    // Spark's lower() is locale-independent)
+    val (pLo, pHi) = rangeProbe(start.toLowerCase(java.util.Locale.ROOT),
+      end.toLowerCase(java.util.Locale.ROOT), minN, maxN)
     val hits = spark.read.parquet(indexPath)
       .where(col("gram") >= lit(pLo) && col("gram") <= lit(pHi))
       .select(col(idCol)).distinct()

@@ -351,7 +351,11 @@ object TextOps {
   def textRange(docs: DataFrame, textCol: String, start: String, end: String,
                 caseSensitive: Boolean = true): DataFrame = {
     val v = if (caseSensitive) col(textCol) else lower(col(textCol))
-    val (s, e) = if (caseSensitive) (start, end) else (start.toLowerCase, end.toLowerCase)
+    // Locale.ROOT: Spark's lower() folds locale-independently; a Turkish
+    // default locale would fold 'I' differently and desynchronize bounds
+    val (s, e) =
+      if (caseSensitive) (start, end)
+      else (start.toLowerCase(java.util.Locale.ROOT), end.toLowerCase(java.util.Locale.ROOT))
     docs.where(v >= lit(s) && v <= lit(e))
   }
 
