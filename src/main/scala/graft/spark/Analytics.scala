@@ -29,23 +29,22 @@ object Analytics {
    * its nearest centroid (ties → lowest centroid id), returning integer
    * per-cluster stats (cnt, sum of centi-degree lon/lat) — the map +
    * combine of KMeansMapReduce, as one aggregation.
+   *
+   * The argmin is a single codegen'd column expression
+   * ([[NearestCentroid2D]]) — NOT an explode + per-id window: the window
+   * form hash-shuffles all n×k scored rows every iteration, while this
+   * plan's only exchange is the k-row partial-aggregate handoff (the
+   * reference's mapper+combiner shape, KMeansMapReduce.java:62-308;
+   * AnalyticsSpec pins scan→partial-agg with a single Exchange).
    */
-  def kmeansAssignStats(pts: DataFrame, centroids: Seq[(Long, Double, Double)]): DataFrame = {
-    val c = centroids.map { case (id, lon, lat) =>
-      struct(lit(id).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
-    }
-    val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
-      (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
-    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("c.cid"))
-    pts.select(col("id"), col("lon"), col("lat"), explode(array(c: _*)).as("c"))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .groupBy(col("c.cid").as("centroid_id"))
+  def kmeansAssignStats(pts: DataFrame, centroids: Seq[(Long, Double, Double)]): DataFrame =
+    pts.select(GeoFunctions.gw_nearest_centroid(col("lon"), col("lat"), centroids)
+        .getField("cid").as("centroid_id"),
+        col("lon"), col("lat"))
+      .groupBy("centroid_id")
       .agg(count(lit(1)).as("cnt"),
         sum(cents(col("lon"))).as("sum_lon_c"),
         sum(cents(col("lat"))).as("sum_lat_c"))
-  }
 
   /** full Lloyd iterations: centroids refreshed from integer sums each
     * round (new coord = sum_c / cnt / 100 — one double division, exactly
@@ -307,16 +306,11 @@ object Analytics {
     var cents = pts.orderBy("id").limit(1).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
     for (round <- 1 to rounds) {
-      val c = cents.map { case (id, lon, lat) =>
-        struct(lit(id).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
-      }
-      val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
-        (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
+      // per-point cost = min d² as one codegen'd argmin column — no
+      // explode and no per-id shuffle (see kmeansAssignStats)
       val cost = pts.select(col("id"), col("lon"), col("lat"),
-          explode(array(c: _*)).as("c"))
-        .withColumn("d2", d2)
-        .groupBy("id").agg(min("d2").as("cost"),
-          first("lon").as("lon"), first("lat").as("lat"))
+          GeoFunctions.gw_nearest_centroid(col("lon"), col("lat"), cents)
+            .getField("d2").as("cost"))
         .cache()
       val total = cost.agg(sum("cost")).collect()(0).getDouble(0)
       if (total > 0) {
@@ -339,34 +333,25 @@ object Analytics {
    * d-dimensional generalization of [[kmeans]], used to train the IVF
    * coarse quantizer (the reference trains its analytic centroids the
    * same way before clustering-driven queries). Deterministic init (the
-   * k lowest-id vectors); assignment by exact integer L2
-   * (d² = |v|² + |c|² − 2·v·c via the codegen'd dot product); update =
+   * k lowest-id vectors); assignment by exact integer L2 as one codegen'd
+   * argmin expression ([[NearestCentroidVec]]); update =
    * per-dimension integer sums (posexplode → (cid, dim) aggregation —
    * one shuffle of n·d narrow rows per iteration, map-side combined).
    * Returns (cid, centroid: Array[Long] — floor-averaged, deterministic).
    */
   def kmeansVec(emb: DataFrame, idCol: String, vecCol: String,
                 k: Int, iters: Int): Seq[(Long, Array[Long])] = {
-    import GeoFunctions.dot_long
     val q = emb.select(col(idCol).as("id"),
         transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("v"))
-      .withColumn("n2", dot_long(col("v"), col("v")))
       .cache()
     var cents: Seq[(Long, Array[Long])] = q.orderBy("id").limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
     for (_ <- 0 until iters) {
-      val c = cents.map { case (cid, cv) =>
-        struct(lit(cid).as("cid"),
-          array(cv.map(lit(_)): _*).as("cv"),
-          lit(cv.map(x => x * x).sum).as("cn2"))
-      }
-      val d2 = col("n2") + col("c.cn2") - lit(2L) * dot_long(col("v"), col("c.cv"))
-      val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("c.cid"))
-      val assigned = q.select(col("id"), col("v"), col("n2"), explode(array(c: _*)).as("c"))
-        .withColumn("d2", d2)
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("c.cid").as("cid"), col("v"))
+      // assignment = one codegen'd integer-L2 argmin column (the row's own
+      // |v|² is constant under the argmin, so the expression minimizes
+      // |c|² − 2·v·c) — no explode, no per-id window shuffle
+      val assigned = q.select(
+        GeoFunctions.gw_nearest_centroid_vec(col("v"), cents).as("cid"), col("v"))
       val sums = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
@@ -391,17 +376,10 @@ object Analytics {
 
   /** average assignment cost (mean min-d² to the given centroids) — the
     * distortion input of the reference's KMeansDistortionMapReduce. */
-  def kmeansCost(pts: DataFrame, centroids: Seq[(Long, Double, Double)]): Double = {
-    val c = centroids.map { case (id, lon, lat) =>
-      struct(lit(id).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
-    }
-    val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
-      (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
-    pts.select(col("id"), col("lon"), col("lat"), explode(array(c: _*)).as("c"))
-      .withColumn("d2", d2)
-      .groupBy("id").agg(min("d2").as("best"))
+  def kmeansCost(pts: DataFrame, centroids: Seq[(Long, Double, Double)]): Double =
+    pts.select(GeoFunctions.gw_nearest_centroid(col("lon"), col("lat"), centroids)
+        .getField("d2").as("best"))
       .agg(avg("best")).collect()(0).getDouble(0)
-  }
 
   /** KMeans-jump k selection: run kmeans per candidate k, distortion
     * transform cost^(−dims/2) (the general Sugar–James formula the
@@ -436,28 +414,26 @@ object Analytics {
   }
 
   /** one grouped Lloyd assignment pass for ALL parents at once: each point
-    * scored only against its own parent's centroids (explode + same-parent
-    * filter), integer stats grouped by (parent_id, centroid_id). */
+    * scored only against its own parent's centroids via the codegen'd
+    * [[NearestCentroidGrouped2D]] argmin (no explode, no per-id window —
+    * the only exchange is the (parent, centroid)-row partial-agg handoff),
+    * integer stats grouped by (parent_id, centroid_id). */
   private def groupedAssignStats(assigned: DataFrame,
-                                 centroids: Seq[(Long, Long, Double, Double)]): DataFrame = {
-    val c = centroids.map { case (p, cid, lon, lat) =>
-      struct(lit(p).as("p"), lit(cid).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
-    }
-    val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
-      (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
-    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("c.cid"))
+                                 centroids: Seq[(Long, Long, Double, Double)]): DataFrame =
     assigned
-      .select(col("parent_id"), col("id"), col("lon"), col("lat"),
-        explode(array(c: _*)).as("c"))
-      .where(col("c.p") === col("parent_id"))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .groupBy(col("parent_id"), col("c.cid").as("centroid_id"))
+      .select(col("parent_id"),
+        GeoFunctions.gw_nearest_centroid_grouped(
+          col("parent_id"), col("lon"), col("lat"), centroids).as("centroid_id"),
+        col("lon"), col("lat"))
+      .groupBy("parent_id", "centroid_id")
       .agg(count(lit(1)).as("cnt"),
         sum(cents(col("lon"))).as("sum_lon_c"),
         sum(cents(col("lat"))).as("sum_lat_c"))
-  }
+
+  /** test hook for the private grouped assignment pass. */
+  private[spark] def groupedAssignStatsForTest(assigned: DataFrame,
+      centroids: Seq[(Long, Long, Double, Double)]): DataFrame =
+    groupedAssignStats(assigned, centroids)
 
   /** multi-level (zoom) clustering: kmeans at level 1, then kmeans again
     * within each level-1 cluster (reference: MultiLevelKMeansClustering
@@ -483,17 +459,11 @@ object Analytics {
           r.getLong(3).toDouble / r.getLong(1) / 100.0)
       }.toSeq.sortBy(_._1)
     }
-    val c = centroids.map { case (id, lon, lat) =>
-      struct(lit(id).as("cid"), lit(lon).as("clon"), lit(lat).as("clat"))
-    }
-    val d2 = (col("lon") - col("c.clon")) * (col("lon") - col("c.clon")) +
-      (col("lat") - col("c.clat")) * (col("lat") - col("c.clat"))
-    val w = Window.partitionBy(col("id")).orderBy(col("d2"), col("c.cid"))
-    val assigned = pts.select(col("id"), col("lon"), col("lat"), explode(array(c: _*)).as("c"))
-      .withColumn("d2", d2)
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("c.cid").as("parent_id"), col("id"), col("lon"), col("lat"))
+    // final level-1 assignment: one codegen'd argmin column, no shuffle
+    val assigned = pts.select(
+        GeoFunctions.gw_nearest_centroid(col("lon"), col("lat"), centroids)
+          .getField("cid").as("parent_id"),
+        col("id"), col("lon"), col("lat"))
       .cache()
     // level-2 init: the childK lowest point ids per parent, in one window
     val initW = Window.partitionBy(col("parent_id")).orderBy(col("id"))

@@ -268,20 +268,22 @@ object Ops {
 
   /** distinct kNN: each point first assigned to its single closest centroid,
     * then top-k within that centroid — a point belongs to at most one group.
-    * (reference: AnalyticRecipes.searchDistinctKNearestNeighbor, :26-28,85-92) */
+    * (reference: AnalyticRecipes.searchDistinctKNearestNeighbor, :26-28,85-92)
+    *
+    * The closest-centroid step is the codegen'd [[NearestCentroid2D]]
+    * argmin (centroids collected driver-side — they are broadcast-sized by
+    * contract, exactly as the reference's recipe broadcasts them), so the
+    * n×k scored rows never exist: only the n assigned rows reach the top-k
+    * window, and WindowGroupLimit trims those to ≤k per centroid per map
+    * partition before the one remaining exchange. */
   def distinctKnnToCentroids(pts: DataFrame, idCol: String,
                              centroids: DataFrame, centroidIdCol: String, k: Int): DataFrame = {
-    val c = centroids.select(col(centroidIdCol).as("centroid_id"),
-      col("lon").as("c_lon"), col("lat").as("c_lat"))
-    val d2 = (col("lon") - col("c_lon")) * (col("lon") - col("c_lon")) +
-      (col("lat") - col("c_lat")) * (col("lat") - col("c_lat"))
-    val closest = Window.partitionBy(col("id")).orderBy(col("d2"), col("centroid_id"))
+    val cents = centroids.select(col(centroidIdCol), col("lon"), col("lat")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val near = GeoFunctions.gw_nearest_centroid(col("lon"), col("lat"), cents)
     val topk = Window.partitionBy(col("centroid_id")).orderBy(col("d2"), col("id"))
-    pts.select(col(idCol).as("id"), col("lon"), col("lat"))
-      .join(broadcast(c))
-      .withColumn("d2", d2)
-      .withColumn("cr", row_number().over(closest))
-      .where(col("cr") === 1)
+    pts.select(col(idCol).as("id"),
+        near.getField("cid").as("centroid_id"), near.getField("d2").as("d2"))
       .withColumn("rn", row_number().over(topk).cast("long"))
       .where(col("rn") <= k)
       .select(col("centroid_id"), col("id"), col("rn"))

@@ -392,6 +392,151 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/**
+ * Map-side Lloyd assignment: nearest centroid of a point against a
+ * broadcast-style constant centroid list, as ONE codegen'd loop — the
+ * reference's KMeansMapReduce mapper argmin (analytics/mapreduce/.../kmeans/
+ * KMeansMapReduce.java:62-308: each mapper scores a point against all
+ * centroids and emits only the winner, so nothing but k-sized aggregates
+ * ever crosses the wire). Returns struct(cid, d2). Ties break to the
+ * LOWEST centroid id (inputs are sorted by cid; strict `<` keeps the
+ * first winner), matching `ORDER BY d2, cid` with `rn = 1`.
+ */
+case class NearestCentroid2D(left: Expression, right: Expression,
+                             cids: Array[Long], clons: Array[Double], clats: Array[Double])
+    extends BinaryExpression {
+  require(cids.nonEmpty && cids.length == clons.length && cids.length == clats.length)
+  require(cids.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "centroids must be sorted by cid (strictly ascending) for deterministic tie-breaks")
+  override def dataType: DataType = StructType(Seq(
+    StructField("cid", LongType, nullable = false),
+    StructField("d2", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  /** codegen entry point: single primitive-array loop, zero allocation
+    * beyond the 2-field result row. */
+  def nearest(lon: Double, lat: Double): InternalRow = {
+    var bestD2 = Double.PositiveInfinity
+    var bestCid = 0L
+    var i = 0
+    while (i < cids.length) {
+      val dx = lon - clons(i)
+      val dy = lat - clats(i)
+      val d2 = dx * dx + dy * dy
+      if (d2 < bestD2) { bestD2 = d2; bestCid = cids(i) }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestCid, bestD2))
+  }
+
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    nearest(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid2d", this, classOf[NearestCentroid2D].getName)
+    defineCodeGen(ctx, ev, (lon, lat) => s"$ref.nearest($lon, $lat)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** [[NearestCentroid2D]] constrained to the point's OWN parent's centroids
+  * — the grouped Lloyd assignment of multi-level clustering (reference:
+  * GroupAssignmentMapReduce ZOOM_LEVEL regrouping). `parents(i)` groups
+  * the parallel centroid arrays; per-parent runs are sorted by cid so the
+  * strict-`<` tie-break stays lowest-cid. Returns just the winning cid
+  * (the grouped stats aggregate needs nothing else). */
+case class NearestCentroidGrouped2D(first: Expression, second: Expression, third: Expression,
+                                    parents: Array[Long], cids: Array[Long],
+                                    clons: Array[Double], clats: Array[Double])
+    extends TernaryExpression {
+  require(cids.nonEmpty && cids.length == parents.length &&
+    cids.length == clons.length && cids.length == clats.length)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  // per-parent slice offsets, built once per task from the sorted arrays
+  @transient private lazy val sliceOf: java.util.HashMap[Long, (Int, Int)] = {
+    val m = new java.util.HashMap[Long, (Int, Int)]()
+    var i = 0
+    while (i < parents.length) {
+      var j = i
+      while (j < parents.length && parents(j) == parents(i)) j += 1
+      m.put(parents(i), (i, j))
+      i = j
+    }
+    m
+  }
+
+  /** codegen entry point. A parent with no centroids cannot occur in the
+    * grouped-Lloyd flow (children are initialized from the parent's own
+    * members); −1 is returned defensively rather than throwing mid-task. */
+  def nearest(parent: Long, lon: Double, lat: Double): Long = {
+    val slice = sliceOf.get(parent)
+    if (slice == null) return -1L
+    var bestD2 = Double.PositiveInfinity
+    var bestCid = -1L
+    var i = slice._1
+    while (i < slice._2) {
+      val dx = lon - clons(i)
+      val dy = lat - clats(i)
+      val d2 = dx * dx + dy * dy
+      if (d2 < bestD2) { bestD2 = d2; bestCid = cids(i) }
+      i += 1
+    }
+    bestCid
+  }
+
+  override def nullSafeEval(parent: Any, lon: Any, lat: Any): Any =
+    nearest(parent.asInstanceOf[Long], lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroidGrouped2d", this,
+      classOf[NearestCentroidGrouped2D].getName)
+    defineCodeGen(ctx, ev, (p, lon, lat) => s"$ref.nearest($p, $lon, $lat)")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** nearest centroid of a QUANTIZED EMBEDDING (array<bigint>) by exact
+  * integer L2 — the d-dimensional [[NearestCentroid2D]] used by the IVF
+  * coarse-quantizer trainer. Minimizes |c|² − 2·v·c (the row's own |v|² is
+  * constant under argmin); centroids sorted by cid, strict `<` tie-break. */
+case class NearestCentroidVec(child: Expression,
+                              cids: Array[Long], cvs: Array[Array[Long]])
+    extends UnaryExpression {
+  require(cids.nonEmpty && cids.length == cvs.length)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val cn2s: Array[Long] =
+    cvs.map(cv => { var s = 0L; var i = 0; while (i < cv.length) { s += cv(i) * cv(i); i += 1 }; s })
+
+  /** codegen entry point. */
+  def nearest(v: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var best = Long.MaxValue
+    var bestCid = -1L
+    var c = 0
+    while (c < cvs.length) {
+      val cv = cvs(c)
+      var dot = 0L
+      var i = 0
+      while (i < cv.length) { dot += v.getLong(i) * cv(i); i += 1 }
+      val score = cn2s(c) - 2L * dot
+      if (score < best) { best = score; bestCid = cids(c) }
+      c += 1
+    }
+    bestCid
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    nearest(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroidVec", this, classOf[NearestCentroidVec].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.nearest($v)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Column wrappers. */
 object GeoFunctions {
   import org.apache.spark.sql.GraftBridge.{column, expression}
@@ -421,6 +566,31 @@ object GeoFunctions {
     column(TimeBinId(expression(ts), unit))
   def gw_geohash(lon: Column, lat: Column, precision: Int): Column =
     column(GeohashId(expression(lon), expression(lat), precision))
+
+  /** struct(cid, d2) of the nearest centroid (ties → lowest cid). Sorts
+    * the centroid list here so every call site gets the deterministic
+    * tie-break [[NearestCentroid2D]] requires. */
+  def gw_nearest_centroid(lon: Column, lat: Column,
+                          centroids: Seq[(Long, Double, Double)]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    column(NearestCentroid2D(expression(lon), expression(lat),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray, sorted.map(_._3).toArray))
+  }
+
+  /** nearest-cid within the row's own parent group (multi-level Lloyd). */
+  def gw_nearest_centroid_grouped(parent: Column, lon: Column, lat: Column,
+                                  centroids: Seq[(Long, Long, Double, Double)]): Column = {
+    val sorted = centroids.sortBy(t => (t._1, t._2))
+    column(NearestCentroidGrouped2D(expression(parent), expression(lon), expression(lat),
+      sorted.map(_._1).toArray, sorted.map(_._2).toArray,
+      sorted.map(_._3).toArray, sorted.map(_._4).toArray))
+  }
+
+  /** nearest-cid of a quantized embedding by exact integer L2. */
+  def gw_nearest_centroid_vec(v: Column, centroids: Seq[(Long, Array[Long])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    column(NearestCentroidVec(expression(v), sorted.map(_._1).toArray, sorted.map(_._2).toArray))
+  }
 
   /** great-circle distance in meters (haversine, sphere R=6371008.8) —
     * pure built-in column arithmetic, so it stays in whole-stage codegen

@@ -1,0 +1,91 @@
+package graft.spark
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: map-side Lloyd argmin (plan pins + semantics). */
+class Round4Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def pts(n: Int): DataFrame =
+    spark.range(n).select(col("id"),
+      (col("id") * 37 % 360 - 180 + 0.01).as("lon"),
+      (col("id") * 53 % 170 - 85 + 0.01).as("lat"))
+
+  private def countExchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("kmeansAssignStats: argmin is map-side — exactly one Exchange (the k-row agg handoff)") {
+    val cents = Seq((1L, -10.0, 0.0), (5L, 40.0, 20.0), (9L, 120.0, -40.0))
+    val stats = Analytics.kmeansAssignStats(pts(500), cents)
+    assert(countExchanges(stats) == 1,
+      stats.queryExecution.executedPlan.toString.take(1500))
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Generate"),
+      "no per-id window / explode may remain in the assignment pass")
+  }
+
+  test("NearestCentroid2D matches the explode+window argmin row for row (ties -> lowest cid)") {
+    // co-located centroids force exact d2 ties
+    val cents = Seq((3L, 10.0, 10.0), (7L, 10.0, 10.0), (2L, -50.0, -20.0))
+    val p = pts(300)
+    val got = p.select(col("id"),
+        GeoFunctions.gw_nearest_centroid(col("lon"), col("lat"), cents)
+          .getField("cid").as("cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = p.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    for ((id, lon, lat) <- rows) {
+      val best = cents.map { case (cid, cx, cy) =>
+        ((lon - cx) * (lon - cx) + (lat - cy) * (lat - cy), cid)
+      }.min // (d2, cid) lexicographic == ORDER BY d2, cid
+      assert(got(id) == best._2, s"id=$id")
+    }
+  }
+
+  test("groupedAssignStats plan: no explode, one Exchange; grouped argmin honors parents") {
+    val cents = Seq((0L, 1L, 0.0, 0.0), (0L, 2L, 100.0, 0.0),
+      (1L, 3L, -100.0, 0.0), (1L, 4L, 0.0, 50.0))
+    val assigned = pts(400).select((col("id") % 2).as("parent_id"),
+      col("id"), col("lon"), col("lat"))
+    val stats = Analytics.groupedAssignStatsForTest(assigned, cents)
+    assert(countExchanges(stats) == 1,
+      stats.queryExecution.executedPlan.toString.take(1500))
+    val got = stats.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // every (parent, centroid) key must belong to that parent's centroid set
+    got.keys.foreach { case (p, c) =>
+      assert(cents.exists(t => t._1 == p && t._2 == c), s"($p, $c) crossed parents")
+    }
+    assert(got.values.sum == 400L)
+  }
+
+  test("distinctKnnToCentroids: no n-by-k rows — single window over assigned rows, WindowGroupLimit") {
+    val cents = pts(200).where(col("id") % 40 === 0)
+    val out = Ops.distinctKnnToCentroids(pts(200), "id", cents, "id", k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "no explode may appear")
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+    assert("Window\\b".r.findAllIn(plan).size <= 2, // WindowGroupLimit prints Window* too
+      plan.take(1500))
+  }
+
+  test("kmeansVec argmin expression agrees with a driver-side exact recompute") {
+    val emb = spark.range(60).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        d => (col("id") * 13 + d * 7) % 100 / 10.0).as("embedding"))
+    val cents = Analytics.kmeansVec(emb, "vec_id", "embedding", k = 4, iters = 2)
+    // recompute assignment locally from the returned centroids
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("v"))
+    val rows = q.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val gotAssign = q.select(col("vec_id"),
+        GeoFunctions.gw_nearest_centroid_vec(col("v"), cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((id, v) <- rows) {
+      val best = cents.map { case (cid, cv) =>
+        val d2 = v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d2, cid)
+      }.min
+      assert(gotAssign(id) == best._2, s"vec $id")
+    }
+  }
+}
