@@ -1209,8 +1209,8 @@ object SparkEntry {
     s"""$pagesCte,
        |splat AS (
        |  SELECT CAST(l.level AS INTEGER) AS level, (1::BIGINT << l.level) AS bins,
-       |    CAST(GREATEST(CEIL(((lon + 180) / 360) * (1::BIGINT << l.level)) - 1, 0) AS BIGINT) + k.dx AS tx,
-       |    CAST(GREATEST(CEIL(((lat + 180) / 360) * (1::BIGINT << l.level)) - 1, 0) AS BIGINT) + k.dy AS ty,
+       |    CAST(GREATEST(CEIL(((LEAST(GREATEST(lon, -180), 180) + 180) / 360) * (1::BIGINT << l.level)) - 1, 0) AS BIGINT) + k.dx AS tx,
+       |    CAST(GREATEST(CEIL(((LEAST(GREATEST(lat, -90), 90) + 180) / 360) * (1::BIGINT << l.level)) - 1, 0) AS BIGINT) + k.dy AS ty,
        |    k.w
        |  FROM pages,
        |       (SELECT * FROM (VALUES $kern) v(dx, dy, w)) k,

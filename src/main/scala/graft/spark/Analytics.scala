@@ -254,12 +254,18 @@ object Analytics {
     val kern = KdeKernel.map { case (dx, dy, w0) =>
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"), lit(w0).as("w"))
     }
+    // clamp like GeoCodec.bucketLon/bucketLat (normalizeDimension): out-of
+    // -range coordinates land in the EDGE cells, exactly as the
+    // single-level splat's gw_tile_x/gw_tile_y do — without this they
+    // would silently vanish through the tx/ty bounds filter below
+    val lonC = least(greatest(col("lon"), lit(-180.0)), lit(180.0))
+    val latC = least(greatest(col("lat"), lit(-90.0)), lit(90.0))
     val cells = pts
       .select(col("lon"), col("lat"),
         explode(sequence(lit(minBits), lit(maxBits))).as("level"))
       .withColumn("bins", expr("shiftleft(1L, level)"))
-      .withColumn("cx", greatest(ceil((col("lon") + 180.0) / 360.0 * col("bins")) - 1, lit(0L)).cast("long"))
-      .withColumn("cy", greatest(ceil((col("lat") + 180.0) / 360.0 * col("bins")) - 1, lit(0L)).cast("long"))
+      .withColumn("cx", greatest(ceil((lonC + 180.0) / 360.0 * col("bins")) - 1, lit(0L)).cast("long"))
+      .withColumn("cy", greatest(ceil((latC + 180.0) / 360.0 * col("bins")) - 1, lit(0L)).cast("long"))
       .select(col("level"), col("bins"), explode(array(kern: _*)).as("k"), col("cx"), col("cy"))
       .select(col("level"), col("bins"),
         (col("cx") + col("k.dx")).as("tx"), (col("cy") + col("k.dy")).as("ty"),

@@ -85,12 +85,27 @@ object AvroStage {
           // CONTRACT: the input partitioning must be deterministic (no
           // sample()/unstable repartition upstream) — the returned count
           // is this attempt's n, which equals the committed file's only
-          // under that determinism.
+          // under that determinism. That contract is ENFORCED here
+          // cheaply: a lost-race attempt compares its tmp file's length
+          // against the committed file before discarding it (identical
+          // records ⇒ identical container length — the random sync marker
+          // is fixed-width), so a nondeterministic upstream fails loudly
+          // instead of silently reporting a count the committed bytes
+          // don't hold.
           if (!fs0.rename(tmpPath, finalPath)) {
-            fs0.delete(tmpPath, false)
-            if (!fs0.exists(finalPath))
+            if (!fs0.exists(finalPath)) {
+              fs0.delete(tmpPath, false)
               throw new java.io.IOException(
                 s"stageToAvro: commit rename failed with no committed file for partition $pid")
+            }
+            val tmpLen = fs0.getFileStatus(tmpPath).getLen
+            val committedLen = fs0.getFileStatus(finalPath).getLen
+            fs0.delete(tmpPath, false)
+            if (tmpLen != committedLen)
+              throw new java.io.IOException(
+                s"stageToAvro: partition $pid lost the commit race to an attempt with " +
+                  s"DIFFERENT content ($committedLen committed bytes vs $tmpLen staged) — " +
+                  "the input partitioning is nondeterministic; stage from a deterministic plan")
           }
           Iterator.single(n)
         }

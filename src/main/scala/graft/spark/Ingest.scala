@@ -94,14 +94,7 @@ object Ingest {
       // (per-bucket conditional aggregates; batch is a small fixed set) —
       // one scan per batch instead of write-then-re-aggregate
       val obs = org.apache.spark.sql.Observation(s"ingest-$bi-${System.nanoTime()}")
-      val metricAggs = batch.flatMap { b =>
-        val in = col("bucket") === b
-        Seq(
-          count(when(in, 1)).as(s"rows_$b"),
-          min(when(in, col("cell_id"))).as(s"min_$b"),
-          max(when(in, col("cell_id"))).as(s"max_$b"),
-          expr(s"bit_xor(CASE WHEN bucket = $b THEN xxhash64(text) ELSE 0L END)").as(s"xor_$b"))
-      }
+      val metricAggs = bucketMetricAggs(batch)
       // the observation sits ABOVE the range exchange: RangePartitioner
       // samples its child in a separate pass, which would double-count
       // metrics attached below it
@@ -120,20 +113,35 @@ object Ingest {
       val m = obs.get
       val wallMs = (System.nanoTime() - t0) / 1000000
       for (b <- batch) {
-        val rows = m(s"rows_$b").asInstanceOf[Long]
-        def hex(key: String): String = m(key) match {
-          case null => ""
-          case bytes: Array[Byte] => graft.index.ByteUtils.toHex(bytes)
-        }
-        val lin =
-          if (rows == 0) BucketLineage(b, 0L, "", "", 0L, wallMs)
-          else BucketLineage(b, rows, hex(s"min_$b"), hex(s"max_$b"),
-            m(s"xor_$b").asInstanceOf[Long], wallMs)
+        val lin = lineageFromMetrics(m, b, wallMs)
         commitLineage(outDir, lin)
         written += lin
       }
     }
     written.result()
+  }
+
+  /** the per-bucket conditional lineage aggregates (rows/min/max/xor). */
+  private def bucketMetricAggs(buckets: Seq[Int]): Seq[org.apache.spark.sql.Column] =
+    buckets.flatMap { b =>
+      val in = col("bucket") === b
+      Seq(
+        count(when(in, 1)).as(s"rows_$b"),
+        min(when(in, col("cell_id"))).as(s"min_$b"),
+        max(when(in, col("cell_id"))).as(s"max_$b"),
+        expr(s"bit_xor(CASE WHEN bucket = $b THEN xxhash64(text) ELSE 0L END)").as(s"xor_$b"))
+    }
+
+  /** lineage record from a metrics lookup (Observation map or agg row). */
+  private def lineageFromMetrics(m: String => Any, b: Int, wallMs: Long): BucketLineage = {
+    val rows = m(s"rows_$b").asInstanceOf[Long]
+    def hex(key: String): String = m(key) match {
+      case null => ""
+      case bytes: Array[Byte] => graft.index.ByteUtils.toHex(bytes)
+    }
+    if (rows == 0) BucketLineage(b, 0L, "", "", 0L, wallMs)
+    else BucketLineage(b, rows, hex(s"min_$b"), hex(s"max_$b"),
+      m(s"xor_$b").asInstanceOf[Long], wallMs)
   }
 
   /** atomic commit: write temp file then move into place. */
@@ -272,9 +280,10 @@ object Ingest {
                   idCol: String = "doc_id"): Seq[BucketLineage] = {
     if (ids.isEmpty) return Seq.empty
     // this IS a delete path (single-deleter contract): recover any
-    // crash-retired bucket before scanning, or ids inside one would be
-    // invisible to both the probe and the uncovered-bucket scan
-    recoverRetiredBuckets(s"$outDir/data", force = true)
+    // crash-retired bucket (and stale lineage) before scanning, or ids
+    // inside one would be invisible to both the probe and the
+    // uncovered-bucket scan
+    recoverStaleDelete(spark, outDir)
     val pred = col(idCol).isin(ids: _*)
     altCoveredBuckets(outDir) match {
       case None => deleteByQuery(spark, outDir, pred)
@@ -341,10 +350,48 @@ object Ingest {
   private val DeleteMarker = ".delete-inprogress"
   private val DeleteGraceMs = 15L * 60 * 1000
 
+  /** recount + recommit the lineage of `buckets` from the LIVE store — the
+    * delete path's stats-callback recovery (one filtered scan). */
+  private def recommitBucketLineage(spark: SparkSession, outDir: String,
+                                    buckets: Seq[Int]): Unit = {
+    if (buckets.isEmpty) return
+    val t0 = System.nanoTime()
+    val aggs = bucketMetricAggs(buckets)
+    val row = spark.read.parquet(s"$outDir/data")
+      .where(col("bucket").isin(buckets: _*))
+      .agg(aggs.head, aggs.tail: _*).collect()(0)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    buckets.foreach(b => commitLineage(outDir, lineageFromMetrics(row.getAs[Any](_), b, wallMs)))
+  }
+
+  /** delete-path entry recovery (single-deleter contract: any marker a
+    * delete finds was left by a crash): restore crash-retired buckets,
+    * then — if the stale marker records planned buckets — recount and
+    * recommit their lineage. Without the recommit, a crash between a
+    * bucket's swap and its lineage commit leaves that bucket's lineage
+    * stale FOREVER: re-running the same delete finds no matching rows in
+    * the already-rewritten bucket, so its lineage is never touched again
+    * (Pipeline's lineage-consistency check would then fail on every run). */
+  private def recoverStaleDelete(spark: SparkSession, outDir: String): Unit = {
+    recoverRetiredBuckets(s"$outDir/data", force = true)
+    val marker = Paths.get(outDir, DeleteMarker)
+    if (Files.exists(marker)) {
+      val s = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+        .trim.stripPrefix("[").stripSuffix("]")
+      val planned = if (s.isEmpty) Seq.empty[Int] else s.split(",").map(_.trim.toInt).toSeq
+      if (planned.nonEmpty) {
+        println(s"[graft] delete recovery: recommitting lineage of buckets " +
+          s"${planned.mkString(",")} planned by a crashed delete")
+        recommitBucketLineage(spark, outDir, planned)
+      }
+      Files.deleteIfExists(marker)
+    }
+  }
+
   def deleteByQuery(spark: SparkSession, outDir: String,
                     predicate: org.apache.spark.sql.Column): Seq[BucketLineage] = {
     val dataDir = s"$outDir/data"
-    recoverRetiredBuckets(dataDir, force = true)
+    recoverStaleDelete(spark, outDir)
     val store = spark.read.parquet(dataDir)
     val affected = store.where(predicate)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
@@ -370,14 +417,7 @@ object Ingest {
       .where(col("bucket").isin(buckets: _*))
       .where(!coalesce(predicate, lit(false)))
     val obs = org.apache.spark.sql.Observation(s"delete-${System.nanoTime()}")
-    val metricAggs = buckets.flatMap { b =>
-      val in = col("bucket") === b
-      Seq(
-        count(when(in, 1)).as(s"rows_$b"),
-        min(when(in, col("cell_id"))).as(s"min_$b"),
-        max(when(in, col("cell_id"))).as(s"max_$b"),
-        expr(s"bit_xor(CASE WHEN bucket = $b THEN xxhash64(text) ELSE 0L END)").as(s"xor_$b"))
-    }
+    val metricAggs = bucketMetricAggs(buckets)
     val t0 = System.nanoTime()
     survivors
       .repartitionByRange(math.max(buckets.size, 1), col("bucket"), col("row_key"))
@@ -392,9 +432,13 @@ object Ingest {
     // comes off in a FINALLY — after an in-JVM exception (not a crash)
     // the process keeps running, and leaving the marker would make every
     // reader silently skip recovery for the whole grace window; with it
-    // removed, the very next readStore self-heals the half-swap.
+    // removed, the very next readStore self-heals the half-swap. The
+    // marker BODY records the planned buckets so a hard CRASH inside the
+    // swap window can recommit their lineage on the next delete-path
+    // recovery (recoverStaleDelete); the in-JVM failure path below does
+    // the same recommit inline before the marker comes off.
     val marker = Paths.get(outDir, DeleteMarker)
-    Files.write(marker, Array.emptyByteArray)
+    Files.write(marker, buckets.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8))
     val out = Seq.newBuilder[BucketLineage]
     try {
       for (b <- buckets) {
@@ -409,19 +453,22 @@ object Ingest {
         if (Files.exists(staged)) // a fully-deleted bucket stages nothing
           Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
         graft.FsUtils.deleteRecursively(retired)
-        val rows = m(s"rows_$b").asInstanceOf[Long]
-        def hex(key: String): String = m(key) match {
-          case null => ""
-          case bytes: Array[Byte] => graft.index.ByteUtils.toHex(bytes)
-        }
-        val lin =
-          if (rows == 0) BucketLineage(b, 0L, "", "", 0L, wallMs)
-          else BucketLineage(b, rows, hex(s"min_$b"), hex(s"max_$b"),
-            m(s"xor_$b").asInstanceOf[Long], wallMs)
+        val lin = lineageFromMetrics(m, b, wallMs)
         commitLineage(outDir, lin)
         out += lin
       }
       graft.FsUtils.deleteRecursively(stagingRoot)
+    } catch {
+      case e: Throwable =>
+        // in-JVM failure mid-swap: restore any half-swapped bucket, then
+        // recount + recommit EVERY planned bucket's lineage from the live
+        // store — already-swapped buckets would otherwise keep stale
+        // lineage forever (re-running the delete finds no rows in them)
+        try {
+          recoverRetiredBuckets(dataDir, force = true)
+          recommitBucketLineage(spark, outDir, buckets)
+        } catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
     } finally Files.deleteIfExists(marker)
     out.result()
   }

@@ -176,20 +176,23 @@ object MultiIndex {
                           ranges: Seq[(Array[Byte], Array[Byte])]): Long = {
     if (hist.isEmpty || ranges.isEmpty) return 0L
     val merged = SpatialPlanner.mergeRanges(ranges).toIndexedSeq
-    val maxLen = merged.iterator.map(r => math.max(r._1.length, r._2.length)).max
-    def padFF(b: Array[Byte]): Array[Byte] =
-      if (b.length >= maxLen) b else b ++ Array.fill(maxLen - b.length)(0xff.toByte)
+    // a histogram bucket covers the OPEN prefix interval [p, p‖ff…∞] —
+    // compare range bounds against the prefix with comparePrefixed rather
+    // than padding p to some data-dependent length (padding to the longest
+    // range bound undercounts whenever the prefix is already longer:
+    // ranges starting inside (p, p‖ff…] were then missed)
+    import graft.index.ByteUtils.comparePrefixed
     hist.iterator.filter { case (p, _) =>
-      val bucketEnd = padFF(p)
-      // rightmost range whose start <= bucketEnd, then overlap check
+      // rightmost range whose start is NOT above the bucket interval
+      // (start <= p‖ff… — a monotone predicate over the sorted starts)
       var lo = 0; var hi = merged.length - 1; var found = -1
       while (lo <= hi) {
         val mid = (lo + hi) >>> 1
-        if (graft.index.ByteUtils.compareUnsigned(merged(mid)._1, bucketEnd) <= 0) {
-          found = mid; lo = mid + 1
-        } else hi = mid - 1
+        if (comparePrefixed(merged(mid)._1, p) <= 0) { found = mid; lo = mid + 1 }
+        else hi = mid - 1
       }
-      found >= 0 && graft.index.ByteUtils.compareUnsigned(merged(found)._2, p) >= 0
+      // overlap iff that range's end is not below the bucket interval
+      found >= 0 && comparePrefixed(merged(found)._2, p) >= 0
     }.map(_._2).sum
   }
 

@@ -68,6 +68,36 @@ class Round4Spec extends SparkTestBase {
       plan.take(1500))
   }
 
+  test("crashed delete (swap committed, lineage not): next delete-path recovery recommits lineage") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del-lineage").toString
+    val pages = Tables.synthPages(spark, 600)
+    Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 4, batchSize = 4))
+    val upd = Ingest.deleteByQuery(spark, dir, col("lang") === "de")
+    assert(upd.nonEmpty)
+    val goodRows = Ingest.readLineage(spark, dir)
+      .select("bucket", "rows").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // simulate the crash window: a bucket's lineage rolled back to a stale
+    // value with the in-progress marker (recording the planned buckets)
+    // still on disk — exactly the state a kill between swap and
+    // commitLineage leaves behind
+    val b = upd.head.bucket
+    val stale = upd.head.copy(rows = upd.head.rows + 999)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_lineage", f"bucket-$b%05d.json"),
+      s"""{"bucket":$b,"rows":${stale.rows},"min_cell":"","max_cell":"","text_checksum":0,"wall_ms":0}"""
+        .getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".delete-inprogress"),
+      s"[$b]".getBytes("UTF-8"))
+    // any later delete-path call recovers the stale lineage FIRST (here a
+    // no-match delete: the recovery, not the rewrite, must fix it)
+    assert(Ingest.deleteByQuery(spark, dir, lit(false)).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".delete-inprogress")))
+    val healed = Ingest.readLineage(spark, dir)
+      .select("bucket", "rows").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(healed == goodRows, s"lineage not recommitted: $healed vs $goodRows")
+    graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("kmeansVec argmin expression agrees with a driver-side exact recompute") {
     val emb = spark.range(60).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(7)),
