@@ -430,6 +430,16 @@ object SparkEntry {
         "the", "these", tmpIndexPath(dir, "graft-textanchored"),
         caseSensitive = false)
     }),
+    "q71_text_range_cs" -> ((s, dir) => {
+      // CASE-SENSITIVE whole-value range through the stored UNFOLDED
+      // anchored_cs index (round 3 served this with a full scan): the
+      // original-case posting store prunes the probe exactly like the
+      // folded one — its own ingest artifact, kind-recorded and reused
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.spark.TextIndex.rangeSearchStored(s, docs, "doc_id", "text",
+        "the", "these", tmpIndexPath(dir, "graft-textanchored-cs"),
+        caseSensitive = true)
+    }),
     "q67_multi_index_locality" -> ((s, dir) => {
       // the LOCALITY-PRESERVING chooser (max fixed-prefix-bits,
       // ChooseLocalityPreservingQueryStrategy) — identical result set to
@@ -1060,6 +1070,9 @@ object SparkEntry {
     "q69_text_range_indexed" ->
       s"""SELECT doc_id AS id FROM documents
          |WHERE lower(text) >= 'the' AND lower(text) <= 'these'""".stripMargin,
+    "q71_text_range_cs" ->
+      s"""SELECT doc_id AS id FROM documents
+         |WHERE text >= 'the' AND text <= 'these'""".stripMargin,
     "q67_multi_index_locality" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev

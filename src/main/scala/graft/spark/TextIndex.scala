@@ -91,9 +91,10 @@ object TextIndex {
    * sensitive answer; exact verification decides).
    */
   def buildAnchored(docs: DataFrame, idCol: String, textCol: String,
-                    minN: Int = 2, maxN: Int = 4): DataFrame = {
+                    minN: Int = 2, maxN: Int = 4, fold: Boolean = true): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
-    val decorated = concat(lit(Anchor), lower(col(textCol)), lit(Anchor))
+    val v = if (fold) lower(col(textCol)) else col(textCol)
+    val decorated = concat(lit(Anchor), v, lit(Anchor))
     docs.select(col(idCol),
         explode(column(CharGrams(expression(decorated), minN, maxN))).as("gram"))
       .distinct()
@@ -101,16 +102,22 @@ object TextIndex {
   }
 
   /** materialize the anchored posting table sorted by gram (see
-    * [[buildAndWrite]] for the write shape). */
+    * [[buildAndWrite]] for the write shape). `fold = false` writes the
+    * UNFOLDED variant (kind `anchored_cs`): original-case grams, so
+    * case-SENSITIVE range/prefix probes can prune through the index —
+    * folding is not monotone under binary order, so the folded store can
+    * never serve them (the reference's text index keeps both forms as
+    * separate index rows, TextIndexStrategy.java:21-130). */
   def buildAnchoredAndWrite(docs: DataFrame, idCol: String, textCol: String, path: String,
-                            minN: Int = 2, maxN: Int = 4, numFiles: Int = 8): Unit = {
-    val postings = buildAnchored(docs, idCol, textCol, minN, maxN).persist()
+                            minN: Int = 2, maxN: Int = 4, numFiles: Int = 8,
+                            fold: Boolean = true): Unit = {
+    val postings = buildAnchored(docs, idCol, textCol, minN, maxN, fold).persist()
     try postings
       .repartitionByRange(numFiles, col("gram"))
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(path)
     finally postings.unpersist()
-    writeMeta(path, minN, maxN, "anchored")
+    writeMeta(path, minN, maxN, if (fold) "anchored" else "anchored_cs")
   }
 
   /** the anchored-gram probe interval for a whole-value range [start, end]
@@ -141,41 +148,52 @@ object TextIndex {
                         caseSensitive: Boolean = false,
                         minN: Int = 2, maxN: Int = 4,
                         maxLookup: Int = 10000): DataFrame = {
-    val committed = new java.io.File(indexPath, "_SUCCESS").isFile &&
-      storedParams(indexPath).contains((minN, maxN, "anchored"))
-    if (!committed)
-      buildAnchoredAndWrite(docs, idCol, textCol, indexPath, minN, maxN)
-    // CASE-SENSITIVE ranges cannot be probed through the case-FOLDED
+    // a CASE-SENSITIVE range cannot be probed through the case-FOLDED
     // index: folding is not monotone under binary order (e.g. 'Z' lies in
-    // ['B','b'] but folds above 'b'), so a folded probe UNDER-approximates
-    // and the exact verify never sees the missed rows. Serve sensitive
-    // ranges with the exact scan predicate instead (still correct; no
-    // index pruning — a case-sensitive text index would need unfolded
-    // grams).
-    if (caseSensitive) {
-      println("[graft] TextIndex.rangeSearchStored: case-sensitive range on a " +
-        "case-folded index — serving via the exact scan predicate (no index pruning)")
-      return TextOps.textRange(docs, textCol, start, end, caseSensitive = true)
-        .select(col(idCol).as("id"))
-    }
-    // the index is case-folded; fold the probe to match (Locale.ROOT —
-    // Spark's lower() is locale-independent)
-    val (pLo, pHi) = rangeProbe(start.toLowerCase(java.util.Locale.ROOT),
-      end.toLowerCase(java.util.Locale.ROOT), minN, maxN)
+    // ['B','b'] but folds above 'b'), so a folded probe would UNDER-
+    // approximate and the exact verify never sees the missed rows. It is
+    // served by its own UNFOLDED store (kind `anchored_cs`) at the same
+    // indexPath — both kinds are ingest artifacts; a committed store of
+    // the WRONG kind is rebuilt (callers keep sensitive and insensitive
+    // stores at distinct paths to retain both).
+    val kind = if (caseSensitive) "anchored_cs" else "anchored"
+    val committed = new java.io.File(indexPath, "_SUCCESS").isFile &&
+      storedParams(indexPath).contains((minN, maxN, kind))
+    if (!committed)
+      buildAnchoredAndWrite(docs, idCol, textCol, indexPath, minN, maxN,
+        fold = !caseSensitive)
+    // the folded index is probed with folded bounds (Locale.ROOT — Spark's
+    // lower() is locale-independent); the unfolded one with the bounds as-is
+    val (bLo, bHi) =
+      if (caseSensitive) (start, end)
+      else (start.toLowerCase(java.util.Locale.ROOT), end.toLowerCase(java.util.Locale.ROOT))
+    val (pLo, pHi) = rangeProbe(bLo, bHi, minN, maxN)
     val hits = spark.read.parquet(indexPath)
       .where(col("gram") >= lit(pLo) && col("gram") <= lit(pHi))
       .select(col(idCol)).distinct()
-    val cand = hits.limit(maxLookup + 1).collect().map(_.get(0))
-    val candidates =
-      if (cand.length <= maxLookup) docs.where(col(idCol).isin(cand.toIndexedSeq: _*))
-      else {
-        println(s"[graft] TextIndex.rangeSearchStored: probe [$pLo, $pHi] matched more " +
-          s"than $maxLookup candidates; using the join plan instead of point lookups")
-        docs.join(hits, idCol)
-      }
+    val candidates = lookupOrJoin(docs, hits, idCol, maxLookup,
+      s"rangeSearchStored probe [$pLo, $pHi]")
     TextOps.textRange(candidates, textCol, start, end, caseSensitive)
       .select(col(idCol).as("id"))
   }
+
+  /** candidate-id routing shared by [[search]] and [[rangeSearchStored]]:
+    * a bounded count decides between driver point-lookups (pushed
+    * `In(idCol)` on the primary scan) and the equi-join plan. Both probe
+    * passes read at most `maxLookup + 1` posting rows through the pushed
+    * gram predicate; the count pass ships one long to the driver, so an
+    * over-cap probe no longer collects thousands of ids only to discard
+    * them for the join. */
+  private def lookupOrJoin(docs: DataFrame, hits: DataFrame, idCol: String,
+                           maxLookup: Int, what: String): DataFrame =
+    if (hits.limit(maxLookup + 1).count() <= maxLookup) {
+      val cand = hits.collect().map(_.get(0)) // known ≤ maxLookup rows
+      docs.where(col(idCol).isin(cand.toIndexedSeq: _*))
+    } else {
+      println(s"[graft] TextIndex: $what matched more than $maxLookup " +
+        "candidates; using the join plan instead of point lookups")
+      docs.join(hits, idCol)
+    }
 
   /** the probe gram for a pattern: its longest prefix that exists in the
     * posting table (length maxN when the pattern is long enough). */
@@ -207,16 +225,7 @@ object TextIndex {
              maxLookup: Int = 10000): DataFrame = {
     val gram = probeGram(pattern, minN, maxN)
     val hits = postings.where(col("gram") === lit(gram)).select(col(idCol))
-    val cand = hits.limit(maxLookup + 1).collect().map(_.get(0))
-    val verified =
-      if (cand.length <= maxLookup)
-        docs.where(col(idCol).isin(cand.toIndexedSeq: _*))
-      else {
-        println(s"[graft] TextIndex.search: gram '$gram' matched more than " +
-          s"$maxLookup candidates; using the join plan instead of point lookups")
-        docs.join(hits, idCol)
-      }
-    verified
+    lookupOrJoin(docs, hits, idCol, maxLookup, s"search gram '$gram'")
       .where(col(textCol).contains(pattern)) // exact verification, candidates only
       .select(col(idCol).as("id"))
   }

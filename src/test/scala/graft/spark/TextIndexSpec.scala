@@ -109,7 +109,10 @@ class TextIndexSpec extends SparkTestBase {
   }
 
   test("rangeSearchStored matches textRange brute force; probe reads only anchored grams") {
-    val dir = Files.createTempDirectory("graft-textrange-idx").toString
+    // sensitive and insensitive ranges keep SEPARATE stores (folded vs
+    // unfolded grams — a shared path would rebuild on every kind flip)
+    val dirCi = Files.createTempDirectory("graft-textrange-idx").toString
+    val dirCs = Files.createTempDirectory("graft-textrange-idx-cs").toString
     def brute(start: String, end: String, cs: Boolean): Set[Long] =
       TextOps.textRange(docs, "text", start, end, cs)
         .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -117,7 +120,7 @@ class TextIndexSpec extends SparkTestBase {
       ("a quick", "the quick brown fox jumps over the lazy dog", false),
       ("qq", "qq", true), ("the", "tz", false))) {
       val got = TextIndex.rangeSearchStored(spark, docs, "doc_id", "text",
-        s, e, dir, caseSensitive = cs)
+        s, e, if (cs) dirCs else dirCi, caseSensitive = cs)
         .collect().map(_.getLong(0)).toSet
       assert(got == brute(s, e, cs), s"range [$s, $e] cs=$cs")
     }
@@ -125,6 +128,50 @@ class TextIndexSpec extends SparkTestBase {
     // key range, below every interior gram
     val (lo, hi) = TextIndex.rangeProbe("pack", "sphinx", 2, 4)
     assert(lo.startsWith("") && hi.startsWith("") && lo <= hi)
+  }
+
+  test("case-sensitive range probes the UNFOLDED anchored_cs store (no full scan, folded probe would miss rows)") {
+    import spark.implicits._
+    // binary order interleaves cases: 'B' < 'Z' < 'b', so ["B", "b"]
+    // holds "Boxing…" and "Zebra…" but NOT "boxing…" — a folded probe
+    // collapses both bounds to 'b' and would under-approximate
+    val mixed = Seq((10L, "Boxing match"), (11L, "boxing match"),
+      (12L, "Zebra crossing")).toDF("doc_id", "text")
+    val mdir = Files.createTempDirectory("graft-textrange-mixed").toString
+    val mixedParquet = {
+      val d = Files.createTempDirectory("graft-textrange-mixed-docs").toString
+      mixed.write.mode("overwrite").parquet(d)
+      spark.read.parquet(d)
+    }
+    val csDir = s"$mdir/cs"
+    val got = TextIndex.rangeSearchStored(spark, mixedParquet, "doc_id", "text",
+      "B", "b", csDir, caseSensitive = true)
+    assert(got.collect().map(_.getLong(0)).toSet == Set(10L, 12L))
+    // the committed store is the unfolded kind: original-case grams present
+    val grams = spark.read.parquet(csDir).select("gram")
+      .collect().map(_.getString(0)).toSet
+    assert(grams.contains(TextIndex.Anchor + "B") &&
+      grams.contains(TextIndex.Anchor + "Z") && grams.contains(TextIndex.Anchor + "b"),
+      "unfolded anchored grams expected (original case preserved)")
+    // plan pins: probe range pushed into the posting scan; primary scan
+    // pruned by candidate ids (point lookups, no join, no full-text scan)
+    val plan = got.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(doc_id"),
+      s"primary scan not pruned by candidate ids:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), s"point-lookup path built a join:\n${plan.take(1500)}")
+    val probe = spark.read.parquet(csDir)
+      .where(col("gram") >= (TextIndex.Anchor + "B") && col("gram") <= (TextIndex.Anchor + "b"))
+    val probePushed = probe.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(probePushed.contains("GreaterThanOrEqual(gram") &&
+      probePushed.contains("LessThanOrEqual(gram"),
+      s"range probe not pushed to the posting scan:\n$probePushed")
+    // the insensitive twin over the same docs uses its own folded store
+    // and returns the folded answer (none: only exact-'b' values qualify)
+    val ciDir = s"$mdir/ci"
+    assert(TextIndex.rangeSearchStored(spark, mixedParquet, "doc_id", "text",
+      "B", "b", ciDir, caseSensitive = false).count() == 0)
   }
 
   test("unselective gram falls back to the join plan and stays correct") {
