@@ -193,6 +193,34 @@ object Ingest {
       .format("parquet")
       .saveAsTable(tableName)
 
+  /**
+   * Idempotent twin of [[writeBucketedByTile]]: a COMMITTED store at
+   * `path` (`_SUCCESS` present) is reused — only the catalog entry is
+   * (re)registered as an external bucketed table over the existing
+   * files, no data pass. The tile-bucketed store is an ingest-time
+   * artifact; rebuilding it per query call would be a full write of both
+   * join sides every time (callers key `path` on a corpus fingerprint so
+   * a changed corpus gets a fresh store). `numBuckets`/`bits` must match
+   * the committed layout — they are part of the artifact path contract.
+   */
+  def ensureBucketedByTile(spark: SparkSession, df: => DataFrame, tableName: String,
+                           path: String, numBuckets: Int, bits: Int): Unit = {
+    if (!new java.io.File(path, "_SUCCESS").isFile) {
+      writeBucketedByTile(df, tableName, path, numBuckets, bits)
+    } else {
+      // data committed: register (or repoint) the external table over the
+      // bucketed files — the bucket spec in the DDL matches the writer's,
+      // so Spark still plans exchange-free bucket joins on (tx, ty)
+      spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+      val cols = spark.read.parquet(path).schema
+        .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE `$tableName` ($cols) USING PARQUET
+           |CLUSTERED BY (tx, ty) SORTED BY (tx, ty) INTO $numBuckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+    }
+  }
+
   /** read back the bucket-partitioned store (recovering any bucket a
     * crashed delete left mid-swap first — see recoverRetiredBuckets). */
   def readStore(spark: SparkSession, outDir: String): DataFrame = {

@@ -98,6 +98,34 @@ class Round4Spec extends SparkTestBase {
     graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("ensureBucketedByTile reuses a committed store (no data rewrite) and re-registered tables join exchange-free") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ensure-bucketed").toString
+    val a = pts(400).select(col("id").as("doc_id"), col("lon"), col("lat"))
+    val b = pts(400).where(col("id") % 3 === 0)
+      .select(col("id").as("doc_id"), col("lon"), col("lat"))
+    Ingest.ensureBucketedByTile(spark, a, "r4_eb_a", s"$root/a", 4, 6)
+    Ingest.ensureBucketedByTile(spark, b, "r4_eb_b", s"$root/b", 4, 6)
+    def listing(sub: String) = new java.io.File(s"$root/$sub").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val (la, lb) = (listing("a"), listing("b"))
+    // drop the catalog entries (a fresh session's state) and re-ensure:
+    // data files must be untouched, tables re-registered over them
+    spark.sql("DROP TABLE r4_eb_a"); spark.sql("DROP TABLE r4_eb_b")
+    Ingest.ensureBucketedByTile(spark, a, "r4_eb_a", s"$root/a", 4, 6)
+    Ingest.ensureBucketedByTile(spark, b, "r4_eb_b", s"$root/b", 4, 6)
+    assert(listing("a") == la && listing("b") == lb,
+      "committed bucketed stores must not be rewritten on reuse")
+    val joined = spark.table("r4_eb_a")
+      .join(spark.table("r4_eb_b").select(col("tx"), col("ty"), col("doc_id").as("b_id")),
+        Seq("tx", "ty"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"re-registered bucketed join must not shuffle:\n${plan.take(1200)}")
+    assert(joined.count() > 0)
+    spark.sql("DROP TABLE r4_eb_a"); spark.sql("DROP TABLE r4_eb_b")
+    graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(root))
+  }
+
   test("kmeansVec argmin expression agrees with a driver-side exact recompute") {
     val emb = spark.range(60).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(7)),
