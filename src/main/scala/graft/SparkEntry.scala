@@ -435,6 +435,24 @@ object SparkEntry {
         "the", "these", tmpIndexPath(dir, "graft-textanchored"),
         caseSensitive = false)
     }),
+    "q70_delete_store" -> ((s, dir) => {
+      // the copy-on-write DELETE path, oracle-gated end to end: ingest a
+      // salted sorted store (fingerprinted artifact — committed buckets
+      // skip), delete by ids THROUGH the inline-maintained alt index,
+      // delete by spatial query, read the survivors. Both deletes are
+      // idempotent (match-confirmed before any rewrite), so the reused
+      // store yields the identical result on every call.
+      val path = tmpIndexPath(dir, "graft-delstore")
+      val pages = Tables.pages(s, dir)
+        .withColumn("url", concat(lit("doc-"), col("doc_id")))
+      graft.spark.Ingest.run(s, pages, path, graft.spark.Ingest.Config(
+        numBuckets = 8, batchSize = 4, altIndexCol = Some("doc_id")))
+      graft.spark.Ingest.deleteByIds(s, path, Seq(11L, 101L, 202L, 303L, 404L))
+      graft.spark.Ingest.deleteByQuery(s, path,
+        col("lon") >= 100.0 && col("lat") >= 20.0)
+      graft.spark.Ingest.readStore(s, path)
+        .select(col("doc_id"), col("lon"), col("lat"))
+    }),
     "q71_text_range_cs" -> ((s, dir) => {
       // CASE-SENSITIVE whole-value range through the stored UNFOLDED
       // anchored_cs index (round 3 served this with a full scan): the
@@ -1085,6 +1103,14 @@ object SparkEntry {
     "q69_text_range_indexed" ->
       s"""SELECT doc_id AS id FROM documents
          |WHERE lower(text) >= 'the' AND lower(text) <= 'these'""".stripMargin,
+    "q70_delete_store" ->
+      // the delete path's anti-join oracle (BaseDataStore.java:327-499
+      // semantics): survivors = everything minus the id set minus the
+      // spatial predicate
+      s"""$pagesCte
+         |SELECT doc_id, lon, lat FROM pages
+         |WHERE doc_id NOT IN (11, 101, 202, 303, 404)
+         |  AND NOT (lon >= 100.0 AND lat >= 20.0)""".stripMargin,
     "q71_text_range_cs" ->
       s"""SELECT doc_id AS id FROM documents
          |WHERE text >= 'the' AND text <= 'these'""".stripMargin,

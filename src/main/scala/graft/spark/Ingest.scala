@@ -32,13 +32,19 @@ object Ingest {
       bucket: Int, rows: Long, minCell: String, maxCell: String,
       textChecksum: Long, wallMs: Long)
 
-  /** per-run knobs; `failAfterBatches` is a test hook simulating a crash. */
+  /** per-run knobs; `failAfterBatches` is a test hook simulating a crash.
+    * `altIndexCol` enables INLINE alt-index maintenance: each committed
+    * bucket batch appends its (id, bucket) rows to `_alt` and extends the
+    * coverage metadata — the reference's DataStoreIndexWriter alt-index
+    * callbacks at write time, so [[deleteByIds]] never needs the
+    * full-store [[buildAltIndex]] rebuild. */
   final case class Config(
       numBuckets: Int = 16,
       batchSize: Int = 4,
       saltCount: Int = 8,
       targetPartitions: Int = 32,
-      failAfterBatches: Int = Int.MaxValue) {
+      failAfterBatches: Int = Int.MaxValue,
+      altIndexCol: Option[String] = None) {
     // the compound row key spends exactly ONE byte on the salt prefix
     // (reference HashKeyIndexStrategy precision); a larger salt space
     // would silently truncate and break the row_key ordering invariant
@@ -73,6 +79,17 @@ object Ingest {
     Files.createDirectories(lineageDir(outDir))
     val done = completedBuckets(outDir)
     val todo = (0 until cfg.numBuckets).filterNot(done.contains)
+    // alt-index catch-up: a crash between a batch's lineage commit and its
+    // alt append leaves committed buckets uncovered forever (resume skips
+    // them) — close the gap with one bucket-pruned append before ingesting
+    cfg.altIndexCol.foreach { id =>
+      val missing = (done -- readCoveredBuckets(outDir)).toSeq.sorted
+      if (missing.nonEmpty) {
+        println(s"[graft] ingest: appending alt rows for committed-but-uncovered " +
+          s"buckets ${missing.mkString(",")} (crashed earlier run)")
+        appendAltRows(spark, outDir, id, missing)
+      }
+    }
     val encoded = pages
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(cfg.numBuckets)).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("url"), lit(1)), lit(cfg.saltCount)).cast("int"))
@@ -117,6 +134,10 @@ object Ingest {
         commitLineage(outDir, lin)
         written += lin
       }
+      // inline alt maintenance: the batch's (id, bucket) rows ride along
+      // as an append — a bucket-pruned, column-pruned read of only the
+      // files this batch just wrote, never a store scan
+      cfg.altIndexCol.foreach(id => appendAltRows(spark, outDir, id, batch))
     }
     written.result()
   }
@@ -279,9 +300,19 @@ object Ingest {
       covered.mkString("[", ",", "]").getBytes("UTF-8"))
   }
 
+  /** the coverage-metadata set as recorded (empty when absent). */
+  private def readCoveredBuckets(outDir: String): Set[Int] = {
+    val meta = Paths.get(outDir, "_alt", "_graft_covered.json")
+    if (!Files.isRegularFile(meta)) Set.empty
+    else {
+      val s = new String(Files.readAllBytes(meta), "UTF-8").trim.stripPrefix("[").stripSuffix("]")
+      if (s.isEmpty) Set.empty[Int] else s.split(",").map(_.trim.toInt).toSet
+    }
+  }
+
   /** bucket ids the committed alt index covers (None = no usable alt
     * index — absent, or a pre-coverage-metadata build). */
-  private def altCoveredBuckets(outDir: String): Option[Set[Int]] = {
+  private[spark] def altCoveredBuckets(outDir: String): Option[Set[Int]] = {
     val meta = Paths.get(outDir, "_alt", "_graft_covered.json")
     val hasAlt = Files.exists(Paths.get(outDir, "_alt", "_SUCCESS"))
     if (hasAlt && !Files.isRegularFile(meta))
@@ -289,10 +320,33 @@ object Ingest {
         "metadata (built by an older version?) — falling back to the full " +
         "deleteByQuery scan; rebuild with buildAltIndex to restore the probe")
     if (!hasAlt || !Files.isRegularFile(meta)) None
-    else Some {
-      val s = new String(Files.readAllBytes(meta), "UTF-8").trim.stripPrefix("[").stripSuffix("]")
-      if (s.isEmpty) Set.empty[Int] else s.split(",").map(_.trim.toInt).toSet
-    }
+    else Some(readCoveredBuckets(outDir))
+  }
+
+  /**
+   * Append `buckets`' (id, bucket) rows to the alt store and extend the
+   * coverage metadata — the incremental twin of [[buildAltIndex]]. Reads
+   * ONLY the listed buckets (partition-pruned) and only the two columns.
+   * Coverage commits AFTER the data append (a crash in between leaves the
+   * buckets uncovered → redundantly rescanned, never covered-but-absent).
+   * A crash-resumed batch may append its rows twice — duplicate alt
+   * entries are an over-approximation the probe's `distinct` absorbs;
+   * [[buildAltIndex]] compacts.
+   */
+  private def appendAltRows(spark: SparkSession, outDir: String,
+                            idCol: String, buckets: Seq[Int]): Unit = {
+    if (buckets.isEmpty) return
+    spark.read.parquet(s"$outDir/data")
+      .where(col("bucket").isin(buckets: _*))
+      .select(col(idCol), col("bucket"))
+      .repartitionByRange(math.max(1, math.min(buckets.size, 8)), col(idCol))
+      .sortWithinPartitions(idCol)
+      .write.mode("append").parquet(s"$outDir/_alt")
+    val covered = (readCoveredBuckets(outDir) ++ buckets).toSeq.sorted
+    val tmp = Paths.get(outDir, "_alt", "_graft_covered.json.tmp")
+    Files.write(tmp, covered.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(outDir, "_alt", "_graft_covered.json"),
+      StandardCopyOption.ATOMIC_MOVE)
   }
 
   /**
@@ -327,7 +381,17 @@ object Ingest {
           else spark.read.parquet(s"$outDir/data")
             .where(col("bucket").isin(uncovered: _*)).where(pred)
             .select("bucket").distinct().collect().map(_.getInt(0)).toSet
-        val buckets = (probed ++ extra).toSeq.sorted
+        // stale alt entries over-approximate (ids deleted or moved by an
+        // earlier rewrite still map to their old bucket): confirm with ONE
+        // candidate-bucket-pruned scan and rewrite only buckets that hold
+        // actual matches — a re-run of the same delete is then a cheap
+        // no-op instead of a file-identical bucket rewrite
+        val cand = (probed ++ extra).toSeq.sorted
+        val buckets =
+          if (cand.isEmpty) Seq.empty[Int]
+          else spark.read.parquet(s"$outDir/data")
+            .where(col("bucket").isin(cand: _*)).where(pred)
+            .select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
         if (buckets.isEmpty) Seq.empty
         else rewriteBuckets(spark, outDir, buckets, pred)
     }

@@ -98,6 +98,58 @@ class Round4Spec extends SparkTestBase {
     graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("inline alt maintenance: per-batch appends cover every bucket; deleteByIds rewrites only matching buckets, no rebuild, no full scan path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alt-inline").toString
+    val pages = Tables.synthPages(spark, 800)
+    Ingest.run(spark, pages, dir,
+      Ingest.Config(numBuckets = 4, batchSize = 2, altIndexCol = Some("doc_id")))
+    // ingest covered every bucket inline — the uncovered-bucket scan in
+    // deleteByIds is statically empty, and no buildAltIndex call happened
+    assert(Ingest.altCoveredBuckets(dir).contains((0 until 4).toSet))
+    val ids = Seq(5L, 17L, 400L)
+    val hit = Ingest.readStore(spark, dir).where(col("doc_id").isin(ids: _*))
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(hit.nonEmpty && hit.size < 4, s"fixture should hit a strict subset: $hit")
+    def listing(b: Int) = new java.io.File(s"$dir/data/bucket=$b").listFiles()
+      .map(f => (f.getName, f.length, f.lastModified)).toSet
+    val before = (0 until 4).map(b => b -> listing(b)).toMap
+    val altBefore = new java.io.File(s"$dir/_alt").listFiles()
+      .map(f => (f.getName, f.length)).toSet
+    val upd = Ingest.deleteByIds(spark, dir, ids)
+    assert(upd.map(_.bucket).toSet == hit, "exactly the id-holding buckets rewrite")
+    for (b <- (0 until 4).toSet -- hit)
+      assert(listing(b) == before(b), s"bucket $b must be untouched")
+    assert(new java.io.File(s"$dir/_alt").listFiles().map(f => (f.getName, f.length)).toSet
+      == altBefore, "deleteByIds must not rebuild or touch the alt store")
+    assert(Ingest.readStore(spark, dir).where(col("doc_id").isin(ids: _*)).count() == 0)
+    // re-running the same delete is a cheap no-op: stale alt entries are
+    // match-confirmed against the store before any rewrite
+    val before2 = (0 until 4).map(b => b -> listing(b)).toMap
+    assert(Ingest.deleteByIds(spark, dir, ids).isEmpty)
+    for (b <- 0 until 4) assert(listing(b) == before2(b))
+    graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("alt catch-up: committed-but-uncovered buckets are appended by the next ingest run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alt-catchup").toString
+    val pages = Tables.synthPages(spark, 600)
+    val cfg = Ingest.Config(numBuckets = 4, batchSize = 2, altIndexCol = Some("doc_id"))
+    Ingest.run(spark, pages, dir, cfg)
+    // simulate a crash between lineage commit and alt append: coverage
+    // rolled back to a single bucket
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_alt", "_graft_covered.json"), "[0]".getBytes("UTF-8"))
+    // the next run has nothing to ingest but must close the coverage gap
+    assert(Ingest.run(spark, pages, dir, cfg).isEmpty)
+    assert(Ingest.altCoveredBuckets(dir).contains((0 until 4).toSet))
+    // an id in a previously-uncovered bucket deletes through the probe
+    val anyId = Ingest.readStore(spark, dir).where(col("bucket") =!= 0)
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    assert(Ingest.deleteByIds(spark, dir, Seq(anyId)).nonEmpty)
+    assert(Ingest.readStore(spark, dir).where(col("doc_id") === anyId).count() == 0)
+    graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("ensureBucketedByTile reuses a committed store (no data rewrite) and re-registered tables join exchange-free") {
     val root = java.nio.file.Files.createTempDirectory("graft-ensure-bucketed").toString
     val a = pts(400).select(col("id").as("doc_id"), col("lon"), col("lat"))
