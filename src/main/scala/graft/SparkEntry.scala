@@ -435,6 +435,41 @@ object SparkEntry {
         "the", "these", tmpIndexPath(dir, "graft-textanchored"),
         caseSensitive = false)
     }),
+    "q72_kde_pyramid_tiles" -> ((s, dir) => {
+      // per-(level, tile) 3-band pyramid KDE tiles in one job
+      // (AccumuloKDEReducer 3-band emit × KDEJobRunner level loop);
+      // posexplode projects the assembled band arrays back to dense
+      // positions so the oracle verifies assembly INCLUDING zero fill
+      val tiles = graft.spark.Analytics.kdeTilesMultiLevel(
+        Tables.pages(s, dir), minBits = 3, maxBits = 5, tileBits = 2)
+      tiles.select(col("level"), col("tile_x"), col("tile_y"),
+          posexplode(arrays_zip(col("band_weight"), col("band_norm"), col("band_pct"))))
+        .select(col("level"), col("tile_x"), col("tile_y"),
+          col("pos").cast("long").as("pos"),
+          col("col.band_weight").as("w"),
+          col("col.band_norm").as("norm"),
+          col("col.band_pct").as("pr"))
+    }),
+    "q73_balanced_scan" -> ((s, dir) => {
+      // the MR-split equalizer END TO END: a box scan routed through
+      // histogram-planned splits (SplitsProvider semantics, ZERO sampling
+      // passes — boundaries come from the stored prefix histogram), split
+      // assignment as a codegen'd binary search, hash-steered repartition
+      // so split i IS partition i. Conservation contract: exactly the
+      // coarse-qualifying rows survive, the fine filter decides — same
+      // oracle as q01.
+      val store = Tables.pages(s, dir)
+        .withColumn("cell_id", graft.spark.GeoFunctions.gw_cell_id(col("lon"), col("lat")))
+      val mi = graft.spark.MultiIndex
+      val hist = mi.prefixHistogram(store, "cell_id", mi.SpatialHistPrefix)
+      val ranges = graft.spark.SpatialPlanner.spatialBoxRanges(
+        Box._1, Box._2, Box._3, Box._4)
+      Ops.balancedScanPartitions(store, "cell_id", hist, ranges,
+          minSplits = 4, maxSplits = 8)
+        .where(graft.spark.SpatialPlanner.boxPredicate(col("lon"), col("lat"),
+          Box._1, Box._2, Box._3, Box._4))
+        .select(col("doc_id"), col("lon"), col("lat"))
+    }),
     "q70_delete_store" -> ((s, dir) => {
       // the copy-on-write DELETE path, oracle-gated end to end: ingest a
       // salted sorted store (fingerprinted artifact — committed buckets
@@ -1103,6 +1138,11 @@ object SparkEntry {
     "q69_text_range_indexed" ->
       s"""SELECT doc_id AS id FROM documents
          |WHERE lower(text) >= 'the' AND lower(text) <= 'these'""".stripMargin,
+    "q72_kde_pyramid_tiles" -> kdePyramidTilesSql(minBits = 3, maxBits = 5, tileBits = 2),
+    "q73_balanced_scan" ->
+      s"""$pagesCte
+         |SELECT doc_id, lon, lat FROM pages
+         |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}""".stripMargin,
     "q70_delete_store" ->
       // the delete path's anti-join oracle (BaseDataStore.java:327-499
       // semantics): survivors = everything minus the id set minus the
@@ -1257,7 +1297,7 @@ object SparkEntry {
   /** multi-level splat + per-level max/percent_rank, mirroring
     * Analytics.kdeMultiLevel: the level is a column (bins = 1 << level),
     * norm = weight / per-level max, pr = per-level percent_rank. */
-  private def kdeLevelsSql(minBits: Int, maxBits: Int): String = {
+  private def kdeLevelsCtes(minBits: Int, maxBits: Int): String = {
     val kern = graft.spark.Analytics.KdeKernel
       .map { case (dx, dy, w) => s"($dx, $dy, $w)" }.mkString(", ")
     s"""$pagesCte,
@@ -1272,12 +1312,37 @@ object SparkEntry {
        |cells AS (
        |  SELECT level, tx, ty, CAST(SUM(w) AS BIGINT) AS weight FROM splat
        |  WHERE tx >= 0 AND tx < bins AND ty >= 0 AND ty < bins
-       |  GROUP BY 1, 2, 3)
-       |SELECT level, tx, ty, weight,
-       |  CAST(weight AS DOUBLE) / MAX(weight) OVER (PARTITION BY level) AS norm,
-       |  PERCENT_RANK() OVER (PARTITION BY level ORDER BY weight, tx, ty) AS pr
-       |FROM cells""".stripMargin
+       |  GROUP BY 1, 2, 3),
+       |lv AS (
+       |  SELECT level, tx, ty, weight,
+       |    CAST(weight AS DOUBLE) / MAX(weight) OVER (PARTITION BY level) AS norm,
+       |    PERCENT_RANK() OVER (PARTITION BY level ORDER BY weight, tx, ty) AS pr
+       |  FROM cells)""".stripMargin
   }
+
+  private def kdeLevelsSql(minBits: Int, maxBits: Int): String =
+    s"${kdeLevelsCtes(minBits, maxBits)}\nSELECT level, tx, ty, weight, norm, pr FROM lv"
+
+  /** dense per-position projection of the pyramid KDE tiles: every
+    * occupied (level, tile) × every in-tile position, zero-filled — the
+    * SQL-expressible twin of the band arrays q72 posexplodes. */
+  private def kdePyramidTilesSql(minBits: Int, maxBits: Int, tileBits: Int): String =
+    s"""${kdeLevelsCtes(minBits, maxBits)},
+       |tl AS (
+       |  SELECT level, tx >> (level - $tileBits) AS tile_x, ty >> (level - $tileBits) AS tile_y,
+       |    (ty & ((1::BIGINT << (level - $tileBits)) - 1)) * (1::BIGINT << (level - $tileBits))
+       |      + (tx & ((1::BIGINT << (level - $tileBits)) - 1)) AS pos,
+       |    weight, norm, pr
+       |  FROM lv),
+       |occ AS (SELECT DISTINCT level, tile_x, tile_y FROM tl),
+       |posd AS (
+       |  SELECT o.level, o.tile_x, o.tile_y, p.pos FROM occ o,
+       |    LATERAL (SELECT unnest(range(1::BIGINT << (2 * (o.level - $tileBits)))) AS pos) p)
+       |SELECT d.level, d.tile_x, d.tile_y, d.pos,
+       |  COALESCE(t.weight, 0) AS w, COALESCE(t.norm, 0.0) AS norm,
+       |  COALESCE(t.pr, 0.0) AS pr
+       |FROM posd d LEFT JOIN tl t
+       |  ON t.level = d.level AND t.tile_x = d.tile_x AND t.tile_y = d.tile_y AND t.pos = d.pos""".stripMargin
 
   /** integer 5x5 Gaussian splat + percent_rank, mirroring Analytics.kdeHeatmap. */
   private def kdeSql(bits: Int): String = {

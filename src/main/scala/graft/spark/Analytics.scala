@@ -530,6 +530,43 @@ object Analytics {
           .as("band_norm"))
   }
 
+  /**
+   * PYRAMID KDE raster tiles: per-(level, tile) 3-band tiles assembled
+   * from [[kdeMultiLevel]] — the missing half of AccumuloKDEReducer
+   * parity (AccumuloKDEReducer.java:20-256 emits, per level, tiles whose
+   * bands are raw weight, normalized weight and percentile; the per-level
+   * loop is KDEJobRunner.java:111-231). One job: every level's cells are
+   * computed, normalized and percent-ranked by the shared multi-level
+   * dataflow, then grouped under a FIXED `tileBits` tile grid — a level-l
+   * tile holds a (2^(l−tileBits))² row-major cell grid, so tiles deepen
+   * as the pyramid zooms, exactly like map-tile pyramids. Assembly is the
+   * same order-independent map-from-entries lookup as [[kdeTiles]];
+   * absent cells are zero-filled.
+   */
+  def kdeTilesMultiLevel(pts: DataFrame, minBits: Int, maxBits: Int,
+                         tileBits: Int): DataFrame = {
+    require(tileBits < minBits, s"tileBits=$tileBits must be < minBits=$minBits")
+    val cells = kdeMultiLevel(pts, minBits, maxBits) // checkpointed table
+    cells
+      .withColumn("side", expr(s"shiftleft(1L, level - $tileBits)"))
+      .withColumn("tile_x", expr(s"shiftright(tx, level - $tileBits)"))
+      .withColumn("tile_y", expr(s"shiftright(ty, level - $tileBits)"))
+      .withColumn("pos", (col("ty").bitwiseAND(col("side") - 1) * col("side") +
+        col("tx").bitwiseAND(col("side") - 1)).cast("int"))
+      .groupBy("level", "tile_x", "tile_y")
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("weight")))).as("wm"),
+        map_from_entries(collect_list(struct(col("pos"), col("norm")))).as("nm"),
+        map_from_entries(collect_list(struct(col("pos"), col("pr")))).as("pm"))
+      .withColumn("side", expr(s"shiftleft(1L, level - $tileBits)"))
+      .select(col("level"), col("tile_x"), col("tile_y"),
+        transform(sequence(lit(0), (col("side") * col("side") - 1).cast("int")),
+          i => coalesce(element_at(col("wm"), i), lit(0L))).as("band_weight"),
+        transform(sequence(lit(0), (col("side") * col("side") - 1).cast("int")),
+          i => coalesce(element_at(col("nm"), i), lit(0.0))).as("band_norm"),
+        transform(sequence(lit(0), (col("side") * col("side") - 1).cast("int")),
+          i => coalesce(element_at(col("pm"), i), lit(0.0))).as("band_pct"))
+  }
+
   /** two-dataset KDE difference on the shared cell grid (the reference's
     * seasonal ComparisonStatsJobRunner): full-outer join of the two
     * heatmaps, missing cells count as 0. */

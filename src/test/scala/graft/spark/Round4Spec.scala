@@ -178,6 +178,66 @@ class Round4Spec extends SparkTestBase {
     graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(root))
   }
 
+  test("kdeTilesMultiLevel: per-level tiles agree cell-for-cell with kdeMultiLevel; gaps zero-filled") {
+    val p = pts(700)
+    val tiles = Analytics.kdeTilesMultiLevel(p, minBits = 3, maxBits = 5, tileBits = 2)
+      .collect()
+    val want = Analytics.kdeMultiLevel(p, minBits = 3, maxBits = 5)
+      .collect().map { r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2)) ->
+          (r.getLong(3), r.getDouble(4), r.getDouble(5))
+      }.toMap
+    assert(tiles.nonEmpty)
+    var covered = 0
+    for (r <- tiles) {
+      val (level, txT, tyT) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      val k = level - 2
+      val side = 1 << k
+      val w = r.getSeq[Long](3); val n = r.getSeq[Double](4); val pr = r.getSeq[Double](5)
+      assert(w.size == side * side && n.size == side * side && pr.size == side * side)
+      for (pos <- 0 until side * side) {
+        val cx = (txT << k) + (pos % side)
+        val cy = (tyT << k) + (pos / side)
+        want.get((level, cx, cy)) match {
+          case Some((ww, nn, pp)) =>
+            assert(w(pos) == ww && n(pos) == nn && pr(pos) == pp,
+              s"level=$level tile=($txT,$tyT) pos=$pos")
+            covered += 1
+          case None =>
+            assert(w(pos) == 0L && n(pos) == 0.0 && pr(pos) == 0.0,
+              s"absent cell must be zero-filled: level=$level tile=($txT,$tyT) pos=$pos")
+        }
+      }
+    }
+    assert(covered == want.size, "every multi-level cell must land in exactly one tile slot")
+  }
+
+  test("balancedScanPartitions end to end: conservation, split==partition bijection, near-equal partitions") {
+    val store = pts(4000)
+      .withColumn("cell_id", GeoFunctions.gw_cell_id(col("lon"), col("lat")))
+    val hist = MultiIndex.prefixHistogram(store, "cell_id", MultiIndex.SpatialHistPrefix)
+    val ranges = SpatialPlanner.spatialBoxRanges(-180, 180, -90, 90)
+    val out = Ops.balancedScanPartitions(store, "cell_id", hist, ranges,
+      minSplits = 8, maxSplits = 8)
+    // conservation: the full-extent ranges keep every row exactly once
+    assert(out.count() == 4000)
+    assert(out.select("id").distinct().count() == 4000)
+    // split i IS partition i (hash-steered repartition, no collisions)
+    val byPart = out.withColumn("p", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("split_id", "p").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(byPart.map(_._1).distinct.length == byPart.length,
+      "each split must land in exactly one partition")
+    assert(byPart.map(_._2).distinct.length == byPart.length,
+      "no two splits may share a partition")
+    // near-equal sizing under the stored histogram (uniform-ish fixture):
+    // every partition within a loose band of the ideal mean
+    val counts = byPart.map(_._3)
+    val mean = counts.sum.toDouble / counts.length
+    assert(counts.forall(c => c >= 0.3 * mean && c <= 2.5 * mean),
+      s"unbalanced partitions: ${counts.mkString(",")}")
+  }
+
   test("kmeansVec argmin expression agrees with a driver-side exact recompute") {
     val emb = spark.range(60).select(col("id").as("vec_id"),
       transform(sequence(lit(0), lit(7)),
