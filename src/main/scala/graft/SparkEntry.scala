@@ -480,8 +480,13 @@ object SparkEntry {
       val path = tmpIndexPath(dir, "graft-delstore")
       val pages = Tables.pages(s, dir)
         .withColumn("url", concat(lit("doc-"), col("doc_id")))
+      // one batch + 8 target partitions: the oracle store is small, so
+      // the dominant cost is Spark job overhead — batchSize = numBuckets
+      // halves the write/alt-append job count (resumability is exercised
+      // by IngestSpec's multi-batch crash tests, not here)
       graft.spark.Ingest.run(s, pages, path, graft.spark.Ingest.Config(
-        numBuckets = 8, batchSize = 4, altIndexCol = Some("doc_id")))
+        numBuckets = 8, batchSize = 8, targetPartitions = 8,
+        altIndexCol = Some("doc_id")))
       graft.spark.Ingest.deleteByIds(s, path, Seq(11L, 101L, 202L, 303L, 404L))
       graft.spark.Ingest.deleteByQuery(s, path,
         col("lon") >= 100.0 && col("lat") >= 20.0)
