@@ -470,6 +470,28 @@ object SparkEntry {
           Box._1, Box._2, Box._3, Box._4))
         .select(col("doc_id"), col("lon"), col("lat"))
     }),
+    "q74_raster_stats" -> ((s, dir) => {
+      // per-tile raster pixel statistics (RasterBoundingBoxStatistics /
+      // HistogramStatistics family) over deterministic synthetic
+      // grayscale tiles: byte i of tile t is (t*31 + i*7) % 256 with
+      // (t+i) % 11 == 0 forced to 0 = no-data, built via hex/unhex (ANSI
+      // forbids int→binary) so both engines see identical pixels. The
+      // 16-bin histogram is posexploded so the oracle checks every bin.
+      val bytes = transform(sequence(lit(0), lit(63)), i =>
+        when(pmod(col("doc_id") + i, lit(11)) === 0, lit(0L))
+          .otherwise(pmod(col("doc_id") * 31 + i * 7, lit(256))))
+      val tiles = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("tile_id"),
+          unhex(array_join(transform(bytes, b => lpad(hex(b), 2, "0")), "")).as("payload"))
+      graft.spark.Tiling.rasterStats(tiles, "tile_id", "payload")
+        .select(col("tile_id"), col("n_pixels"), col("n_nodata"),
+          col("px_min").cast("long").as("px_min"),
+          col("px_max").cast("long").as("px_max"),
+          col("px_sum"), posexplode(col("histogram")))
+        .select(col("tile_id"), col("n_pixels"), col("n_nodata"),
+          col("px_min"), col("px_max"), col("px_sum"),
+          col("pos").cast("long").as("bin"), col("col").as("bin_cnt"))
+    }),
     "q70_delete_store" -> ((s, dir) => {
       // the copy-on-write DELETE path, oracle-gated end to end: ingest a
       // salted sorted store (fingerprinted artifact — committed buckets
@@ -1148,6 +1170,27 @@ object SparkEntry {
       s"""$pagesCte
          |SELECT doc_id, lon, lat FROM pages
          |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}""".stripMargin,
+    "q74_raster_stats" ->
+      s"""WITH px AS (
+         |  SELECT doc_id AS tile_id, i,
+         |    CASE WHEN (doc_id + i) % 11 = 0 THEN 0 ELSE (doc_id * 31 + i * 7) % 256 END AS v
+         |  FROM documents, (SELECT unnest(range(64)) AS i)),
+         |st AS (
+         |  SELECT tile_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pixels,
+         |    CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nodata,
+         |    CAST(COALESCE(MIN(CASE WHEN v <> 0 THEN v END), 0) AS BIGINT) AS px_min,
+         |    CAST(COALESCE(MAX(CASE WHEN v <> 0 THEN v END), 0) AS BIGINT) AS px_max,
+         |    CAST(COALESCE(SUM(CASE WHEN v <> 0 THEN v END), 0) AS BIGINT) AS px_sum
+         |  FROM px GROUP BY 1),
+         |hist AS (
+         |  SELECT p.tile_id, b.bin,
+         |    CAST(COALESCE(SUM(CASE WHEN p.v <> 0 AND (p.v >> 4) = b.bin THEN 1 END), 0) AS BIGINT) AS bin_cnt
+         |  FROM px p, (SELECT unnest(range(16)) AS bin) b
+         |  GROUP BY 1, 2)
+         |SELECT st.tile_id, st.n_pixels, st.n_nodata, st.px_min, st.px_max, st.px_sum,
+         |       h.bin, h.bin_cnt
+         |FROM st JOIN hist h USING (tile_id)""".stripMargin,
     "q70_delete_store" ->
       // the delete path's anti-join oracle (BaseDataStore.java:327-499
       // semantics): survivors = everything minus the id set minus the
