@@ -431,6 +431,10 @@ object Analytics {
         GeoFunctions.gw_nearest_centroid_grouped(
           col("parent_id"), col("lon"), col("lat"), centroids).as("centroid_id"),
         col("lon"), col("lat"))
+      // a parent with no centroids argmins to -1: drop those rows (the
+      // pre-argmin explode+same-parent-join dropped them implicitly) —
+      // otherwise they fabricate a (parent, -1) stats group downstream
+      .where(col("centroid_id") =!= -1L)
       .groupBy("parent_id", "centroid_id")
       .agg(count(lit(1)).as("cnt"),
         sum(cents(col("lon"))).as("sum_lon_c"),

@@ -83,6 +83,11 @@ object Ingest {
     // alt append leaves committed buckets uncovered forever (resume skips
     // them) — close the gap with one bucket-pruned append before ingesting
     cfg.altIndexCol.foreach { id =>
+      // recover crash-retired buckets BEFORE the catch-up read: a
+      // mid-swap bucket's live dir is absent, so the append would find
+      // zero rows yet mark the bucket covered — its ids then permanently
+      // invisible to both the probe and the uncovered-bucket scan
+      recoverRetiredBuckets(s"$outDir/data")
       val missing = (done -- readCoveredBuckets(outDir)).toSeq.sorted
       if (missing.nonEmpty) {
         println(s"[graft] ingest: appending alt rows for committed-but-uncovered " +
@@ -470,7 +475,17 @@ object Ingest {
     if (Files.exists(marker)) {
       val s = new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
         .trim.stripPrefix("[").stripSuffix("]")
-      val planned = if (s.isEmpty) Seq.empty[Int] else s.split(",").map(_.trim.toInt).toSeq
+      // tolerate a corrupt body (pre-atomic-write crashes): an unparseable
+      // marker must not wedge every later delete — recovery proceeds with
+      // no planned buckets and the marker still comes off
+      val planned =
+        try { if (s.isEmpty) Seq.empty[Int] else s.split(",").map(_.trim.toInt).toSeq }
+        catch {
+          case _: NumberFormatException =>
+            println(s"[graft] delete recovery: unparseable $DeleteMarker body " +
+              s"('$s') — skipping lineage recommit for it")
+            Seq.empty[Int]
+        }
       if (planned.nonEmpty) {
         println(s"[graft] delete recovery: recommitting lineage of buckets " +
           s"${planned.mkString(",")} planned by a crashed delete")
@@ -530,7 +545,11 @@ object Ingest {
     // recovery (recoverStaleDelete); the in-JVM failure path below does
     // the same recommit inline before the marker comes off.
     val marker = Paths.get(outDir, DeleteMarker)
-    Files.write(marker, buckets.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8))
+    // tmp + atomic move: the marker exists precisely to survive a hard
+    // crash, so its own write must never be observable half-done
+    val markerTmp = Paths.get(outDir, DeleteMarker + ".tmp")
+    Files.write(markerTmp, buckets.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8))
+    Files.move(markerTmp, marker, StandardCopyOption.ATOMIC_MOVE)
     val out = Seq.newBuilder[BucketLineage]
     try {
       for (b <- buckets) {

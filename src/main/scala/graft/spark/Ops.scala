@@ -278,8 +278,14 @@ object Ops {
     * partition before the one remaining exchange. */
   def distinctKnnToCentroids(pts: DataFrame, idCol: String,
                              centroids: DataFrame, centroidIdCol: String, k: Int): DataFrame = {
-    val cents = centroids.select(col(centroidIdCol), col("lon"), col("lat")).collect()
+    // explicit casts: an INT id or FLOAT/DECIMAL coordinate column must
+    // not ClassCastException where the old broadcast join coerced freely
+    val cents = centroids.select(col(centroidIdCol).cast("long"),
+        col("lon").cast("double"), col("lat").cast("double")).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    if (cents.isEmpty) // argmin over zero centroids is undefined; the old join shape returned nothing
+      return pts.select(lit(0L).as("centroid_id"), col(idCol).as("id"), lit(0L).as("rn"))
+        .where(lit(false))
     val near = GeoFunctions.gw_nearest_centroid(col("lon"), col("lat"), cents)
     val topk = Window.partitionBy(col("centroid_id")).orderBy(col("d2"), col("id"))
     pts.select(col(idCol).as("id"),

@@ -178,22 +178,25 @@ object TextIndex {
   }
 
   /** candidate-id routing shared by [[search]] and [[rangeSearchStored]]:
-    * a bounded count decides between driver point-lookups (pushed
-    * `In(idCol)` on the primary scan) and the equi-join plan. Both probe
-    * passes read at most `maxLookup + 1` posting rows through the pushed
-    * gram predicate; the count pass ships one long to the driver, so an
-    * over-cap probe no longer collects thousands of ids only to discard
-    * them for the join. */
+    * ONE bounded collect (`maxLookup + 1` rows — the routing decision and
+    * the common-path candidate set in a single probe pass) decides
+    * between driver point-lookups (pushed `In(idCol)` on the primary
+    * scan) and the equi-join plan. Only the RARE over-cap probe pays a
+    * second read of the pruned posting scan when the join plan executes —
+    * the join must read those rows anyway; shipping the ≤ maxLookup+1
+    * decision prefix is the bounded price of keeping the common path at
+    * one job (a count-first guard would double it instead). */
   private def lookupOrJoin(docs: DataFrame, hits: DataFrame, idCol: String,
-                           maxLookup: Int, what: String): DataFrame =
-    if (hits.limit(maxLookup + 1).count() <= maxLookup) {
-      val cand = hits.collect().map(_.get(0)) // known ≤ maxLookup rows
+                           maxLookup: Int, what: String): DataFrame = {
+    val cand = hits.limit(maxLookup + 1).collect().map(_.get(0))
+    if (cand.length <= maxLookup)
       docs.where(col(idCol).isin(cand.toIndexedSeq: _*))
-    } else {
+    else {
       println(s"[graft] TextIndex: $what matched more than $maxLookup " +
         "candidates; using the join plan instead of point lookups")
       docs.join(hits, idCol)
     }
+  }
 
   /** the probe gram for a pattern: its longest prefix that exists in the
     * posting table (length maxN when the pattern is long enough). */

@@ -150,6 +150,40 @@ class Round4Spec extends SparkTestBase {
     graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("alt catch-up recovers a crash-retired bucket BEFORE reading, so its ids stay deletable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alt-retired").toString
+    val pages = Tables.synthPages(spark, 600)
+    val cfg = Ingest.Config(numBuckets = 4, batchSize = 4, altIndexCol = Some("doc_id"))
+    Ingest.run(spark, pages, dir, cfg)
+    // simulate a delete crash mid-swap on bucket 1 AND a lost alt append:
+    // live dir renamed aside, coverage rolled back to exclude the bucket
+    val data = java.nio.file.Paths.get(dir, "data")
+    java.nio.file.Files.move(data.resolve("bucket=1"), data.resolve(".bucket=1.retired"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_alt", "_graft_covered.json"),
+      "[0,2,3]".getBytes("UTF-8"))
+    // next ingest run must restore the bucket FIRST, then append its alt
+    // rows — covering an absent bucket would make its ids undeletable
+    Ingest.run(spark, pages, dir, cfg)
+    assert(java.nio.file.Files.exists(data.resolve("bucket=1")))
+    assert(Ingest.altCoveredBuckets(dir).contains((0 until 4).toSet))
+    val id = Ingest.readStore(spark, dir).where(col("bucket") === 1)
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    assert(Ingest.deleteByIds(spark, dir, Seq(id)).nonEmpty)
+    assert(Ingest.readStore(spark, dir).where(col("doc_id") === id).count() == 0)
+    graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("a torn .delete-inprogress body does not wedge the delete path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-torn-marker").toString
+    Ingest.run(spark, Tables.synthPages(spark, 300), dir, Ingest.Config(numBuckets = 2, batchSize = 2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".delete-inprogress"),
+      "[1,".getBytes("UTF-8"))
+    // recovery tolerates the corrupt body, removes the marker, proceeds
+    assert(Ingest.deleteByQuery(spark, dir, lit(false)).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".delete-inprogress")))
+    graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("ensureBucketedByTile reuses a committed store (no data rewrite) and re-registered tables join exchange-free") {
     val root = java.nio.file.Files.createTempDirectory("graft-ensure-bucketed").toString
     val a = pts(400).select(col("id").as("doc_id"), col("lon"), col("lat"))
