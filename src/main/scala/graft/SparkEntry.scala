@@ -470,6 +470,34 @@ object SparkEntry {
           Box._1, Box._2, Box._3, Box._4))
         .select(col("doc_id"), col("lon"), col("lat"))
     }),
+    "q75_raster_resize" -> ((s, dir) => {
+      // REAL bilinear world-to-screen tile resample oracle-gated per
+      // pixel (RasterDataAdapter.java:665-733 resample ×
+      // RasterTileResizeJobRunner map→merge): deterministic synthetic
+      // 8×8 tiles over the full bits=2 grid re-tiled to bits=3; the
+      // DuckDB twin recomputes every output pixel with the identical
+      // double arithmetic (same op order; HALF_UP == ROUND for the
+      // non-negative values here). The Hilbert new_tile id is mapped
+      // back to grid coords via the same expression so the compare is
+      // on (ntx, nty, pos).
+      val bytes = transform(sequence(lit(0), lit(63)), k =>
+        when(pmod(col("tx") * 64 + col("ty") * 16 + k, lit(13)) === 0, lit(0L))
+          .otherwise(pmod(col("tx") * 31 + col("ty") * 17 + k * 7, lit(256))))
+      val tiles = s.range(16)
+        .select((col("id") % 4).as("tx"), (col("id") / 4).cast("long").as("ty"))
+        .select(col("tx"), col("ty"),
+          unhex(array_join(transform(bytes, b => lpad(hex(b), 2, "0")), "")).as("payload"))
+      val out = graft.spark.Tiling.resizeTilesResampled(tiles,
+        bitsOld = 2, bitsNew = 3, tileSize = 8)
+      val ids = s.range(64)
+        .select((col("id") % 8).as("ntx"), (col("id") / 8).cast("long").as("nty"))
+        .select(col("ntx"), col("nty"),
+          graft.spark.Tiling.gw_tile_id_xy(col("ntx"), col("nty"), 3).as("new_tile"))
+      out.join(broadcast(ids), "new_tile")
+        .select(col("ntx"), col("nty"), posexplode(expr(
+          "transform(sequence(0, 63), k -> CAST(conv(hex(substring(payload, k + 1, 1)), 16, 10) AS BIGINT))")))
+        .select(col("ntx"), col("nty"), col("pos").cast("long").as("pos"), col("col").as("v"))
+    }),
     "q74_raster_stats" -> ((s, dir) => {
       // per-tile raster pixel statistics (RasterBoundingBoxStatistics /
       // HistogramStatistics family) over deterministic synthetic
@@ -1170,6 +1198,60 @@ object SparkEntry {
       s"""$pagesCte
          |SELECT doc_id, lon, lat FROM pages
          |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}""".stripMargin,
+    "q75_raster_resize" -> {
+      def px(x: String, y: String) =
+        s"CAST(CASE WHEN (tx*64 + ty*16 + ($y*8 + $x)) % 13 = 0 THEN 0 " +
+          s"ELSE (tx*31 + ty*17 + ($y*8 + $x)*7) % 256 END AS DOUBLE)"
+      s"""WITH parents AS (
+         |  SELECT a.tx, b.ty FROM (SELECT unnest(range(4)) AS tx) a,
+         |                         (SELECT unnest(range(4)) AS ty) b),
+         |cb AS (
+         |  SELECT tx, ty,
+         |    CAST(tx AS DOUBLE)/4*360 - 180 AS slonmin,
+         |    CAST(tx+1 AS DOUBLE)/4*360 - 180 AS slonmax,
+         |    GREATEST(CAST(ty AS DOUBLE)/4*360 - 180, -90.0) AS slatmin,
+         |    LEAST(CAST(ty+1 AS DOUBLE)/4*360 - 180, 90.0) AS slatmax
+         |  FROM parents),
+         |children AS (
+         |  SELECT cb.*, tx*2 + x.cx AS ntx, ty*2 + y.cy AS nty,
+         |    CAST(tx*2 + x.cx AS DOUBLE)/8*360 - 180 AS dlonmin,
+         |    CAST(tx*2 + x.cx + 1 AS DOUBLE)/8*360 - 180 AS dlonmax,
+         |    GREATEST(CAST(ty*2 + y.cy AS DOUBLE)/8*360 - 180, -90.0) AS dlatmin,
+         |    LEAST(CAST(ty*2 + y.cy + 1 AS DOUBLE)/8*360 - 180, 90.0) AS dlatmax
+         |  FROM cb, (SELECT unnest(range(2)) AS cx) x, (SELECT unnest(range(2)) AS cy) y),
+         |pixels AS (
+         |  SELECT c.*, ii.i, jj.j, CAST(jj.j*8 + ii.i AS BIGINT) AS pos,
+         |    dlonmin + (ii.i + 0.5)/8*(dlonmax - dlonmin) AS wx,
+         |    dlatmin + (jj.j + 0.5)/8*(dlatmax - dlatmin) AS wy,
+         |    slonmax - slonmin AS sw, slatmax - slatmin AS sh
+         |  FROM children c, (SELECT unnest(range(8)) AS i) ii, (SELECT unnest(range(8)) AS j) jj),
+         |uv AS (
+         |  SELECT *,
+         |    CASE WHEN sw > 0 AND sh > 0 AND wx >= slonmin AND wx < slonmax
+         |              AND wy >= slatmin AND wy < slatmax THEN 1 ELSE 0 END AS ok,
+         |    CASE WHEN sw > 0 THEN (wx - slonmin)/sw*8 - 0.5 ELSE 0.0 END AS u,
+         |    CASE WHEN sh > 0 THEN (wy - slatmin)/sh*8 - 0.5 ELSE 0.0 END AS v
+         |  FROM pixels),
+         |cl AS (
+         |  SELECT *, GREATEST(0, LEAST(7, CAST(FLOOR(u) AS INTEGER))) AS u0,
+         |            GREATEST(0, LEAST(7, CAST(FLOOR(v) AS INTEGER))) AS v0
+         |  FROM uv),
+         |cl2 AS (
+         |  SELECT *, LEAST(7, u0 + 1) AS u1, LEAST(7, v0 + 1) AS v1,
+         |    GREATEST(0.0, LEAST(1.0, u - u0)) AS fu,
+         |    GREATEST(0.0, LEAST(1.0, v - v0)) AS fv
+         |  FROM cl),
+         |vals AS (
+         |  SELECT ntx, nty, pos, ok,
+         |    ${px("u0", "v0")}*(1 - fu)*(1 - fv) + ${px("u1", "v0")}*fu*(1 - fv)
+         |      + ${px("u0", "v1")}*(1 - fu)*fv + ${px("u1", "v1")}*fu*fv AS value
+         |  FROM cl2)
+         |SELECT CAST(ntx AS BIGINT) AS ntx, CAST(nty AS BIGINT) AS nty, pos,
+         |  CAST(CASE WHEN ok = 1
+         |            THEN LEAST(255, GREATEST(0, CAST(ROUND(value) AS INTEGER)))
+         |            ELSE 0 END AS BIGINT) AS v
+         |FROM vals""".stripMargin
+    },
     "q74_raster_stats" ->
       s"""WITH px AS (
          |  SELECT doc_id AS tile_id, i,
