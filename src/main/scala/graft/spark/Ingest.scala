@@ -88,7 +88,15 @@ object Ingest {
       // zero rows yet mark the bucket covered — its ids then permanently
       // invisible to both the probe and the uncovered-bucket scan
       recoverRetiredBuckets(s"$outDir/data")
+      // only catch up buckets whose LIVE dir exists: recovery defers to a
+      // fresh delete marker (grace window), so a mid-swap bucket can still
+      // be absent here — covering it would read zero rows and make its ids
+      // covered-but-absent (permanently undeletable). An absent dir is
+      // either that (caught up on a later run, after recovery) or a
+      // genuinely empty bucket (nothing to cover; the uncovered-bucket
+      // scan of it is a no-op).
       val missing = (done -- readCoveredBuckets(outDir)).toSeq.sorted
+        .filter(b => Files.exists(Paths.get(outDir, "data", s"bucket=$b")))
       if (missing.nonEmpty) {
         println(s"[graft] ingest: appending alt rows for committed-but-uncovered " +
           s"buckets ${missing.mkString(",")} (crashed earlier run)")

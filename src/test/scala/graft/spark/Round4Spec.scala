@@ -173,11 +173,39 @@ class Round4Spec extends SparkTestBase {
     graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 
+  test("alt catch-up never covers a bucket hidden behind a FRESH delete marker") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-alt-freshmarker").toString
+    val pages = Tables.synthPages(spark, 600)
+    val cfg = Ingest.Config(numBuckets = 4, batchSize = 4, altIndexCol = Some("doc_id"))
+    Ingest.run(spark, pages, dir, cfg)
+    val data = java.nio.file.Paths.get(dir, "data")
+    // a live delete owns the swap window: bucket 1 retired, marker FRESH
+    java.nio.file.Files.move(data.resolve("bucket=1"), data.resolve(".bucket=1.retired"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".delete-inprogress"),
+      "[1]".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_alt", "_graft_covered.json"),
+      "[0,2,3]".getBytes("UTF-8"))
+    // ingest defers to the marker: bucket 1 stays retired and must NOT be
+    // marked covered (its dir is absent — covering it would read 0 rows)
+    Ingest.run(spark, pages, dir, cfg)
+    assert(!java.nio.file.Files.exists(data.resolve("bucket=1")))
+    assert(Ingest.altCoveredBuckets(dir).contains(Set(0, 2, 3)))
+    // once the delete's window is gone, the next run recovers AND covers
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, ".delete-inprogress"))
+    Ingest.run(spark, pages, dir, cfg)
+    assert(java.nio.file.Files.exists(data.resolve("bucket=1")))
+    assert(Ingest.altCoveredBuckets(dir).contains((0 until 4).toSet))
+    graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("a torn .delete-inprogress body does not wedge the delete path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-torn-marker").toString
     Ingest.run(spark, Tables.synthPages(spark, 300), dir, Ingest.Config(numBuckets = 2, batchSize = 2))
+    // "[1x" actually throws in the int parse ("[1," would split to just
+    // ["1"] and never exercise the guard); torn bodies can only come from
+    // pre-atomic-write markers — new writes are tmp + atomic move
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".delete-inprogress"),
-      "[1,".getBytes("UTF-8"))
+      "[1x".getBytes("UTF-8"))
     // recovery tolerates the corrupt body, removes the marker, proceeds
     assert(Ingest.deleteByQuery(spark, dir, lit(false)).isEmpty)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".delete-inprogress")))
