@@ -470,6 +470,41 @@ object SparkEntry {
           Box._1, Box._2, Box._3, Box._4))
         .select(col("doc_id"), col("lon"), col("lat"))
     }),
+    "q76_like_filter" -> ((s, dir) => {
+      // the reference's LIKE filter semantics (LikeFilter/
+      // FilterableLikeConstraint: % -> .*, FULL-value match) — the
+      // %-only pattern makes SQL LIKE the exact oracle
+      graft.spark.TextOps.likeSearch(s.read.parquet(s"$dir/documents.parquet"),
+        "doc_id", "text", "%the% the%", caseSensitive = true)
+    }),
+    "q77_stream_window" -> ((s, dir) => {
+      // watermarked tumbling-window per-tile counts as a REAL streaming
+      // query (file source -> watermark -> window agg -> memory sink,
+      // complete mode so every window is emitted under AvailableNow);
+      // oracle = the batch twin: epoch-aligned day buckets per tile
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q77")
+      val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val in = s.readStream.schema(schema).parquet(inDir.toString)
+      val withGeo = in
+        .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
+        .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
+      // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
+      // round-trip through tz-aware time is value-preserving
+      val agg = graft.streaming.StreamIngest.windowedTileCounts(
+        withGeo.withColumn("ts", col("ts").cast("timestamp")),
+        "ts", bits = 6, windowDur = "1 day", watermarkDelay = "1 hour")
+      val qn = s"graft_q77_${System.nanoTime()}"
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).select(col("win_start").cast("timestamp_ntz").as("win_start"),
+        col("tx"), col("ty"), col("cnt"))
+    }),
     "q75_raster_resize" -> ((s, dir) => {
       // REAL bilinear world-to-screen tile resample oracle-gated per
       // pixel (RasterDataAdapter.java:665-733 resample ×
@@ -1198,6 +1233,18 @@ object SparkEntry {
       s"""$pagesCte
          |SELECT doc_id, lon, lat FROM pages
          |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}""".stripMargin,
+    "q76_like_filter" ->
+      "SELECT doc_id AS id FROM documents WHERE text LIKE '%the% the%'",
+    "q77_stream_window" -> {
+      val bins = 64
+      s"""$eventsCte
+         |SELECT TIMESTAMP '1970-01-01 00:00:00'
+         |         + INTERVAL '1 day' * CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS win_start,
+         |  CAST(GREATEST(CEIL(((lon + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS tx,
+         |  CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty,
+         |  COUNT(*) AS cnt
+         |FROM ev GROUP BY 1, 2, 3""".stripMargin
+    },
     "q75_raster_resize" -> {
       def px(x: String, y: String) =
         s"CAST(CASE WHEN (tx*64 + ty*16 + ($y*8 + $x)) % 13 = 0 THEN 0 " +
