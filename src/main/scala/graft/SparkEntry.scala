@@ -505,6 +505,31 @@ object SparkEntry {
       s.table(qn).select(col("win_start").cast("timestamp_ntz").as("win_start"),
         col("tx"), col("ty"), col("cnt"))
     }),
+    "q78_raster_mosaic" -> ((s, dir) => {
+      // the UPSCALE direction of the re-tile: bits=3 tiles into bits=2
+      // targets — four children resample into disjoint pixel regions of
+      // each target and mosaicMerge composes them (no-data override;
+      // order-independent here because at most one child owns any
+      // pixel's world center). Same per-pixel oracle idea as q75, with
+      // the SUM-over-owning-child twin standing in for the merge.
+      val bytes = transform(sequence(lit(0), lit(63)), k =>
+        when(pmod(col("tx") * 64 + col("ty") * 16 + k, lit(13)) === 0, lit(0L))
+          .otherwise(pmod(col("tx") * 31 + col("ty") * 17 + k * 7, lit(256))))
+      val tiles = s.range(64)
+        .select((col("id") % 8).as("tx"), (col("id") / 8).cast("long").as("ty"))
+        .select(col("tx"), col("ty"),
+          unhex(array_join(transform(bytes, b => lpad(hex(b), 2, "0")), "")).as("payload"))
+      val out = graft.spark.Tiling.resizeTilesResampled(tiles,
+        bitsOld = 3, bitsNew = 2, tileSize = 8)
+      val ids = s.range(16)
+        .select((col("id") % 4).as("ntx"), (col("id") / 4).cast("long").as("nty"))
+        .select(col("ntx"), col("nty"),
+          graft.spark.Tiling.gw_tile_id_xy(col("ntx"), col("nty"), 2).as("new_tile"))
+      out.join(broadcast(ids), "new_tile")
+        .select(col("ntx"), col("nty"), posexplode(expr(
+          "transform(sequence(0, 63), k -> CAST(conv(hex(substring(payload, k + 1, 1)), 16, 10) AS BIGINT))")))
+        .select(col("ntx"), col("nty"), col("pos").cast("long").as("pos"), col("col").as("v"))
+    }),
     "q75_raster_resize" -> ((s, dir) => {
       // REAL bilinear world-to-screen tile resample oracle-gated per
       // pixel (RasterDataAdapter.java:665-733 resample ×
@@ -1244,6 +1269,60 @@ object SparkEntry {
          |  CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty,
          |  COUNT(*) AS cnt
          |FROM ev GROUP BY 1, 2, 3""".stripMargin
+    },
+    "q78_raster_mosaic" -> {
+      def px(x: String, y: String) =
+        s"CAST(CASE WHEN (tx*64 + ty*16 + ($y*8 + $x)) % 13 = 0 THEN 0 " +
+          s"ELSE (tx*31 + ty*17 + ($y*8 + $x)*7) % 256 END AS DOUBLE)"
+      s"""WITH targets AS (
+         |  SELECT a.gx, b.gy FROM (SELECT unnest(range(4)) AS gx) a,
+         |                         (SELECT unnest(range(4)) AS gy) b),
+         |tb AS (
+         |  SELECT gx, gy,
+         |    CAST(gx AS DOUBLE)/4*360 - 180 AS dlonmin,
+         |    CAST(gx+1 AS DOUBLE)/4*360 - 180 AS dlonmax,
+         |    GREATEST(CAST(gy AS DOUBLE)/4*360 - 180, -90.0) AS dlatmin,
+         |    LEAST(CAST(gy+1 AS DOUBLE)/4*360 - 180, 90.0) AS dlatmax
+         |  FROM targets),
+         |pairs AS (
+         |  SELECT t.*, gx*2 + x.cx AS tx, gy*2 + y.cy AS ty,
+         |    CAST(gx*2 + x.cx AS DOUBLE)/8*360 - 180 AS slonmin,
+         |    CAST(gx*2 + x.cx + 1 AS DOUBLE)/8*360 - 180 AS slonmax,
+         |    GREATEST(CAST(gy*2 + y.cy AS DOUBLE)/8*360 - 180, -90.0) AS slatmin,
+         |    LEAST(CAST(gy*2 + y.cy + 1 AS DOUBLE)/8*360 - 180, 90.0) AS slatmax
+         |  FROM tb t, (SELECT unnest(range(2)) AS cx) x, (SELECT unnest(range(2)) AS cy) y),
+         |pixels AS (
+         |  SELECT p.*, ii.i, jj.j, CAST(jj.j*8 + ii.i AS BIGINT) AS pos,
+         |    dlonmin + (ii.i + 0.5)/8*(dlonmax - dlonmin) AS wx,
+         |    dlatmin + (jj.j + 0.5)/8*(dlatmax - dlatmin) AS wy,
+         |    slonmax - slonmin AS sw, slatmax - slatmin AS sh
+         |  FROM pairs p, (SELECT unnest(range(8)) AS i) ii, (SELECT unnest(range(8)) AS j) jj),
+         |uv AS (
+         |  SELECT *,
+         |    CASE WHEN sw > 0 AND sh > 0 AND wx >= slonmin AND wx < slonmax
+         |              AND wy >= slatmin AND wy < slatmax THEN 1 ELSE 0 END AS ok,
+         |    CASE WHEN sw > 0 THEN (wx - slonmin)/sw*8 - 0.5 ELSE 0.0 END AS u,
+         |    CASE WHEN sh > 0 THEN (wy - slatmin)/sh*8 - 0.5 ELSE 0.0 END AS v
+         |  FROM pixels),
+         |cl AS (
+         |  SELECT *, GREATEST(0, LEAST(7, CAST(FLOOR(u) AS INTEGER))) AS u0,
+         |            GREATEST(0, LEAST(7, CAST(FLOOR(v) AS INTEGER))) AS v0
+         |  FROM uv),
+         |cl2 AS (
+         |  SELECT *, LEAST(7, u0 + 1) AS u1, LEAST(7, v0 + 1) AS v1,
+         |    GREATEST(0.0, LEAST(1.0, u - u0)) AS fu,
+         |    GREATEST(0.0, LEAST(1.0, v - v0)) AS fv
+         |  FROM cl),
+         |contrib AS (
+         |  SELECT gx, gy, pos, ok,
+         |    ${px("u0", "v0")}*(1 - fu)*(1 - fv) + ${px("u1", "v0")}*fu*(1 - fv)
+         |      + ${px("u0", "v1")}*(1 - fu)*fv + ${px("u1", "v1")}*fu*fv AS value
+         |  FROM cl2)
+         |SELECT CAST(gx AS BIGINT) AS ntx, CAST(gy AS BIGINT) AS nty, pos,
+         |  CAST(SUM(CASE WHEN ok = 1
+         |                THEN LEAST(255, GREATEST(0, CAST(ROUND(value) AS INTEGER)))
+         |                ELSE 0 END) AS BIGINT) AS v
+         |FROM contrib GROUP BY 1, 2, 3""".stripMargin
     },
     "q75_raster_resize" -> {
       def px(x: String, y: String) =
