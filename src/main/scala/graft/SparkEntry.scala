@@ -505,6 +505,30 @@ object SparkEntry {
       s.table(qn).select(col("win_start").cast("timestamp_ntz").as("win_start"),
         col("tx"), col("ty"), col("cnt"))
     }),
+    "q79_stream_state" -> ((s, dir) => {
+      // custom streaming state end to end: mapGroupsWithState running
+      // per-tile totals (update-mode memory sink). Totals are monotone
+      // across micro-batches, so max(total) per tile == the batch count
+      // regardless of how AvailableNow splits the input — which is
+      // exactly what the oracle asserts.
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q79")
+      val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+        inDir.resolve("events.parquet"))
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val in = s.readStream.schema(schema).parquet(inDir.toString)
+      val withGeo = in
+        .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
+        .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
+      val totals = graft.streaming.StreamIngest.runningTileCounts(withGeo, bits = 6)
+      val qn = s"graft_q79_${System.nanoTime()}"
+      val q = totals.toDF("tile", "total").writeStream.format("memory")
+        .queryName(qn).outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).groupBy("tile").agg(max(col("total")).as("cnt"))
+    }),
     "q78_raster_mosaic" -> ((s, dir) => {
       // the UPSCALE direction of the re-tile: bits=3 tiles into bits=2
       // targets — four children resample into disjoint pixel regions of
@@ -1269,6 +1293,15 @@ object SparkEntry {
          |  CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty,
          |  COUNT(*) AS cnt
          |FROM ev GROUP BY 1, 2, 3""".stripMargin
+    },
+    "q79_stream_state" -> {
+      val bins = 64
+      s"""$eventsCte
+         |SELECT tx * $bins + ty AS tile, COUNT(*) AS cnt FROM (
+         |  SELECT
+         |    CAST(GREATEST(CEIL(((lon + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS tx,
+         |    CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty
+         |  FROM ev) GROUP BY 1""".stripMargin
     },
     "q78_raster_mosaic" -> {
       def px(x: String, y: String) =
