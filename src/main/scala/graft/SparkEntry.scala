@@ -174,18 +174,22 @@ object SparkEntry {
       graft.spark.Multimodal.mediaFeatureColumns(media, "doc_id", "payload")
     }),
     "q34_stream_ingest" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q34")
+      // the streamed ingest output is itself an ingest-time artifact:
+      // fingerprinted per corpus, built once (the streaming sink has no
+      // _SUCCESS — completion is our own marker, written only after
+      // awaitTermination; a crash mid-stream resumes from the checkpoint
+      // on the next call), reused by every later invocation
       val ev = s.read.parquet(s"$dir/events.parquet")
-      // the file stream source needs a directory; stage the parquet into one
-      val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        inDir.resolve("events.parquet"))
-      val addGeo = (df: DataFrame) => df
-        .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
-        .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
-      graft.streaming.StreamIngest.runFileIngest(
-        s, inDir.toString, ev.schema, addGeo, s"$tmp/out", s"$tmp/ck", bits = 8)
-      s.read.parquet(s"$tmp/out").select("event_id", "tx", "ty")
+      val root = tmpArtifactPath(dir, "graft-q34", Seq("events.parquet"))
+      val done = java.nio.file.Paths.get(root, "_GRAFT_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        graft.streaming.StreamIngest.runFileIngest(
+          s, stagedEventsDir(dir), ev.schema, Tables.addEventGeo,
+          s"$root/out", s"$root/ck", bits = 8)
+        java.nio.file.Files.createDirectories(done.getParent)
+        java.nio.file.Files.write(done, Array.emptyByteArray)
+      }
+      s.read.parquet(s"$root/out").select("event_id", "tx", "ty")
     }),
     "q35_haversine" -> ((s, dir) => {
       // the haversine scalar-fn oracle routed through the REAL meters
@@ -482,15 +486,9 @@ object SparkEntry {
       // query (file source -> watermark -> window agg -> memory sink,
       // complete mode so every window is emitted under AvailableNow);
       // oracle = the batch twin: epoch-aligned day buckets per tile
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q77")
-      val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        inDir.resolve("events.parquet"))
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val in = s.readStream.schema(schema).parquet(inDir.toString)
-      val withGeo = in
-        .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
-        .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
+      val in = s.readStream.schema(schema).parquet(stagedEventsDir(dir))
+      val withGeo = Tables.addEventGeo(in)
       // watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
       // round-trip through tz-aware time is value-preserving
       val agg = graft.streaming.StreamIngest.windowedTileCounts(
@@ -511,15 +509,9 @@ object SparkEntry {
       // across micro-batches, so max(total) per tile == the batch count
       // regardless of how AvailableNow splits the input — which is
       // exactly what the oracle asserts.
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q79")
-      val inDir = java.nio.file.Files.createDirectory(tmp.resolve("in"))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
-        inDir.resolve("events.parquet"))
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val in = s.readStream.schema(schema).parquet(inDir.toString)
-      val withGeo = in
-        .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
-        .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
+      val in = s.readStream.schema(schema).parquet(stagedEventsDir(dir))
+      val withGeo = Tables.addEventGeo(in)
       val totals = graft.streaming.StreamIngest.runningTileCounts(withGeo, bits = 6)
       val qn = s"graft_q79_${System.nanoTime()}"
       val q = totals.toDF("tile", "total").writeStream.format("memory")
@@ -696,12 +688,50 @@ object SparkEntry {
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter { f =>
         val n = f.getName
-        n != name && n.startsWith(s"$prefix-") &&
-          (n.startsWith(s"$prefix-$corpusKey-") || // superseded fingerprint
-            n.count(_ == '-') == prefix.count(_ == '-') + 1) // legacy scheme
+        n != name &&
+          ((n.startsWith(s"$prefix-") &&
+            (n.startsWith(s"$prefix-$corpusKey-") || // superseded fingerprint
+              n.count(_ == '-') == prefix.count(_ == '-') + 1)) || // legacy scheme
+            // oldest scheme: createTempDirectory(prefix) = prefix + digits
+            (n.startsWith(prefix) && n.length > prefix.length &&
+              n.drop(prefix.length).forall(_.isDigit)))
       }
       .foreach(f => graft.FsUtils.deleteRecursively(f.toPath))
     s"$tmp/$name"
+  }
+
+  /**
+   * Stage the corpus events parquet into a directory usable as a
+   * file-source stream input. Ingest-time artifact shared by every
+   * streaming query (q34/q77/q79): fingerprinted per corpus, copied
+   * once, reused afterwards; superseded stagings are deleted by
+   * `tmpArtifactPath` (CLAUDE.md: never rebuilt per call, never
+   * leaked). The dotfile-then-atomic-move dance keeps a torn copy
+   * invisible to the file stream source (hidden files are filtered).
+   */
+  private def stagedEventsDir(dir: String): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // retired per-query staging prefixes (pre-shared-staging builds used
+    // createTempDirectory per call): self-clean their leftovers
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        val n = f.getName
+        Seq("graft-q77", "graft-q79").exists(p =>
+          n.startsWith(p) && n.drop(p.length).forall(_.isDigit) && n.length > p.length)
+      }
+      .foreach(f => graft.FsUtils.deleteRecursively(f.toPath))
+    val root = tmpArtifactPath(dir, "graft-eventsdir", Seq("events.parquet"))
+    val in = Paths.get(root, "in")
+    val dst = in.resolve("events.parquet")
+    if (!Files.exists(dst)) {
+      Files.createDirectories(in)
+      val tmp = in.resolve(".events.parquet.tmp")
+      Files.copy(Paths.get(s"$dir/events.parquet"), tmp,
+        StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
+    in.toString
   }
 
   private def duckHash(e: String): String =
@@ -1283,7 +1313,10 @@ object SparkEntry {
          |SELECT doc_id, lon, lat FROM pages
          |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}""".stripMargin,
     "q76_like_filter" ->
-      "SELECT doc_id AS id FROM documents WHERE text LIKE '%the% the%'",
+      // regexp_full_match (RE2, non-DOTALL), not LIKE: SQL LIKE's % crosses
+      // newlines while the reference's Matcher.matches() `.*` does not —
+      // this oracle mirrors the Java semantics exactly on any corpus
+      "SELECT doc_id AS id FROM documents WHERE regexp_full_match(text, '.*the.* the.*')",
     "q77_stream_window" -> {
       val bins = 64
       s"""$eventsCte

@@ -349,13 +349,26 @@ object Ingest {
   private def appendAltRows(spark: SparkSession, outDir: String,
                             idCol: String, buckets: Seq[Int]): Unit = {
     if (buckets.isEmpty) return
+    // coverage is derived from the rows the append ACTUALLY wrote (the
+    // same observe-in-the-write-pass trick as run's lineage; the
+    // observation sits above the range exchange so its sampling pass
+    // cannot double-count): a bucket retired by a concurrent delete
+    // between our existence check and the read contributes 0 rows and
+    // stays UNCOVERED (redundantly rescanned later — harmless), never
+    // covered-but-absent. Genuinely empty buckets also stay uncovered;
+    // their rescan is a no-op over zero files.
+    val obs = org.apache.spark.sql.Observation(s"alt-append-${System.nanoTime()}")
+    val cntAggs = buckets.map(b => count(when(col("bucket") === b, 1)).as(s"n_$b"))
     spark.read.parquet(s"$outDir/data")
       .where(col("bucket").isin(buckets: _*))
       .select(col(idCol), col("bucket"))
       .repartitionByRange(math.max(1, math.min(buckets.size, 8)), col(idCol))
+      .observe(obs, cntAggs.head, cntAggs.tail: _*)
       .sortWithinPartitions(idCol)
       .write.mode("append").parquet(s"$outDir/_alt")
-    val covered = (readCoveredBuckets(outDir) ++ buckets).toSeq.sorted
+    val m = obs.get
+    val written = buckets.filter(b => m(s"n_$b").asInstanceOf[Long] > 0)
+    val covered = (readCoveredBuckets(outDir) ++ written).toSeq.sorted
     val tmp = Paths.get(outDir, "_alt", "_graft_covered.json.tmp")
     Files.write(tmp, covered.mkString("[", ",", "]").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(outDir, "_alt", "_graft_covered.json"),

@@ -24,8 +24,13 @@ object Tables {
   /** geo events view over `events`: deterministic lon/lat per event_id,
     * native timestamps. */
   def geoEvents(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("lon", ((col("event_id") * col("event_id") * 3L + col("event_id") * 7919L) % 36000L) / 100.0 - 180.0)
+    addEventGeo(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  /** the deterministic event geocode, applicable to batch AND streaming
+    * frames — the single source of truth for the events lon/lat formula
+    * (SQL twins: eventsLonSql/eventsLatSql). */
+  def addEventGeo(df: DataFrame): DataFrame =
+    df.withColumn("lon", ((col("event_id") * col("event_id") * 3L + col("event_id") * 7919L) % 36000L) / 100.0 - 180.0)
       .withColumn("lat", ((col("event_id") * col("event_id") * 7L + col("event_id") * 104729L) % 17000L) / 100.0 - 85.0)
 
   val eventsLonSql = "((event_id * event_id * 3 + event_id * 7919) % 36000) / 100.0 - 180.0"
