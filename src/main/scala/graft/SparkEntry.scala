@@ -494,14 +494,9 @@ object SparkEntry {
       val agg = graft.streaming.StreamIngest.windowedTileCounts(
         withGeo.withColumn("ts", col("ts").cast("timestamp")),
         "ts", bits = 6, windowDur = "1 day", watermarkDelay = "1 hour")
-      val qn = s"graft_q77_${System.nanoTime()}"
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qn).select(col("win_start").cast("timestamp_ntz").as("win_start"),
-        col("tx"), col("ty"), col("cnt"))
+      streamToTable(s, agg, "complete", "q77")
+        .select(col("win_start").cast("timestamp_ntz").as("win_start"),
+          col("tx"), col("ty"), col("cnt"))
     }),
     "q79_stream_state" -> ((s, dir) => {
       // custom streaming state end to end: mapGroupsWithState running
@@ -513,13 +508,38 @@ object SparkEntry {
       val in = s.readStream.schema(schema).parquet(stagedEventsDir(dir))
       val withGeo = Tables.addEventGeo(in)
       val totals = graft.streaming.StreamIngest.runningTileCounts(withGeo, bits = 6)
-      val qn = s"graft_q79_${System.nanoTime()}"
-      val q = totals.toDF("tile", "total").writeStream.format("memory")
-        .queryName(qn).outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table(qn).groupBy("tile").agg(max(col("total")).as("cnt"))
+      streamToTable(s, totals.toDF("tile", "total"), "update", "q79")
+        .groupBy("tile").agg(max(col("total")).as("cnt"))
+    }),
+    "q80_stream_enrich" -> ((s, dir) => {
+      // stream-static spatial enrichment end to end: the region polygons
+      // ride inside the broadcast point-in-polygon expression (stateless
+      // per micro-batch — no stream state, no watermark needed in append
+      // mode). The streaming twin of q14's polygon join, sharing its
+      // box-join oracle shape over the events geocode.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val in = s.readStream.schema(schema).parquet(stagedEventsDir(dir))
+      val enriched = graft.streaming.StreamIngest.enrichWithRegions(
+        Tables.addEventGeo(in), Tables.regionGeoms(40))
+      streamToTable(s, enriched.select(col("event_id"), col("region_id")),
+        "append", "q80")
+    }),
+    "q81_stream_dedup" -> ((s, dir) => {
+      // streaming exact dedup (dropDuplicatesWithinWatermark) end to
+      // end: the horizon exceeds the fixture's whole time span, so no
+      // state is evicted and the emitted key set is exactly the batch
+      // DISTINCT — which is the oracle. Only the KEY is emitted: which
+      // duplicate row survives is arrival-order dependent; the key set
+      // is not.
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val in = s.readStream.schema(schema).parquet(stagedEventsDir(dir))
+      val keyed = in
+        .withColumn("content", concat(col("event_type"), lit("#"),
+          (col("event_id") % 1000).cast("string")))
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val dd = graft.streaming.StreamIngest.dedupedStream(
+        keyed, "ts", "content", watermarkDelay = "3650 days")
+      streamToTable(s, dd.select(col("content")), "append", "q81")
     }),
     "q78_raster_mosaic" -> ((s, dir) => {
       // the UPSCALE direction of the re-tile: bits=3 tiles into bits=2
@@ -732,6 +752,19 @@ object SparkEntry {
       Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
     }
     in.toString
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) into a uniquely
+    * named memory sink and return the sink table — the shared tail of
+    * every memory-sink streaming query (q77/q79/q80/q81). */
+  private def streamToTable(s: SparkSession, df: DataFrame, mode: String,
+                            tag: String): DataFrame = {
+    val qn = s"graft_${tag}_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(qn).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qn)
   }
 
   private def duckHash(e: String): String =
@@ -1336,6 +1369,16 @@ object SparkEntry {
          |    CAST(GREATEST(CEIL(((lat + 180) / 360) * $bins) - 1, 0) AS BIGINT) AS ty
          |  FROM ev) GROUP BY 1""".stripMargin
     },
+    "q80_stream_enrich" ->
+      s"""$eventsCte
+         |SELECT e.event_id, r.region_id
+         |FROM ev e
+         |JOIN (VALUES ${Tables.regionBoxesSqlValues(40)}) r(region_id, lon_min, lon_max, lat_min, lat_max)
+         |  ON e.lon >= r.lon_min AND e.lon <= r.lon_max
+         | AND e.lat >= r.lat_min AND e.lat <= r.lat_max""".stripMargin,
+    "q81_stream_dedup" ->
+      ("SELECT DISTINCT event_type || '#' || CAST(event_id % 1000 AS VARCHAR) " +
+        "AS content FROM events"),
     "q78_raster_mosaic" -> {
       def px(x: String, y: String) =
         s"CAST(CASE WHEN (tx*64 + ty*16 + ($y*8 + $x)) % 13 = 0 THEN 0 " +

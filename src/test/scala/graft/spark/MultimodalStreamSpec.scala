@@ -108,9 +108,8 @@ class MultimodalStreamSpec extends SparkTestBase {
 
   test("windowed tile counts with watermark (batch-mode semantics check)") {
     import graft.streaming.StreamIngest
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
-      .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
+    val ev = graft.spark.Tables.addEventGeo(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     // windowed agg plan works identically on a batch DF (no watermark drop)
     val got = StreamIngest.windowedTileCounts(ev, "ts", bits = 4, "1 hour", "10 minutes")
     val total = got.agg(sum("cnt")).collect()(0).getLong(0)
