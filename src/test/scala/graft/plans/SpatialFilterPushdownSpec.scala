@@ -10,7 +10,7 @@ import graft.spark.{GeoFunctions, Ingest, SparkTestBase, Tables}
 class SpatialFilterPushdownSpec extends SparkTestBase {
 
   private lazy val storeDir: String = {
-    val dir = Files.createTempDirectory("graft-rule").toString
+    val dir = graft.TestTmp.dir("graft-rule").toString
     Ingest.run(spark, Tables.synthPages(spark, 4000), dir,
       Ingest.Config(numBuckets = 4, batchSize = 4))
     dir

@@ -156,7 +156,7 @@ class ExtendedOpsSpec extends SparkTestBase {
   // ---- export sink ----
 
   test("export to ORC round-trips (the reference's local export path)") {
-    val dir = Files.createTempDirectory("graft-export").toString
+    val dir = graft.TestTmp.dir("graft-export").toString
     val df = pts.limit(100)
     df.write.mode("overwrite").orc(dir)
     val back = spark.read.orc(dir)

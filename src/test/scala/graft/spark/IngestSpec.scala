@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class IngestSpec extends SparkTestBase {
 
   test("ingest resumes from lineage checkpoint; text byte-identical per url") {
-    val dir = Files.createTempDirectory("graft-ingest").toString
+    val dir = graft.TestTmp.dir("graft-ingest").toString
     val pages = Tables.synthPages(spark, 3000)
     val cfg = Ingest.Config(numBuckets = 8, batchSize = 2, failAfterBatches = 2)
 
@@ -45,7 +45,7 @@ class IngestSpec extends SparkTestBase {
     val pages = Tables.synthPages(spark, 800).cache()
     val wantUrls = pages.select("url").collect().map(_.getString(0)).toSet
     for (crashAt <- 0 to 3) {
-      val dir = Files.createTempDirectory(s"graft-ingest-fuzz$crashAt").toString
+      val dir = graft.TestTmp.dir(s"graft-ingest-fuzz$crashAt").toString
       val cfg = Ingest.Config(numBuckets = 8, batchSize = 2, failAfterBatches = crashAt)
       if (crashAt < 4) intercept[RuntimeException] { Ingest.run(spark, pages, dir, cfg) }
       // possibly crash once more mid-resume

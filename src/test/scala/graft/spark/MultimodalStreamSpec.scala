@@ -51,14 +51,12 @@ class MultimodalStreamSpec extends SparkTestBase {
 
   test("streaming file ingest == batch encode; restart is incremental") {
     import graft.streaming.StreamIngest
-    val tmp = Files.createTempDirectory("graft-stream")
+    val tmp = graft.TestTmp.dir("graft-stream")
     val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckDir = s"$tmp/ck"
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     ev.limit(300).write.parquet(inDir)
 
-    val addGeo = (df: org.apache.spark.sql.DataFrame) => df
-      .withColumn("lon", ((col("event_id") * col("event_id") * 3 + col("event_id") * 7919) % 36000L) / 100.0 - 180.0)
-      .withColumn("lat", ((col("event_id") * col("event_id") * 7 + col("event_id") * 104729) % 17000L) / 100.0 - 85.0)
+    val addGeo = (df: org.apache.spark.sql.DataFrame) => Tables.addEventGeo(df)
     StreamIngest.runFileIngest(spark, inDir, ev.schema, addGeo, outDir, ckDir, bits = 8)
     val got1 = spark.read.parquet(outDir)
     assert(got1.count() == 300)

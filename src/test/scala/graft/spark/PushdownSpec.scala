@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class PushdownSpec extends SparkTestBase {
 
   private lazy val storeDir: String = {
-    val dir = Files.createTempDirectory("graft-pushdown").toString
+    val dir = graft.TestTmp.dir("graft-pushdown").toString
     val pages = Tables.synthPages(spark, 5000)
     Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 4, batchSize = 4))
     dir

@@ -220,7 +220,7 @@ class Round2Spec extends SparkTestBase {
   // -------------------------------------------------- Avro staging (real)
 
   test("Avro whole-file staging round-trips through the reference schema") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toString
+    val dir = graft.TestTmp.dir("graft-avro").toString
     val pages = Tables.synthPages(spark, 500).select(col("url"), col("html"))
     val written = AvroStage.stageToAvro(pages, "url", "html", dir)
     assert(written == 500)
@@ -313,7 +313,7 @@ class Round2Spec extends SparkTestBase {
   // ------------------------------------------------------------ bucketing
 
   test("bucketed tile stores join with zero exchanges") {
-    val wh = java.nio.file.Files.createTempDirectory("graft-bucketed")
+    val wh = graft.TestTmp.dir("graft-bucketed")
     val pts = Tables.synthPages(spark, 3000).select("doc_id", "lon", "lat")
     Ingest.writeBucketedByTile(pts, "r2_store_a", s"$wh/a", numBuckets = 8, bits = 6)
     Ingest.writeBucketedByTile(pts.where(col("doc_id") % 3 === 0),
@@ -481,7 +481,7 @@ class Round2Spec extends SparkTestBase {
   // --------------------------------------- compound key & secondary index
 
   test("store row_key is one concatenated byte key; files sorted by it") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-rowkey").toString
+    val dir = graft.TestTmp.dir("graft-rowkey").toString
     Ingest.run(spark, Tables.synthPages(spark, 2000), dir,
       Ingest.Config(numBuckets = 2, batchSize = 2, saltCount = 8, targetPartitions = 4))
     val store = Ingest.readStore(spark, dir)

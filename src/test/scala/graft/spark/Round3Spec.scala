@@ -183,7 +183,7 @@ class Round3Spec extends SparkTestBase {
   // ------------------------------------------------ copy-on-write delete
 
   test("deleteByQuery: rewrites only affected buckets, recommits lineage, idempotent") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-delete").toString
+    val dir = graft.TestTmp.dir("graft-delete").toString
     val pages = Tables.synthPages(spark, 4000)
       .select(col("doc_id"), col("url"), col("lon"), col("lat"), col("text"))
     Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 8, batchSize = 8))
@@ -228,7 +228,7 @@ class Round3Spec extends SparkTestBase {
   }
 
   test("deleteByIds probes the alt index: only id-bearing buckets rewritten") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-alt").toString
+    val dir = graft.TestTmp.dir("graft-alt").toString
     val pages = Tables.synthPages(spark, 2000)
       .select(col("doc_id"), col("url"), col("lon"), col("lat"), col("text"))
     Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 8, batchSize = 8))
@@ -268,7 +268,7 @@ class Round3Spec extends SparkTestBase {
   }
 
   test("deleteByIds scans buckets ingested after the alt build (stale index cannot hide them)") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-altstale").toString
+    val dir = graft.TestTmp.dir("graft-altstale").toString
     val pages = Tables.synthPages(spark, 1600)
       .select(col("doc_id"), col("url"), col("lon"), col("lat"), col("text"))
     // first run crashes after one batch: 4 of 8 buckets committed
@@ -316,7 +316,7 @@ class Round3Spec extends SparkTestBase {
   }
 
   test("readStore recovers a bucket a crashed delete left retired") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-delrec").toString
+    val dir = graft.TestTmp.dir("graft-delrec").toString
     val pages = Tables.synthPages(spark, 1000)
       .select(col("doc_id"), col("url"), col("lon"), col("lat"), col("text"))
     Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 4, batchSize = 4))

@@ -69,7 +69,7 @@ class Round4Spec extends SparkTestBase {
   }
 
   test("crashed delete (swap committed, lineage not): next delete-path recovery recommits lineage") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-del-lineage").toString
+    val dir = graft.TestTmp.dir("graft-del-lineage").toString
     val pages = Tables.synthPages(spark, 600)
     Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 4, batchSize = 4))
     val upd = Ingest.deleteByQuery(spark, dir, col("lang") === "de")
@@ -99,7 +99,7 @@ class Round4Spec extends SparkTestBase {
   }
 
   test("inline alt maintenance: per-batch appends cover every bucket; deleteByIds rewrites only matching buckets, no rebuild, no full scan path") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-alt-inline").toString
+    val dir = graft.TestTmp.dir("graft-alt-inline").toString
     val pages = Tables.synthPages(spark, 800)
     Ingest.run(spark, pages, dir,
       Ingest.Config(numBuckets = 4, batchSize = 2, altIndexCol = Some("doc_id")))
@@ -131,7 +131,7 @@ class Round4Spec extends SparkTestBase {
   }
 
   test("alt catch-up: committed-but-uncovered buckets are appended by the next ingest run") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-alt-catchup").toString
+    val dir = graft.TestTmp.dir("graft-alt-catchup").toString
     val pages = Tables.synthPages(spark, 600)
     val cfg = Ingest.Config(numBuckets = 4, batchSize = 2, altIndexCol = Some("doc_id"))
     Ingest.run(spark, pages, dir, cfg)
@@ -151,7 +151,7 @@ class Round4Spec extends SparkTestBase {
   }
 
   test("alt catch-up recovers a crash-retired bucket BEFORE reading, so its ids stay deletable") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-alt-retired").toString
+    val dir = graft.TestTmp.dir("graft-alt-retired").toString
     val pages = Tables.synthPages(spark, 600)
     val cfg = Ingest.Config(numBuckets = 4, batchSize = 4, altIndexCol = Some("doc_id"))
     Ingest.run(spark, pages, dir, cfg)
@@ -174,7 +174,7 @@ class Round4Spec extends SparkTestBase {
   }
 
   test("alt catch-up never covers a bucket hidden behind a FRESH delete marker") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-alt-freshmarker").toString
+    val dir = graft.TestTmp.dir("graft-alt-freshmarker").toString
     val pages = Tables.synthPages(spark, 600)
     val cfg = Ingest.Config(numBuckets = 4, batchSize = 4, altIndexCol = Some("doc_id"))
     Ingest.run(spark, pages, dir, cfg)
@@ -199,7 +199,7 @@ class Round4Spec extends SparkTestBase {
   }
 
   test("a torn .delete-inprogress body does not wedge the delete path") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-torn-marker").toString
+    val dir = graft.TestTmp.dir("graft-torn-marker").toString
     Ingest.run(spark, Tables.synthPages(spark, 300), dir, Ingest.Config(numBuckets = 2, batchSize = 2))
     // "[1x" actually throws in the int parse ("[1," would split to just
     // ["1"] and never exercise the guard); torn bodies can only come from
@@ -213,7 +213,7 @@ class Round4Spec extends SparkTestBase {
   }
 
   test("ensureBucketedByTile reuses a committed store (no data rewrite) and re-registered tables join exchange-free") {
-    val root = java.nio.file.Files.createTempDirectory("graft-ensure-bucketed").toString
+    val root = graft.TestTmp.dir("graft-ensure-bucketed").toString
     val a = pts(400).select(col("id").as("doc_id"), col("lon"), col("lat"))
     val b = pts(400).where(col("id") % 3 === 0)
       .select(col("id").as("doc_id"), col("lon"), col("lat"))

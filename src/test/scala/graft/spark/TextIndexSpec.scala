@@ -25,14 +25,14 @@ class TextIndexSpec extends SparkTestBase {
   ).toDF("doc_id", "text")
 
   private lazy val indexDir = {
-    val dir = Files.createTempDirectory("graft-textindex").toString
+    val dir = graft.TestTmp.dir("graft-textindex").toString
     TextIndex.buildAndWrite(docs, "doc_id", "text", dir)
     dir
   }
   private lazy val postings = spark.read.parquet(indexDir)
 
   private lazy val docsParquet = {
-    val d = Files.createTempDirectory("graft-textindex-docs").toString
+    val d = graft.TestTmp.dir("graft-textindex-docs").toString
     docs.write.mode("overwrite").parquet(d)
     spark.read.parquet(d)
   }
@@ -111,8 +111,8 @@ class TextIndexSpec extends SparkTestBase {
   test("rangeSearchStored matches textRange brute force; probe reads only anchored grams") {
     // sensitive and insensitive ranges keep SEPARATE stores (folded vs
     // unfolded grams — a shared path would rebuild on every kind flip)
-    val dirCi = Files.createTempDirectory("graft-textrange-idx").toString
-    val dirCs = Files.createTempDirectory("graft-textrange-idx-cs").toString
+    val dirCi = graft.TestTmp.dir("graft-textrange-idx").toString
+    val dirCs = graft.TestTmp.dir("graft-textrange-idx-cs").toString
     def brute(start: String, end: String, cs: Boolean): Set[Long] =
       TextOps.textRange(docs, "text", start, end, cs)
         .select("doc_id").collect().map(_.getLong(0)).toSet
@@ -137,9 +137,9 @@ class TextIndexSpec extends SparkTestBase {
     // collapses both bounds to 'b' and would under-approximate
     val mixed = Seq((10L, "Boxing match"), (11L, "boxing match"),
       (12L, "Zebra crossing")).toDF("doc_id", "text")
-    val mdir = Files.createTempDirectory("graft-textrange-mixed").toString
+    val mdir = graft.TestTmp.dir("graft-textrange-mixed").toString
     val mixedParquet = {
-      val d = Files.createTempDirectory("graft-textrange-mixed-docs").toString
+      val d = graft.TestTmp.dir("graft-textrange-mixed-docs").toString
       mixed.write.mode("overwrite").parquet(d)
       spark.read.parquet(d)
     }
