@@ -179,15 +179,45 @@ object SparkEntry {
       // _SUCCESS — completion is our own marker, written only after
       // awaitTermination; a crash mid-stream resumes from the checkpoint
       // on the next call), reused by every later invocation
+      import java.nio.file.{Files, Paths, StandardCopyOption}
       val ev = s.read.parquet(s"$dir/events.parquet")
       val root = tmpArtifactPath(dir, "graft-q34", Seq("events.parquet"))
-      val done = java.nio.file.Paths.get(root, "_GRAFT_DONE")
-      if (!java.nio.file.Files.exists(done)) {
+      val done = Paths.get(root, "_GRAFT_DONE")
+      val outDir = Paths.get(root, "out")
+      if (!Files.exists(done)) {
+        // attempt-scoped checkpoint + sink, atomically published: two
+        // processes racing here each stream into their OWN dirs (file
+        // streaming checkpoints have no cross-process locking) and one
+        // directory rename wins — the loser's attempt is discarded,
+        // never a half-merged checkpoint pinned by the done marker. A
+        // crash between publish and marker re-runs one attempt, finds
+        // `out` committed, and just writes the marker.
+        val attempt = s"attempt-${ProcessHandle.current().pid()}-${System.nanoTime()}"
         graft.streaming.StreamIngest.runFileIngest(
           s, stagedEventsDir(dir), ev.schema, Tables.addEventGeo,
-          s"$root/out", s"$root/ck", bits = 8)
-        java.nio.file.Files.createDirectories(done.getParent)
-        java.nio.file.Files.write(done, Array.emptyByteArray)
+          s"$root/$attempt/out", s"$root/$attempt/ck", bits = 8)
+        if (!Files.exists(outDir)) {
+          try Files.move(Paths.get(root, attempt, "out"), outDir,
+            StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileSystemException => () } // lost the race
+        }
+        graft.FsUtils.deleteRecursively(Paths.get(root, attempt))
+        if (Files.exists(outDir)) {
+          // the FileStreamSink metadata records ABSOLUTE part-file paths
+          // of the (discarded) attempt dir — strip it so readers list
+          // the published directory like any parquet dir; the done
+          // marker, not the sink log, is this artifact's commit record
+          val meta = outDir.resolve("_spark_metadata")
+          if (Files.exists(meta)) graft.FsUtils.deleteRecursively(meta)
+          Files.write(done, Array.emptyByteArray)
+        }
+        // crashed attempts of DEAD processes leak under root: sweep any
+        // attempt dir that has been idle for an hour (a live racer's is
+        // minutes old and still being written)
+        Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith("attempt-") &&
+            f.lastModified < System.currentTimeMillis() - 3600000L)
+          .foreach(f => graft.FsUtils.deleteRecursively(f.toPath))
       }
       s.read.parquet(s"$root/out").select("event_id", "tx", "ty")
     }),
@@ -708,13 +738,13 @@ object SparkEntry {
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter { f =>
         val n = f.getName
-        n != name &&
-          ((n.startsWith(s"$prefix-") &&
-            (n.startsWith(s"$prefix-$corpusKey-") || // superseded fingerprint
-              n.count(_ == '-') == prefix.count(_ == '-') + 1)) || // legacy scheme
-            // oldest scheme: createTempDirectory(prefix) = prefix + digits
-            (n.startsWith(prefix) && n.length > prefix.length &&
-              n.drop(prefix.length).forall(_.isDigit)))
+        // NOTE: never match bare `prefix + digits` here — that is the
+        // shape of LIVE TestTmp spec directories (deleted at their own
+        // JVM's exit), and a Verify/Bench run concurrent with `sbt test`
+        // must not sweep them out from under a running suite.
+        n != name && n.startsWith(s"$prefix-") &&
+          (n.startsWith(s"$prefix-$corpusKey-") || // superseded fingerprint
+            n.count(_ == '-') == prefix.count(_ == '-') + 1) // legacy scheme
       }
       .foreach(f => graft.FsUtils.deleteRecursively(f.toPath))
     s"$tmp/$name"
@@ -764,7 +794,13 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(qn)
+    // detach the result from the sink (eager localCheckpoint) so the
+    // uniquely-named sink table can be dropped right away — otherwise
+    // every invocation pins its full result set in the driver for the
+    // session's lifetime
+    val out = s.table(qn).localCheckpoint(true)
+    s.catalog.dropTempView(qn)
+    out
   }
 
   private def duckHash(e: String): String =
@@ -1345,11 +1381,15 @@ object SparkEntry {
       s"""$pagesCte
          |SELECT doc_id, lon, lat FROM pages
          |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}""".stripMargin,
-    "q76_like_filter" ->
-      // regexp_full_match (RE2, non-DOTALL), not LIKE: SQL LIKE's % crosses
-      // newlines while the reference's Matcher.matches() `.*` does not —
-      // this oracle mirrors the Java semantics exactly on any corpus
-      "SELECT doc_id AS id FROM documents WHERE regexp_full_match(text, '.*the.* the.*')",
+    "q76_like_filter" -> {
+      // regexp_full_match (RE2), not LIKE: SQL LIKE's % crosses newlines
+      // while the reference's Matcher.matches() `.*` does not. RE2's `.`
+      // excludes only \n, while Java's also excludes \r, NEL and the
+      // Unicode line/paragraph separators - spell out the exact Java
+      // dot class so the oracle matches likeSearch on ANY corpus.
+      val d = """[^\x{000A}\x{000D}\x{0085}\x{2028}\x{2029}]"""
+      s"SELECT doc_id AS id FROM documents WHERE regexp_full_match(text, '$d*the$d* the$d*')"
+    },
     "q77_stream_window" -> {
       val bins = 64
       s"""$eventsCte

@@ -56,7 +56,7 @@ class MultimodalStreamSpec extends SparkTestBase {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     ev.limit(300).write.parquet(inDir)
 
-    val addGeo = (df: org.apache.spark.sql.DataFrame) => Tables.addEventGeo(df)
+    val addGeo = Tables.addEventGeo _
     StreamIngest.runFileIngest(spark, inDir, ev.schema, addGeo, outDir, ckDir, bits = 8)
     val got1 = spark.read.parquet(outDir)
     assert(got1.count() == 300)
