@@ -407,16 +407,96 @@ object Analytics {
     (jumps.maxBy(_._2)._1, distortions)
   }
 
-  /** drop weak centroids by the largest relative gap in sorted counts
-    * (reference: StripWeakCentroidsRunner.java:27 sorted-gap heuristic). */
-  def stripWeakCentroids(stats: Seq[(Long, Long)]): Seq[Long] = {
+  /**
+   * Faithful ports of the reference's centroid-strip break strategies
+   * (StripWeakCentroidsRunner.java:151-351), golden-tested against
+   * StripWeakCentroidsRunnerTest's literal vectors. Input: association
+   * counts in LIST ORDER (the runner pre-sorts descending); output: the
+   * number of centroids to KEEP.
+   */
+  object BreakStrategies {
+    /** commons-math StandardDeviation: bias-corrected sample stddev. */
+    private def sampleStd(xs: Seq[Double]): Double =
+      if (xs.size < 2) 0.0
+      else {
+        val m = xs.sum / xs.size
+        math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+      }
+
+    private def initialMax(tail: Boolean, chgs: Seq[Double]): Double =
+      if (!tail || chgs.isEmpty) 0.0
+      else chgs.sum / chgs.size + sampleStd(chgs)
+
+    /** MaxChangeBreakStrategy (`tail = false`) / TailMaxBreakStrategy
+      * (`tail = true`, the runner's DEFAULT): largest adjacent change,
+      * thresholded for the tail variant at mean + stddev of all changes;
+      * a count <= 1 stops the scan (StripWeakCentroidsRunner.java:151-203,
+      * 329-339). Ties update to the LATER position, as `Math.max(max,
+      * chg) == chg` does. */
+    def maxChange(counts: Seq[Long], tail: Boolean): Int = {
+      var position = counts.size
+      if (counts.size < 2) return position
+      val chgs = counts.sliding(2).map { case Seq(a, b) =>
+        math.abs(a.toDouble - b.toDouble) }.toSeq
+      var max = initialMax(tail, chgs)
+      var prior = Double.NaN
+      var count = 0
+      var stop = false
+      val it = counts.iterator
+      while (it.hasNext && !stop) {
+        val c = it.next()
+        if (c <= 1) {
+          if (position == 0) position = count
+          stop = true
+        } else {
+          if (!prior.isNaN) {
+            val chg = math.abs(prior - c.toDouble)
+            if (chg >= max) { position = count; max = chg }
+          }
+          prior = c.toDouble
+          count += 1
+        }
+      }
+      position
+    }
+
+    /** StableChangeBreakStrategy (`tail = false`) /
+      * TailStableChangeBreakStrategy (`tail = true`): sort the adjacent
+      * changes descending (stable, like Collections.sort), then find the
+      * largest change-of-change along that sorted sequence
+      * (StripWeakCentroidsRunner.java:254-327, 341-351). */
+    def stableChange(counts: Seq[Long], tail: Boolean): Int = {
+      if (counts.size < 2) return counts.size
+      val changes = counts.indices.map { i =>
+        (i, if (i == 0) 0.0
+            else math.abs(counts(i - 1).toDouble - counts(i).toDouble))
+      }
+      val sorted = changes.sortBy(-_._2) // stable sort = Collections.sort
+      val chgOfChgs = sorted.sliding(2).map { case Seq(a, b) =>
+        math.abs(a._2 - b._2) }.toSeq
+      var max = initialMax(tail, chgOfChgs)
+      var position = sorted.head._1
+      if (sorted.head._2 < max) return counts.size
+      var prior = sorted.head
+      for (cur <- sorted.tail) {
+        val coc = math.abs(prior._2 - cur._2)
+        if (coc > max) { position = math.max(position, cur._1); max = coc }
+        prior = cur
+      }
+      position
+    }
+  }
+
+  /** drop weak centroids exactly as the reference's runner does
+    * (StripWeakCentroidsRunner.java:95-122): sort descending by
+    * association count, take the break strategy's keep-count (default
+    * TailMaxBreakStrategy, the reference's default). */
+  def stripWeakCentroids(stats: Seq[(Long, Long)],
+                         breakPoint: Seq[Long] => Int =
+                           BreakStrategies.maxChange(_, tail = true)): Seq[Long] = {
     if (stats.size <= 1) return stats.map(_._1)
     val sorted = stats.sortBy(-_._2)
-    val gaps = sorted.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
-      (i, a._2 - b._2)
-    }.toSeq
-    val cut = gaps.maxBy(_._2)._1
-    sorted.take(cut + 1).map(_._1)
+    sorted.take(breakPoint(sorted.map(_._2))).map(_._1)
   }
 
   /** one grouped Lloyd assignment pass for ALL parents at once: each point

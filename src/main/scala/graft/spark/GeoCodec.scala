@@ -285,4 +285,70 @@ object GeoCodec {
     while (i >= 5) { out(i) = (v & 0xff).toByte; v >>>= 8; i -= 1 }
     out
   }
+
+  /**
+   * Ellipsoidal geodesic distance in meters — Vincenty's inverse formula
+   * on WGS84, the semantics of the reference's default analytic distance
+   * function (CoordinateCircleDistanceFn.java:36-69 delegates to
+   * GeoTools' orthodromic distance, which is Vincenty on EPSG:4326).
+   * Agrees with the reference's own golden constant
+   * (CoordinateCircleDistanceFnTest.java: 111319.49079322655 m for one
+   * equatorial degree) to under a millimeter; the spherical haversine
+   * would be ~125 m off there. Falls back to the spherical value in the
+   * (near-antipodal) non-convergent region, where Vincenty's iteration
+   * diverges.
+   */
+  def vincentyMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val a = 6378137.0
+    val f = 1.0 / 298.257223563
+    val b = (1.0 - f) * a
+    val L = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1.0 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1.0 - f) * math.tan(math.toRadians(lat2)))
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+    var lambda = L
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    var iter = 0
+    var delta = Double.MaxValue
+    while (delta > 1e-12 && iter < 200) {
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      val t1 = cosU2 * sinL
+      val t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosL
+      sinSigma = math.sqrt(t1 * t1 + t2 * t2)
+      if (sinSigma == 0.0) return 0.0 // coincident points
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+      cos2SigmaM =
+        if (cosSqAlpha == 0.0) 0.0 // equatorial line
+        else cosSigma - 2.0 * sinU1 * sinU2 / cosSqAlpha
+      val c = f / 16.0 * cosSqAlpha * (4.0 + f * (4.0 - 3.0 * cosSqAlpha))
+      val prev = lambda
+      lambda = L + (1.0 - c) * f * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM +
+          c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      delta = math.abs(lambda - prev)
+      iter += 1
+    }
+    if (delta > 1e-12) { // antipodal non-convergence: spherical fallback
+      val dLat = math.toRadians(lat2 - lat1) / 2
+      val dLon = math.toRadians(lon2 - lon1) / 2
+      val h = math.sin(dLat) * math.sin(dLat) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.sin(dLon) * math.sin(dLon)
+      return 2.0 * 6371008.8 * math.asin(math.sqrt(h))
+    }
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1.0 + uSq / 16384.0 *
+      (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+      (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+          (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+    b * bigA * (sigma - deltaSigma)
+  }
 }

@@ -264,6 +264,27 @@ case class DotLongArrays(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** ellipsoidal geodesic meters between two lon/lat points — Vincenty's
+  * inverse formula on WGS84 as a codegen'd static call; the semantics of
+  * the reference's default analytic distance function
+  * (CoordinateCircleDistanceFn.java:36-69, golden-tested against
+  * CoordinateCircleDistanceFnTest). */
+case class VincentyMeters(first: Expression, second: Expression,
+                          third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoCodec.vincentyMeters(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.spark.GeoCodec.vincentyMeters($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(f, s, t, q)
+}
+
 /** deterministic random-hyperplane LSH signature of an array<bigint>
   * embedding (codegen'd static call — the q20 bucket-key hot loop). */
 case class HyperplaneSig(child: Expression, dims: Int, bits: Int)
@@ -604,6 +625,14 @@ object GeoFunctions {
     lit(2.0 * 6371008.8) * asin(sqrt(a))
   }
 
+  /** ellipsoidal geodesic meters (Vincenty on WGS84, codegen'd) — the
+    * reference's CoordinateCircleDistanceFn metric. Haversine stays the
+    * join default (monotone, ~0.3% spherical error); use this where the
+    * reference's exact analytic meters matter. */
+  def st_distance_vincenty(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    column(VincentyMeters(expression(lon1), expression(lat1),
+      expression(lon2), expression(lat2)))
+
   /** register SQL-callable names on a session (bits/unit arguments must be
     * foldable literals). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -639,6 +668,8 @@ object GeoFunctions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("st_point_wkb",
       es => STPointWkb(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_distance_vincenty",
+      es => VincentyMeters(es.head, es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("gw_geohash",
       es => GeohashId(es.head, es(1), intLit(es(2))), "scala_udf")
   }

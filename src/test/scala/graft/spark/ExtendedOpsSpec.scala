@@ -126,6 +126,21 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(Analytics.stripWeakCentroids(Seq((9L, 5L))) == Seq(9L))
   }
 
+  test("StripWeakCentroidsRunnerTest golden vectors: all four break strategies") {
+    import Analytics.BreakStrategies._
+    // StripWeakCentroidsRunnerTest.java testStable1 / testStableUniform
+    val stable = Seq(1000L, 851L, 750L, 650L, 525L, 200L, 100L, 90L, 70L)
+    assert(stableChange(stable, tail = false) == 5)
+    assert(stableChange(stable, tail = true) == 5)
+    // testMaxDense: below the mean+stddev threshold, nothing stripped
+    assert(maxChange(Seq(900L, 600L, 800L), tail = true) == 3)
+    // testMaxUniform
+    assert(maxChange(Seq(1000L, 851L, 750L, 650L, 525L, 200L, 90L, 70L),
+      tail = true) == 5)
+    // a count <= 1 stops the scan before it is considered a change
+    assert(maxChange(Seq(500L, 1L), tail = false) == 2)
+  }
+
   test("multiLevelKmeans: child stats nest inside parent assignment") {
     val local = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     val init1 = local.sortBy(_._1).take(3).toSeq

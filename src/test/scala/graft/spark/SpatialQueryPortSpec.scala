@@ -58,4 +58,31 @@ class SpatialQueryPortSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L))
   }
+
+  test("CoordinateCircleDistanceFnTest golden vectors: WGS84 Vincenty meters") {
+    import graft.spark.GeoCodec.vincentyMeters
+    // CoordinateCircleDistanceFnTest.java:21-65 (Coordinate is (lon, lat))
+    val d1 = vincentyMeters(90, 0, 89, 0)
+    val d2 = vincentyMeters(89, 0, 90, 0)
+    assert(math.abs(d1 - d2) < 1e-7, "symmetry")
+    // the reference's literal: one equatorial degree on the ellipsoid.
+    // (their tolerance is 1e-5 against GeoTools' Vincenty variant; ours
+    // agrees to under a millimeter — haversine would be ~125 m off)
+    assert(math.abs(d1 - 111319.49079322655) < 1e-3, s"got $d1")
+    assert(vincentyMeters(10.000000001, 89.00000010, 10.000000002, 89.00000001) < 0.04)
+    assert(vincentyMeters(-179.9999999, 0.00001, 179.9999999, 0.00001) < 0.03,
+      "dateline-adjacent points must measure through the antimeridian")
+    assert(vincentyMeters(12.5, 41.9, 12.5, 41.9) == 0.0, "coincident")
+    // the codegen'd column expression and SQL name agree with the static call
+    import graft.spark.GeoFunctions.st_distance_vincenty
+    import spark.implicits._
+    val row = Seq((90.0, 0.0, 89.0, 0.0)).toDF("a", "b", "c", "d")
+      .select(st_distance_vincenty(col("a"), col("b"), col("c"), col("d")))
+      .collect()(0).getDouble(0)
+    assert(row == d1)
+    GeoFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT st_distance_vincenty(90.0D, 0.0D, 89.0D, 0.0D)").collect()(0).getDouble(0)
+    assert(viaSql == d1)
+  }
 }
