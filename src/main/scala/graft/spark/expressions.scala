@@ -633,6 +633,19 @@ object GeoFunctions {
     column(VincentyMeters(expression(lon1), expression(lat1),
       expression(lon2), expression(lat2)))
 
+  /** the reference's CoordinateCosineDistanceFn, verbatim quirk included:
+    * despite the Distance name it returns the cosine SIMILARITY of the
+    * two 3D coordinate vectors (CoordinateCosineDistanceFn.java:14-34).
+    * Pure column arithmetic — stays in whole-stage codegen. */
+  def st_coord_cosine(x1: Column, y1: Column, z1: Column,
+                      x2: Column, y2: Column, z2: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    val ab = x1 * x2 + y1 * y2 + z1 * z2
+    val na = sqrt(x1 * x1 + y1 * y1 + z1 * z1)
+    val nb = sqrt(x2 * x2 + y2 * y2 + z2 * z2)
+    ab / (na * nb)
+  }
+
   /** register SQL-callable names on a session (bits/unit arguments must be
     * foldable literals). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

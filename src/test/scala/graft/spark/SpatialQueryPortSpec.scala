@@ -85,4 +85,21 @@ class SpatialQueryPortSpec extends SparkTestBase {
       "SELECT st_distance_vincenty(90.0D, 0.0D, 89.0D, 0.0D)").collect()(0).getDouble(0)
     assert(viaSql == d1)
   }
+
+  test("CoordinateCosineDistanceFn: 3D cosine similarity, quirk and all") {
+    import graft.spark.GeoFunctions.st_coord_cosine
+    import spark.implicits._
+    val rows = Seq(
+      (1.0, 0.0, 0.0, 1.0, 0.0, 0.0),  // identical -> 1
+      (1.0, 0.0, 0.0, 0.0, 1.0, 0.0),  // orthogonal -> 0
+      (1.0, 2.0, 3.0, -1.0, -2.0, -3.0)) // opposite -> -1
+      .toDF("x1", "y1", "z1", "x2", "y2", "z2")
+    val got = rows.select(st_coord_cosine(col("x1"), col("y1"), col("z1"),
+      col("x2"), col("y2"), col("z2")).as("c")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+    // the reference returns the SIMILARITY (1 for identical vectors),
+    // not a distance (0 for identical) — ported verbatim
+  }
 }
