@@ -571,6 +571,34 @@ object SparkEntry {
         keyed, "ts", "content", watermarkDelay = "3650 days")
       streamToTable(s, dd.select(col("content")), "append", "q81")
     }),
+    "q82_coord_cosine" -> ((s, dir) => {
+      // CoordinateCosineDistanceFn over (lon, lat, value) vs the FIXED
+      // vector (3, 2, 1): division/sqrt are IEEE-deterministic, so the
+      // DuckDB twin with the identical expression tree matches
+      // bit-for-bit. The second vector is literal ON PURPOSE: Catalyst
+      // canonicalizes commutative float Adds, so two reordered sums of
+      // the SAME terms (e.g. both vectors drawn from lon/lat/value)
+      // would be subexpression-eliminated into one evaluation order —
+      // 1 ulp away from an oracle that mirrors the written order.
+      // Zero-norm rows (NaN in both engines) are excluded by
+      // construction so the hash compare never sees NaN.
+      import graft.spark.GeoFunctions.st_coord_cosine
+      Tables.geoEvents(s, dir)
+        .where(!(col("lon") === 0.0 && col("lat") === 0.0 && col("value") === 0.0))
+        .select(col("event_id"),
+          st_coord_cosine(col("lon"), col("lat"), col("value"),
+            lit(3.0), lit(2.0), lit(1.0)).as("cosine"))
+    }),
+    "q83_vincenty" -> ((s, dir) => {
+      // ellipsoidal geodesic meters to a fixed anchor. Vincenty is an
+      // iterative formula — not SQL-expressible — so this runs under the
+      // weaker rows-only gate; the bit-level gate is the reference's own
+      // golden constant (CoordinateCircleDistanceFnTest) in
+      // SpatialQueryPortSpec.
+      import graft.spark.GeoFunctions.st_distance_vincenty
+      Tables.geoEvents(s, dir).select(col("event_id"),
+        st_distance_vincenty(col("lon"), col("lat"), lit(0.0), lit(0.0)).as("dist_m"))
+    }),
     "q78_raster_mosaic" -> ((s, dir) => {
       // the UPSCALE direction of the re-tile: bits=3 tiles into bits=2
       // targets — four children resample into disjoint pixel regions of
@@ -1419,6 +1447,14 @@ object SparkEntry {
     "q81_stream_dedup" ->
       ("SELECT DISTINCT event_type || '#' || CAST(event_id % 1000 AS VARCHAR) " +
         "AS content FROM events"),
+    "q82_coord_cosine" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, ${Tables.eventsLonSql} AS lon, ${Tables.eventsLatSql} AS lat, value
+         |  FROM events)
+         |SELECT event_id,
+         |  (lon*3.0 + lat*2.0 + value*1.0) /
+         |    (sqrt(lon*lon + lat*lat + value*value) * sqrt(3.0*3.0 + 2.0*2.0 + 1.0*1.0)) AS cosine
+         |FROM ev WHERE NOT (lon = 0 AND lat = 0 AND value = 0)""".stripMargin,
     "q78_raster_mosaic" -> {
       def px(x: String, y: String) =
         s"CAST(CASE WHEN (tx*64 + ty*16 + ($y*8 + $x)) % 13 = 0 THEN 0 " +

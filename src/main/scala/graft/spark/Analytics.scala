@@ -467,9 +467,10 @@ object Analytics {
       * (StripWeakCentroidsRunner.java:254-327, 341-351). */
     def stableChange(counts: Seq[Long], tail: Boolean): Int = {
       if (counts.size < 2) return counts.size
-      val changes = counts.indices.map { i =>
+      val cs = counts.toIndexedSeq // List call sites: keep indexing O(1)
+      val changes = cs.indices.map { i =>
         (i, if (i == 0) 0.0
-            else math.abs(counts(i - 1).toDouble - counts(i).toDouble))
+            else math.abs(cs(i - 1).toDouble - cs(i).toDouble))
       }
       val sorted = changes.sortBy(-_._2) // stable sort = Collections.sort
       val chgOfChgs = sorted.sliding(2).map { case Seq(a, b) =>
@@ -488,15 +489,19 @@ object Analytics {
   }
 
   /** drop weak centroids exactly as the reference's runner does
-    * (StripWeakCentroidsRunner.java:95-122): sort descending by
+    * (StripWeakCentroidsRunner.java:93-122): sort descending by
     * association count, take the break strategy's keep-count (default
-    * TailMaxBreakStrategy, the reference's default). */
+    * TailMaxBreakStrategy, the reference's default) clamped to the
+    * runner's [minimum, maximum] retention bounds (defaults 1 / 1000 —
+    * a degenerate breakpoint can otherwise strip every centroid). */
   def stripWeakCentroids(stats: Seq[(Long, Long)],
                          breakPoint: Seq[Long] => Int =
-                           BreakStrategies.maxChange(_, tail = true)): Seq[Long] = {
-    if (stats.size <= 1) return stats.map(_._1)
+                           BreakStrategies.maxChange(_, tail = true),
+                         minimum: Int = 1, maximum: Int = 1000): Seq[Long] = {
+    if (stats.size <= minimum) return stats.map(_._1)
     val sorted = stats.sortBy(-_._2)
-    sorted.take(breakPoint(sorted.map(_._2))).map(_._1)
+    val keep = math.min(math.max(minimum, breakPoint(sorted.map(_._2))), maximum)
+    sorted.take(keep).map(_._1)
   }
 
   /** one grouped Lloyd assignment pass for ALL parents at once: each point

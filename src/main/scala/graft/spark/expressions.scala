@@ -639,11 +639,15 @@ object GeoFunctions {
     * Pure column arithmetic — stays in whole-stage codegen. */
   def st_coord_cosine(x1: Column, y1: Column, z1: Column,
                       x2: Column, y2: Column, z2: Column): Column = {
-    import org.apache.spark.sql.functions.sqrt
+    import org.apache.spark.sql.functions.{lit, sqrt, when}
     val ab = x1 * x2 + y1 * y2 + z1 * z2
     val na = sqrt(x1 * x1 + y1 * y1 + z1 * z1)
     val nb = sqrt(x2 * x2 + y2 * y2 + z2 * z2)
-    ab / (na * nb)
+    // a zero-norm vector in Java is 0/0 = NaN; Spark's ANSI division
+    // would throw (and non-ANSI would yield NULL) — branch to keep the
+    // reference's IEEE semantics (the division only evaluates when the
+    // denominator is nonzero)
+    when(na * nb === 0.0, lit(Double.NaN)).otherwise(ab / (na * nb))
   }
 
   /** register SQL-callable names on a session (bits/unit arguments must be

@@ -139,6 +139,12 @@ class ExtendedOpsSpec extends SparkTestBase {
       tail = true) == 5)
     // a count <= 1 stops the scan before it is considered a change
     assert(maxChange(Seq(500L, 1L), tail = false) == 2)
+    // the runner's [minimum, maximum] clamp (StripWeakCentroidsRunner
+    // .java:113-119): a degenerate breakpoint (all-equal counts ->
+    // stableChange position 0) must still keep at least `minimum`
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 5L))
+    assert(Analytics.stripWeakCentroids(flat,
+      stableChange(_, tail = false)).size == 1)
   }
 
   test("multiLevelKmeans: child stats nest inside parent assignment") {

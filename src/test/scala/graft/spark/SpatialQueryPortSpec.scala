@@ -101,5 +101,12 @@ class SpatialQueryPortSpec extends SparkTestBase {
     assert(math.abs(got(2) + 1.0) < 1e-12)
     // the reference returns the SIMILARITY (1 for identical vectors),
     // not a distance (0 for identical) — ported verbatim
+    // zero-norm vectors: Java computes 0/0 = NaN; the ported column must
+    // reproduce that (not throw under ANSI, not yield NULL without)
+    val nan = Seq((0.0, 0.0, 0.0, 1.0, 2.0, 3.0))
+      .toDF("x1", "y1", "z1", "x2", "y2", "z2")
+      .select(st_coord_cosine(col("x1"), col("y1"), col("z1"),
+        col("x2"), col("y2"), col("z2"))).collect()(0).getDouble(0)
+    assert(nan.isNaN)
   }
 }
