@@ -488,6 +488,41 @@ object Analytics {
     }
   }
 
+  /** the mergeable Ben-Haim/Tom-Tov histogram as a typed Aggregator —
+    * per-partition streaming [[graft.index.MinimalBinHistogram]]s merged
+    * pairwise by the paper's Algorithm 2, the exact shape of the
+    * reference's mergeable FeatureNumericHistogramStatistics
+    * (DataStatistics.merge). Only k·nbins numbers ever cross the wire. */
+  private final class MinimalBinAgg(nbins: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Double, graft.index.MinimalBinHistogram, Array[Byte]] {
+    override def zero: graft.index.MinimalBinHistogram =
+      new graft.index.MinimalBinHistogram(nbins)
+    override def reduce(h: graft.index.MinimalBinHistogram, v: Double):
+        graft.index.MinimalBinHistogram = { h.add(v); h }
+    override def merge(a: graft.index.MinimalBinHistogram,
+                       b: graft.index.MinimalBinHistogram):
+        graft.index.MinimalBinHistogram = { a.merge(b); a }
+    override def finish(h: graft.index.MinimalBinHistogram): Array[Byte] =
+      h.toBytes
+    override def bufferEncoder: org.apache.spark.sql.Encoder[graft.index.MinimalBinHistogram] =
+      org.apache.spark.sql.Encoders.javaSerialization
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** distributed approximate quantiles/CDF over a numeric column via the
+    * dynamic-bin histogram: returns the merged histogram itself so the
+    * caller can take quantiles, cdf and per-bin counts from ONE pass. */
+  def minimalBinHistogram(df: DataFrame, valueCol: String,
+                          nbins: Int = 1024): graft.index.MinimalBinHistogram = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bytes = df.select(col(valueCol).cast("double")).as[Double]
+      .select(new MinimalBinAgg(nbins).toColumn).collect()(0)
+    graft.index.MinimalBinHistogram.fromBytes(bytes)
+  }
+
   /** drop weak centroids exactly as the reference's runner does
     * (StripWeakCentroidsRunner.java:93-122): sort descending by
     * association count, take the break strategy's keep-count (default

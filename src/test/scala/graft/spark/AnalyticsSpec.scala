@@ -224,4 +224,26 @@ class AnalyticsSpec extends SparkTestBase {
     for ((lang, cnt) <- trueCounts)
       assert(cms.estimateCount(lang) >= cnt)
   }
+
+  test("minimalBinHistogram Aggregator: distributed Ben-Haim/Tom-Tov quantiles") {
+    // same seeded stream as the ported NumericHistogramTest, but pushed
+    // through the typed Aggregator over 8 partitions — per-partition
+    // streaming histograms merged by Algorithm 2 (only nbins-sized
+    // buffers cross the wire, never the data)
+    val r = new java.util.Random(347)
+    val values = Seq.fill(10000)(2500 + r.nextDouble() * 99998.0)
+    import spark.implicits._
+    val df = values.toDF("v").repartition(8)
+    val h = Analytics.minimalBinHistogram(df, "v")
+    assert(h.totalCount == 10000)
+    assert(math.abs(h.cdf(2500) - 0.0) < 0.001)
+    assert(math.abs(h.cdf(102500) - 1.0) < 0.001)
+    assert(math.abs(h.cdf(52500) - 0.5) < 0.02)
+    // merge order widens the band slightly vs the single-stream golden
+    // tolerances; the reference's own statistics tests merge partials
+    // under the same approximation contract
+    assert(math.abs(h.quantile(0.25) / 1000.0 - 27) < 1.0)
+    assert(math.abs(h.quantile(0.5) / 1000.0 - 52) < 1.5)
+    assert(math.abs(h.quantile(0.75) / 1000.0 - 78) < 1.5)
+  }
 }
