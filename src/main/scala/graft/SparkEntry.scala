@@ -599,6 +599,19 @@ object SparkEntry {
       Tables.geoEvents(s, dir).select(col("event_id"),
         st_distance_vincenty(col("lon"), col("lat"), lit(0.0), lit(0.0)).as("dist_m"))
     }),
+    "q84_quantile_hist" -> ((s, dir) => {
+      // the mergeable Ben-Haim/Tom-Tov histogram end to end: per-
+      // partition streaming histograms -> Algorithm-2 merge -> quartiles
+      // of the events value column. The trim's tie-break PRNG and the
+      // distributed merge order make estimates approximation-contract,
+      // not bit-stable — rows-only gate; the bit-level gate is the
+      // ported NumericHistogramTest (MinimalBinHistogramSpec).
+      import s.implicits._
+      val h = graft.spark.Analytics.minimalBinHistogram(
+        s.read.parquet(s"$dir/events.parquet"), "value")
+      Seq((h.totalCount, h.quantile(0.25), h.quantile(0.5), h.quantile(0.75)))
+        .toDF("n", "p25", "p50", "p75")
+    }),
     "q78_raster_mosaic" -> ((s, dir) => {
       // the UPSCALE direction of the re-tile: bits=3 tiles into bits=2
       // targets — four children resample into disjoint pixel regions of

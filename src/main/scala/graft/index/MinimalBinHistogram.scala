@@ -132,8 +132,17 @@ final class MinimalBinHistogram(val nbins: Int = 1024) extends Serializable {
     maxValue
   }
 
-  def quantiles(n: Int): Array[Double] =
-    Array.tabulate(n)(i => quantile((i + 1) / n.toDouble))
+  /** accumulates `val += increment` like the reference (java:289-299) —
+    * NOT `(i+1)/n` — so the probed q values match the reference's to the
+    * bit (the last probe is n·(1/n), not exactly 1.0). */
+  def quantiles(n: Int): Array[Double] = {
+    val increment = 1.0 / n
+    val result = new Array[Double](n)
+    var v = increment
+    var i = 0
+    while (i < n) { result(i) = quantile(v); v += increment; i += 1 }
+    result
+  }
 
   /** estimated number of values <= val — the paper's 'sum' procedure
     * (trapezoid area of the interpolated bin coordinates). */

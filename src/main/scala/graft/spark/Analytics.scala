@@ -518,7 +518,10 @@ object Analytics {
                           nbins: Int = 1024): graft.index.MinimalBinHistogram = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bytes = df.select(col(valueCol).cast("double")).as[Double]
+    // nulls are skipped (the reference statistics ingest only present
+    // values); without the filter the primitive deserializer would throw
+    val bytes = df.select(col(valueCol).cast("double"))
+      .where(col(valueCol).isNotNull).as[Double]
       .select(new MinimalBinAgg(nbins).toColumn).collect()(0)
     graft.index.MinimalBinHistogram.fromBytes(bytes)
   }
@@ -533,8 +536,8 @@ object Analytics {
                          breakPoint: Seq[Long] => Int =
                            BreakStrategies.maxChange(_, tail = true),
                          minimum: Int = 1, maximum: Int = 1000): Seq[Long] = {
-    if (stats.size <= minimum) return stats.map(_._1)
-    val sorted = stats.sortBy(-_._2)
+    val sorted = stats.sortBy(-_._2) // strongest-first on EVERY path
+    if (stats.size <= minimum) return sorted.map(_._1)
     val keep = math.min(math.max(minimum, breakPoint(sorted.map(_._2))), maximum)
     sorted.take(keep).map(_._1)
   }

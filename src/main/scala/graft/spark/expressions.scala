@@ -643,11 +643,16 @@ object GeoFunctions {
     val ab = x1 * x2 + y1 * y2 + z1 * z2
     val na = sqrt(x1 * x1 + y1 * y1 + z1 * z1)
     val nb = sqrt(x2 * x2 + y2 * y2 + z2 * z2)
-    // a zero-norm vector in Java is 0/0 = NaN; Spark's ANSI division
-    // would throw (and non-ANSI would yield NULL) — branch to keep the
-    // reference's IEEE semantics (the division only evaluates when the
-    // denominator is nonzero)
-    when(na * nb === 0.0, lit(Double.NaN)).otherwise(ab / (na * nb))
+    // Spark's ANSI division by zero throws (and non-ANSI yields NULL);
+    // branch to keep Java's IEEE semantics exactly: 0/0 = NaN for a
+    // zero-norm vector, ±Infinity when squared components underflow to
+    // a zero denominator while the dot product stays nonzero. The
+    // division only evaluates when the denominator is nonzero.
+    when(na * nb === 0.0,
+      when(ab === 0.0, lit(Double.NaN))
+        .when(ab > 0.0, lit(Double.PositiveInfinity))
+        .otherwise(lit(Double.NegativeInfinity)))
+      .otherwise(ab / (na * nb))
   }
 
   /** register SQL-callable names on a session (bits/unit arguments must be
