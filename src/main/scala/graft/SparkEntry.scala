@@ -710,6 +710,30 @@ object SparkEntry {
       graft.spark.Ingest.readStore(s, path)
         .select(col("doc_id"), col("lon"), col("lat"))
     }),
+    "q85_transform_vis" -> ((s, dir) => {
+      // the store's third mutation verb, oracle-gated end to end: ingest a
+      // store carrying a per-row visibility expression, rewrite the
+      // visibility of rows matching a spatial predicate (replaceFirst
+      // 'b'→'c' — the reference's TransformerWriter/VisibilityTransformer),
+      // then read back under auths {a, c}. 'b&a' rows become visible ONLY
+      // where the predicate rewrote them; '(a|c)&d' rows never are. The
+      // rewrite is match-confirmed (only buckets whose vis actually
+      // changes), so the reused fingerprinted store yields the identical
+      // result on every call.
+      val path = tmpIndexPath(dir, "graft-transtore")
+      val pages = Tables.pages(s, dir)
+        .withColumn("url", concat(lit("doc-"), col("doc_id")))
+        .withColumn("vis", element_at(
+          array(lit("a"), lit("b&a"), lit("c|b"), lit("(a|c)&d")),
+          (col("doc_id") % 4).cast("int") + 1))
+      graft.spark.Ingest.run(s, pages, path, graft.spark.Ingest.Config(
+        numBuckets = 8, batchSize = 8, targetPartitions = 8))
+      graft.spark.Ingest.transformVisibilityByQuery(s, path,
+        col("lon") < 0.0, "b", "c")
+      graft.spark.Visibility.filter(
+          graft.spark.Ingest.readStore(s, path), "vis", Seq("a", "c"))
+        .select(col("doc_id"), col("vis"))
+    }),
     "q71_text_range_cs" -> ((s, dir) => {
       // CASE-SENSITIVE whole-value range through the stored UNFOLDED
       // anchored_cs index (round 3 served this with a full scan): the
@@ -1608,6 +1632,25 @@ object SparkEntry {
     "q71_text_range_cs" ->
       s"""SELECT doc_id AS id FROM documents
          |WHERE text >= 'the' AND text <= 'these'""".stripMargin,
+    "q85_transform_vis" ->
+      // visibility-transform oracle (VisibilityTransformer.java:25-60):
+      // replaceFirst is DuckDB regexp_replace's non-global default; no
+      // leading operator can be exposed here ('b' is never the leading
+      // term), so the strip branch is exercised by spec, not SQL.
+      // Visible under {a,c}: 'a' always; 'b&a' only where the lon<0
+      // rewrite made it 'c&a'; 'c|b' always (c satisfies either form);
+      // '(a|c)&d' never (d is not held).
+      s"""$pagesCte
+         |SELECT doc_id,
+         |  CASE WHEN lon < 0 THEN regexp_replace(vis0, 'b', 'c') ELSE vis0 END AS vis
+         |FROM (
+         |  SELECT doc_id, lon,
+         |    CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'a' WHEN 1 THEN 'b&a'
+         |         WHEN 2 THEN 'c|b' ELSE '(a|c)&d' END AS vis0
+         |  FROM pages)
+         |WHERE CAST(doc_id % 4 AS INTEGER) = 0
+         |   OR (CAST(doc_id % 4 AS INTEGER) = 1 AND lon < 0)
+         |   OR CAST(doc_id % 4 AS INTEGER) = 2""".stripMargin,
     "q67_multi_index_locality" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev

@@ -528,22 +528,61 @@ object Ingest {
     rewriteBuckets(spark, outDir, affected.keys.toSeq.sorted, predicate)
   }
 
+  /** In-place visibility rewrite of rows matching `predicate`: vis :=
+    * replaceFirst(regex, replacement), stripping one exposed leading
+    * operator — the reference's TransformerWriter + VisibilityTransformer
+    * (used by its GeoTools transaction layer to re-key row visibility;
+    * extensions/datastores/accumulo/.../util/VisibilityTransformer.java:25-60,
+    * TransformerWriter.java). Runs under the single-mutator delete-marker
+    * protocol through the same copy-on-write bucket swap as the delete
+    * path. Only buckets holding a row whose visibility the rewrite would
+    * actually CHANGE are rewritten (the reference rewrites every scanned
+    * entry unconditionally, but our store contract forbids file-identical
+    * rewrites — CLAUDE.md), so re-running a transform is a cheap no-op
+    * whenever the regex no longer matches. */
+  def transformVisibilityByQuery(spark: SparkSession, outDir: String,
+                                 predicate: org.apache.spark.sql.Column,
+                                 regex: String, replacement: String,
+                                 visCol: String = "vis"): Seq[BucketLineage] = {
+    recoverStaleDelete(spark, outDir)
+    val store = spark.read.parquet(s"$outDir/data")
+    val rewritten = Visibility.replaceFirst(col(visCol), regex, replacement)
+    // null predicate values are NOT matches (same contract as delete)
+    val changes = coalesce(predicate, lit(false)) && rewritten =!= col(visCol)
+    val affected = store.where(changes)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) return Seq.empty
+    rewriteBucketsWith(spark, outDir, affected,
+      _.withColumn(visCol, when(changes, rewritten).otherwise(col(visCol))))
+  }
+
   /** stage + atomically swap the surviving rows of `buckets`, dropping
     * rows matching `predicate`, and recommit each bucket's lineage. The
     * shared rewrite behind [[deleteByQuery]] and [[deleteByIds]]. */
   private def rewriteBuckets(spark: SparkSession, outDir: String,
                              buckets: Seq[Int],
-                             predicate: org.apache.spark.sql.Column): Seq[BucketLineage] = {
+                             predicate: org.apache.spark.sql.Column): Seq[BucketLineage] =
+    // null predicate values are NOT matches: such rows must survive
+    rewriteBucketsWith(spark, outDir, buckets,
+      _.where(!coalesce(predicate, lit(false))))
+
+  /** stage + atomically swap `rewrite`-transformed rows of `buckets` under
+    * the delete-marker protocol, recommitting each bucket's lineage. The
+    * copy-on-write machinery shared by the DELETE path (rewrite = drop
+    * matching rows) and the TRANSFORM path (rewrite = recompute columns of
+    * matching rows — the reference's TransformerWriter, which re-writes
+    * scanned entries through a Transformer,
+    * extensions/datastores/accumulo/.../util/TransformerWriter.java). */
+  private def rewriteBucketsWith(spark: SparkSession, outDir: String,
+                                 buckets: Seq[Int],
+                                 rewrite: DataFrame => DataFrame): Seq[BucketLineage] = {
     val dataDir = s"$outDir/data"
     recoverRetiredBuckets(dataDir, force = true)
     val store = spark.read.parquet(dataDir)
     val stagingRoot = Paths.get(outDir, ".delete-staging")
     graft.FsUtils.deleteRecursively(stagingRoot)
     Files.createDirectories(stagingRoot)
-    // null predicate values are NOT matches: such rows must survive
-    val survivors = store
-      .where(col("bucket").isin(buckets: _*))
-      .where(!coalesce(predicate, lit(false)))
+    val survivors = rewrite(store.where(col("bucket").isin(buckets: _*)))
     val obs = org.apache.spark.sql.Observation(s"delete-${System.nanoTime()}")
     val metricAggs = bucketMetricAggs(buckets)
     val t0 = System.nanoTime()

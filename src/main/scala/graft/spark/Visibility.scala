@@ -104,6 +104,45 @@ object Visibility {
     column(VisibilityMatches(expression(visCol), auths))
   }
 
+  /** the reference's visibility rewrite: `replaceFirst(regex, replacement)`
+    * on the expression string, then strip ONE leading dangling operator the
+    * replacement may have exposed (an empty replacement of a leading term
+    * leaves "&rest" / "|rest") — VisibilityTransformer.transform, reference
+    * extensions/datastores/accumulo/.../util/VisibilityTransformer.java:25-60. */
+  def replaceFirstAndStrip(vis: String, p: java.util.regex.Pattern,
+                           replacement: String): String = {
+    val replaced = p.matcher(vis).replaceFirst(replacement)
+    if (replaced.nonEmpty && (replaced.charAt(0) == '&' || replaced.charAt(0) == '|'))
+      replaced.substring(1)
+    else replaced
+  }
+
+  /** codegen'd per-row visibility rewrite with constant regex/replacement
+    * (the pattern compiles once per expression instance). */
+  case class VisibilityReplaceFirst(child: Expression, regex: String, replacement: String)
+      extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override def nullIntolerant: Boolean = true
+    @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+
+    def rewrite(vis: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String =
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        replaceFirstAndStrip(vis.toString, pattern, replacement))
+
+    override def nullSafeEval(vis: Any): Any =
+      rewrite(vis.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("visReplaceFirst", this, classOf[VisibilityReplaceFirst].getName)
+      defineCodeGen(ctx, ev, vis => s"$ref.rewrite($vis)")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def replaceFirst(visCol: Column, regex: String, replacement: String): Column = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    column(VisibilityReplaceFirst(expression(visCol), regex, replacement))
+  }
+
   /** scan-side filter: keep rows whose visibility expression the caller's
     * authorizations satisfy. */
   def filter(df: org.apache.spark.sql.DataFrame, visCol: String,
