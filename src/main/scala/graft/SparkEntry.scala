@@ -710,6 +710,19 @@ object SparkEntry {
       graft.spark.Ingest.readStore(s, path)
         .select(col("doc_id"), col("lon"), col("lat"))
     }),
+    "q86_stats_clipped_box" -> ((s, dir) => {
+      // stats-clipped scan (QueryIndexHelper.clipIndexedBBOXConstraints):
+      // a REGIONAL shard queried with a box that mostly overhangs its
+      // bounding-box statistic — the planner decomposes only the clipped
+      // envelope, spending the range budget on the lived-in region
+      // (StatsClipQuerySpec pins the coarse-prefilter pruning; this oracle
+      // pins result equivalence against the ORIGINAL query box)
+      val shard = Tables.pages(s, dir)
+        .where(col("lon").between(0.0, 50.0) && col("lat").between(0.0, 40.0))
+      Ops.spatialBoxQueryClipped(shard, 25.0, 179.0, 20.0, 89.0,
+          Some(Ops.bboxStatsEnv(shard)))
+        .select(col("doc_id"), col("lon"), col("lat"))
+    }),
     "q85_transform_vis" -> ((s, dir) => {
       // the store's third mutation verb, oracle-gated end to end: ingest a
       // store carrying a per-row visibility expression, rewrite the
@@ -1632,6 +1645,13 @@ object SparkEntry {
     "q71_text_range_cs" ->
       s"""SELECT doc_id AS id FROM documents
          |WHERE text >= 'the' AND text <= 'these'""".stripMargin,
+    "q86_stats_clipped_box" ->
+      // the clip is a pure pruning optimization: the oracle filters the
+      // shard with the ORIGINAL (unclipped) query box
+      s"""$pagesCte
+         |SELECT doc_id, lon, lat FROM pages
+         |WHERE lon >= 0.0 AND lon <= 50.0 AND lat >= 0.0 AND lat <= 40.0
+         |  AND lon >= 25.0 AND lon <= 179.0 AND lat >= 20.0 AND lat <= 89.0""".stripMargin,
     "q85_transform_vis" ->
       // visibility-transform oracle (VisibilityTransformer.java:25-60):
       // replaceFirst is DuckDB regexp_replace's non-global default; no

@@ -104,6 +104,59 @@ object Ops {
       .where(col(tsCol) >= lit(tsMin) && col(tsCol) <= lit(tsMax))
   }
 
+  /** the store's bounding-box statistic as a pure envelope — the
+    * reference's client-side FeatureBoundingBoxStatistics read feeding
+    * QueryIndexHelper (a 4-double collect, like its metadata-table get). */
+  def bboxStatsEnv(pts: DataFrame): graft.index.StatsClip.Env = {
+    val r = pts.agg(min(col("lon")), max(col("lon")), min(col("lat")), max(col("lat"))).collect()(0)
+    graft.index.StatsClip.Env(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  /** Stats-clipped spatial box query
+    * (QueryIndexHelper.clipIndexedBBOXConstraints, reference
+    * extensions/adapters/vector/.../util/QueryIndexHelper.java:141-165):
+    * intersect the query box with the store's bounding-box statistic
+    * BEFORE SFC decomposition. An oversized query decomposes only the
+    * lived-in envelope — strictly fewer ranges, identical result set — and
+    * a provably-disjoint one scans nothing at all. The clipped box is also
+    * sound as the fine filter: rows outside the stats envelope do not
+    * exist by the statistic's definition. */
+  def spatialBoxQueryClipped(pts: DataFrame, lonMin: Double, lonMax: Double,
+                             latMin: Double, latMax: Double,
+                             statsEnv: Option[graft.index.StatsClip.Env],
+                             cellCol: String = "cell_id"): DataFrame = {
+    import graft.index.StatsClip
+    StatsClip.clipEnvelope(StatsClip.Env(lonMin, lonMax, latMin, latMax), statsEnv) match {
+      case None    => pts.where(lit(false))
+      case Some(e) => spatialBoxQuery(pts, e.minX, e.maxX, e.minY, e.maxY, cellCol)
+    }
+  }
+
+  /** Stats-clipped spatio-temporal box query: bbox clip as above plus the
+    * temporal clip (QueryIndexHelper.clipIndexedTemporalConstraints,
+    * QueryIndexHelper.java:54-106) against the store's time-range
+    * statistic before decomposition. */
+  def stBoxQueryClipped(evts: DataFrame, lonMin: Double, lonMax: Double,
+                        latMin: Double, latMax: Double,
+                        tsMin: java.sql.Timestamp, tsMax: java.sql.Timestamp,
+                        statsEnv: Option[graft.index.StatsClip.Env],
+                        statsTs: Option[(Long, Long)],
+                        tsCol: String = "ts"): DataFrame = {
+    import graft.index.{StatsClip, TemporalAlgebra}
+    val box = StatsClip.clipEnvelope(StatsClip.Env(lonMin, lonMax, latMin, latMax), statsEnv)
+    val time = statsTs match {
+      case None => List(TemporalAlgebra.TemporalRange(tsMin.getTime, tsMax.getTime))
+      case Some((lo, hi)) =>
+        StatsClip.clipTime(List(TemporalAlgebra.TemporalRange(tsMin.getTime, tsMax.getTime)), lo, hi)
+    }
+    (box, time) match {
+      case (Some(e), t :: _) =>
+        stBoxQuery(evts, e.minX, e.maxX, e.minY, e.maxY,
+          new java.sql.Timestamp(t.start), new java.sql.Timestamp(t.end), tsCol)
+      case _ => evts.where(lit(false))
+    }
+  }
+
   // ---------------------------------------------------------------- joins
 
   /**
