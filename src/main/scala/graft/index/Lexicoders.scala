@@ -51,4 +51,33 @@ object Lexicoders {
     val bits = if (u < 0) u ^ Long.MinValue else ~u
     java.lang.Double.longBitsToDouble(bits)
   }
+
+  /** short: sign-flip at 16 bits (reference ShortLexicoder.java:14-27). */
+  def encodeShort(v: Short): Array[Byte] = {
+    val u = v ^ 0x8000
+    Array((u >>> 8).toByte, u.toByte)
+  }
+
+  def decodeShort(b: Array[Byte]): Short =
+    ((((b(0) & 0xff) << 8) | (b(1) & 0xff)) ^ 0x8000).toShort
+
+  /** the reference's exact DoubleLexicoder byte layout
+    * (DoubleLexicoder.java:11-35): it composes the IEEE sign transform
+    * with the LONG lexicoder, which flips the sign bit AGAIN — so its
+    * bytes order correctly only under SIGNED byte comparison (its own
+    * test compares with SignedBytes). Byte-wise this is [[encodeDouble]]
+    * with the leading byte's top bit flipped; our store uses
+    * [[encodeDouble]] because Spark's BinaryType and Parquet both compare
+    * UNSIGNED. */
+  def encodeDoubleRef(v: Double): Array[Byte] = {
+    val out = encodeDouble(v)
+    out(0) = (out(0) ^ 0x80).toByte
+    out
+  }
+
+  def decodeDoubleRef(b: Array[Byte]): Double = {
+    val c = b.clone()
+    c(0) = (c(0) ^ 0x80).toByte
+    decodeDouble(c)
+  }
 }

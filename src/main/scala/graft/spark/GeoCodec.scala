@@ -351,4 +351,90 @@ object GeoCodec {
           (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
     b * bigA * (sigma - deltaSigma)
   }
+
+  /**
+   * Vincenty's DIRECT problem on WGS84: destination (lon, lat) from a
+   * start point, an initial bearing in degrees, and a distance in meters —
+   * the geodesic step GeoTools' GeodeticCalculator takes inside the
+   * reference's GeometryCalculations.buildSurroundingGeometries
+   * (analytics/api/.../GeometryCalculations.java:41-99). Longitude is
+   * normalized to [-180, 180] like the calculator's geographic output.
+   */
+  def vincentyDirect(lon1: Double, lat1: Double,
+                     bearingDeg: Double, distMeters: Double): (Double, Double) = {
+    val a = 6378137.0
+    val f = 1.0 / 298.257223563
+    val b = (1.0 - f) * a
+    val alpha1 = math.toRadians(bearingDeg)
+    val sinAlpha1 = math.sin(alpha1); val cosAlpha1 = math.cos(alpha1)
+    val tanU1 = (1.0 - f) * math.tan(math.toRadians(lat1))
+    val cosU1 = 1.0 / math.sqrt(1.0 + tanU1 * tanU1)
+    val sinU1 = tanU1 * cosU1
+    val sigma1 = math.atan2(tanU1, cosAlpha1)
+    val sinAlpha = cosU1 * sinAlpha1
+    val cosSqAlpha = 1.0 - sinAlpha * sinAlpha
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1.0 + uSq / 16384.0 *
+      (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq)))
+    val bigB = uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq)))
+    var sigma = distMeters / (b * bigA)
+    var cos2SigmaM = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var delta = Double.MaxValue
+    var iter = 0
+    while (delta > 1e-12 && iter < 200) {
+      cos2SigmaM = math.cos(2.0 * sigma1 + sigma)
+      sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+      val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+        (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+          bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+            (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+      val prev = sigma
+      sigma = distMeters / (b * bigA) + deltaSigma
+      delta = math.abs(sigma - prev)
+      iter += 1
+    }
+    val t = sinU1 * sinSigma - cosU1 * cosSigma * cosAlpha1
+    val lat2 = math.atan2(sinU1 * cosSigma + cosU1 * sinSigma * cosAlpha1,
+      (1.0 - f) * math.sqrt(sinAlpha * sinAlpha + t * t))
+    val lambda = math.atan2(sinSigma * sinAlpha1,
+      cosU1 * cosSigma - sinU1 * sinSigma * cosAlpha1)
+    val c = f / 16.0 * cosSqAlpha * (4.0 + f * (4.0 - 3.0 * cosSqAlpha))
+    val bigL = lambda - (1.0 - c) * f * sinAlpha *
+      (sigma + c * sinSigma * (cos2SigmaM +
+        c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+    var lon2 = lon1 + math.toDegrees(bigL)
+    // normalize to geographic [-180, 180]
+    while (lon2 > 180.0) lon2 -= 360.0
+    while (lon2 < -180.0) lon2 += 360.0
+    (lon2, math.toDegrees(lat2))
+  }
+
+  /**
+   * Geodesic envelope(s) of half-width xMeters / half-height yMeters
+   * around a center — the reference's
+   * GeometryCalculations.buildSurroundingGeometries +
+   * handleBoundaries (GeometryCalculations.java:41-170): destinations due
+   * north/east/west/south via the geodesic direct problem, then ONE
+   * envelope, or TWO when the east or west edge wraps the antimeridian
+   * (detected by the reference's signum comparison against the center),
+   * preserving its emission order. Latitudes clamp to [-90, 90]; envelope
+   * min/max normalize like JTS Envelope.
+   */
+  def surroundingEnvelopes(lon: Double, lat: Double,
+                           xMeters: Double, yMeters: Double): Seq[StatsClip.Env] = {
+    val (_, yN) = vincentyDirect(lon, lat, 0.0, yMeters)
+    val (xE, _) = vincentyDirect(lon, lat, 90.0, xMeters)
+    val (xW, _) = vincentyDirect(lon, lat, -90.0, xMeters)
+    val (_, yS) = vincentyDirect(lon, lat, 180.0, yMeters)
+    val loY = math.min(math.max(yN, -90.0), math.min(yS, 90.0))
+    val hiY = math.max(math.max(yN, -90.0), math.min(yS, 90.0))
+    def env(x1: Double, x2: Double) =
+      StatsClip.Env(math.min(x1, x2), math.max(x1, x2), loY, hiY)
+    if (math.signum(xW) > math.signum(lon))      // west edge wrapped east
+      Seq(env(xW, 180.0), env(-180.0, xE))
+    else if (math.signum(xE) < math.signum(lon)) // east edge wrapped west
+      Seq(env(-180.0, xE), env(xW, 180.0))
+    else
+      Seq(env(xW, xE))
+  }
 }

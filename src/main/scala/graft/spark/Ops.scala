@@ -157,6 +157,32 @@ object Ops {
     }
   }
 
+  /** Meters-radius point query (the reference's DWITHIN shape): geodesic
+    * surrounding envelope(s) from the direct problem — TWO when the radius
+    * crosses the antimeridian — bound the coarse SFC ranges and the box
+    * fine filter (GeometryCalculations.buildSurroundingGeometries,
+    * analytics/api/.../GeometryCalculations.java:41-170), then the
+    * haversine distance decides. */
+  def radiusQueryMeters(pts: DataFrame, lon: Double, lat: Double,
+                        radiusMeters: Double,
+                        cellCol: String = "cell_id"): DataFrame = {
+    val withCell =
+      if (pts.columns.contains(cellCol)) pts
+      else pts.withColumn(cellCol, gw_cell_id(col("lon"), col("lat")))
+    val envs = GeoCodec.surroundingEnvelopes(lon, lat, radiusMeters, radiusMeters)
+    val ranges = SpatialPlanner.mergeRanges(envs.flatMap { e =>
+      SpatialPlanner.spatialBoxRanges(e.minX, e.maxX, e.minY, e.maxY,
+        math.max(1, SpatialPlanner.MaxRangeDecomposition / envs.size))
+    })
+    val inEnvelopes = envs.map { e =>
+      SpatialPlanner.boxPredicate(col("lon"), col("lat"), e.minX, e.maxX, e.minY, e.maxY)
+    }.reduce(_ || _)
+    withCell
+      .where(SpatialPlanner.rangesPredicate(col(cellCol), ranges))
+      .where(inEnvelopes)
+      .where(st_distance_haversine(col("lon"), col("lat"), lit(lon), lit(lat)) <= radiusMeters)
+  }
+
   // ---------------------------------------------------------------- joins
 
   /**

@@ -78,6 +78,22 @@ object SpatialPlanner {
     }
   }
 
+  /** compound row-key ranges: every salt byte × every cell range — the
+    * reference's CompoundIndexStrategy.getQueryRanges cross product
+    * (core/index/.../CompoundIndexStrategy.java getQueryRanges /
+    * composeByteArrayId; HashKeyIndexStrategyTest
+    * .testGetQueryRangesWithMaximumNumberOfRanges pins the shape). Our
+    * scans usually push the cell predicate on the `cell_id` COLUMN
+    * (columnar pruning makes the salt fan-out unnecessary), but row_key
+    * range scans over the compound `salt ‖ cell` sort order need exactly
+    * this expansion. */
+  def compoundRanges(saltCount: Int,
+                     ranges: Seq[(Array[Byte], Array[Byte])]): Seq[(Array[Byte], Array[Byte])] =
+    for {
+      s <- 0 until saltCount
+      (start, end) <- ranges
+    } yield (s.toByte +: start, s.toByte +: end)
+
   /** sort by start and merge overlapping ranges (ranges from several
     * polygons overlap; [[CellInRanges]]' binary search requires disjoint
     * sorted input, and merging also shrinks OR-chains). */

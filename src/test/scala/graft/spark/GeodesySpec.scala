@@ -1,0 +1,87 @@
+package graft.spark
+
+/**
+ * GeometryCalculationsTest port (analytics/api/src/test/.../
+ * GeometryCalculationsTest.java): geodesic surrounding envelopes with
+ * antimeridian splitting, checked with the same orthodromic (Vincenty)
+ * distance the reference's JTS.orthodromicDistance uses.
+ */
+class GeodesySpec extends SparkTestBase {
+
+  private def dist(x1: Double, y1: Double, x2: Double, y2: Double): Double =
+    GeoCodec.vincentyMeters(x1, y1, x2, y2)
+
+  test("vincentyDirect: inverse of vincentyMeters along cardinal bearings") {
+    for (bearing <- Seq(0.0, 90.0, 180.0, -90.0); d <- Seq(1000.0, 50000.0, 500000.0)) {
+      val (x, y) = GeoCodec.vincentyDirect(30.0, 30.0, bearing, d)
+      assert(math.abs(dist(30.0, 30.0, x, y) - d) < 0.01,
+        s"bearing=$bearing d=$d got ${dist(30.0, 30.0, x, y)}")
+    }
+  }
+
+  test("buildSurroundingGeometries at (30, 30) with 50 km half-widths: one ~100 km square") {
+    val geos = GeoCodec.surroundingEnvelopes(30.0, 30.0, 50000.0, 50000.0)
+    assert(geos.size == 1)
+    val e = geos.head
+    // the reference walks the ring's coordinates asserting each side is
+    // 100000 m +- 500 (GeometryCalculationsTest.java:52-63)
+    val corners = Seq((e.minX, e.minY), (e.maxX, e.minY), (e.maxX, e.maxY), (e.minX, e.maxY))
+    for (Seq((x1, y1), (x2, y2)) <- (corners :+ corners.head).sliding(2)) {
+      val d = dist(x1, y1, x2, y2)
+      assert(math.abs(d - 100000.0) < 500.0, s"side ($x1,$y1)-($x2,$y2) = $d")
+    }
+    // distances from the centroid to consecutive corners are roughly even
+    // (GeometryCalculationsTest.java:64-74: |d - lastD| < 200)
+    val (cx, cy) = ((e.minX + e.maxX) / 2, (e.minY + e.maxY) / 2)
+    val ds = corners.map { case (x, y) => dist(cx, cy, x, y) }
+    for (Seq(d1, d2) <- (ds :+ ds.head).sliding(2))
+      assert(math.abs(d1 - d2) < 200.0, ds.toString)
+    // the envelope surrounds the center (GeometryCalculationsTest.java:75-80)
+    assert(e.maxX > 30 && e.minX < 30 && e.maxY > 30 && e.minY < 30)
+  }
+
+  test("buildSurroundingGeometries at the antimeridian splits into two envelopes in the reference's order") {
+    // (GeometryCalculationsTest.java:82-110): center (179.9999999996, 0),
+    // 100 km half-widths → first envelope hugs -180, second hugs +180
+    val geos = GeoCodec.surroundingEnvelopes(179.9999999996, 0.0, 100000.0, 100000.0)
+    assert(geos.size == 2)
+    val g0 = geos(0)
+    assert(g0.maxX < -179.0 && g0.maxX > -180.0, g0.toString)
+    assert(math.abs(g0.minX - -180.0) < 1e-7, g0.toString)
+    val g1 = geos(1)
+    assert(g1.minX < 180.0 && g1.minX > 179.0, g1.toString)
+    assert(math.abs(g1.maxX - 180.0) < 1e-7, g1.toString)
+  }
+
+  test("a west-wrapping center (near -180) splits with the +180-hugging envelope first") {
+    val geos = GeoCodec.surroundingEnvelopes(-179.9999999996, 0.0, 100000.0, 100000.0)
+    assert(geos.size == 2)
+    assert(math.abs(geos(0).maxX - 180.0) < 1e-7 && geos(0).minX > 179.0)
+    assert(math.abs(geos(1).minX - -180.0) < 1e-7 && geos(1).maxX < -179.0)
+  }
+
+  test("polar clamp: latitudes never exceed [-90, 90]") {
+    val geos = GeoCodec.surroundingEnvelopes(0.0, 89.9, 10000.0, 50000.0)
+    assert(geos.forall(e => e.maxY <= 90.0 && e.minY >= -90.0))
+  }
+
+  test("radiusQueryMeters across the dateline == brute-force envelope+haversine filter") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables.synthPages(spark, 3000)
+    val (cx, cy, r) = (179.8, 10.0, 1500000.0)
+    val got = Ops.radiusQueryMeters(pts, cx, cy, r)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val envs = GeoCodec.surroundingEnvelopes(cx, cy, r, r)
+    assert(envs.size == 2, "fixture must actually cross the dateline")
+    val inEnv = envs.map(e =>
+      col("lon").between(e.minX, e.maxX) && col("lat").between(e.minY, e.maxY)).reduce(_ || _)
+    val brute = pts.where(inEnv)
+      .where(GeoFunctions.st_distance_haversine(col("lon"), col("lat"), lit(cx), lit(cy)) <= r)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == brute && got.nonEmpty, s"got ${got.size} brute ${brute.size}")
+    // rows from BOTH sides of the antimeridian are found
+    val lons = pts.where(col("doc_id").isin(got.toSeq: _*)).select("lon")
+      .collect().map(_.getDouble(0))
+    assert(lons.exists(_ > 0) && lons.exists(_ < 0))
+  }
+}
