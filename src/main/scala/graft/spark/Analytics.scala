@@ -387,11 +387,21 @@ object Analytics {
         .getField("d2").as("best"))
       .agg(avg("best")).collect()(0).getDouble(0)
 
-  /** KMeans-jump k selection: run kmeans per candidate k, distortion
-    * transform cost^(−dims/2) (the general Sugar–James formula the
-    * reference applies via DistortionGroupManagement.java:61; dims=2
-    * reduces to 1/cost), pick the k with the largest jump (reference:
-    * KMeansJumpJobRunner.java:53-130). Returns (bestK, per-k distortions). */
+  /** the reference's distortion statistic from a (Σ min-d², n) aggregate —
+    * expectation = Σ d² / n, distortion = (expectation / numDims)^(−numDims/2)
+    * (KMeansDistortionMapReduce reducer, KMeansDistortionMapReduce.java:
+    * 211-253; its test pins (0.34 + 0.75)/2 at dims=2 → 3.6697247706422016).
+    * None when the group is empty (the reducer's ptCount == 0 no-write). */
+  def distortion(sumSquaredError: Double, count: Long, dims: Int = 2): Option[Double] =
+    if (count <= 0) None
+    else Some(math.pow((sumSquaredError / count) / dims, -(dims / 2.0)))
+
+  /** KMeans-jump k selection: run kmeans per candidate k, distortion per
+    * the reference's Sugar–James reducer (mean cost / dims)^(−dims/2)
+    * (KMeansDistortionMapReduce.java:243-246, applied by
+    * DistortionGroupManagement.java:61), pick the k with the largest jump
+    * (reference: KMeansJumpJobRunner.java:53-130). Returns (bestK, per-k
+    * distortions). */
   def kmeansJump(pts: DataFrame, initFor: Int => Seq[(Long, Double, Double)],
                  ks: Seq[Int], iters: Int, dims: Int = 2): (Int, Seq[(Int, Double)]) = {
     val distortions = ks.map { k =>
@@ -400,7 +410,7 @@ object Analytics {
         (r.getLong(0), r.getLong(2).toDouble / r.getLong(1) / 100.0,
           r.getLong(3).toDouble / r.getLong(1) / 100.0)
       }.toSeq
-      k -> math.pow(kmeansCost(pts, cents), -dims / 2.0)
+      k -> math.pow(kmeansCost(pts, cents) / dims, -(dims / 2.0))
     }
     val jumps = distortions.zip(0.0 +: distortions.map(_._2))
       .map { case ((k, d), prev) => (k, d - prev) }
