@@ -352,6 +352,23 @@ object GeoCodec {
     b * bigA * (sigma - deltaSigma)
   }
 
+  /** WKB encode choosing dimensionality by Z presence — 2-D when the first
+    * coordinate's Z is NaN, 3-D otherwise (reference
+    * GeometryUtils.geometryToBinary, core/geotime/.../GeometryUtils.java:
+    * 249-261; its test pins that a 2-D round trip reads Z back as NaN and
+    * a 3-D one preserves it). */
+  def geometryToBinary(geom: org.locationtech.jts.geom.Geometry): Array[Byte] = {
+    val dims =
+      if (geom.isEmpty || java.lang.Double.isNaN(
+        geom.getCoordinate.getOrdinate(org.locationtech.jts.geom.Coordinate.Z))) 2
+      else 3
+    new org.locationtech.jts.io.WKBWriter(dims).write(geom)
+  }
+
+  /** inverse of [[geometryToBinary]] (GeometryUtils.java:270-281). */
+  def geometryFromBinary(wkb: Array[Byte]): org.locationtech.jts.geom.Geometry =
+    new org.locationtech.jts.io.WKBReader().read(wkb)
+
   /**
    * Vincenty's DIRECT problem on WGS84: destination (lon, lat) from a
    * start point, an initial bearing in degrees, and a distance in meters —

@@ -63,15 +63,23 @@ object SpatialPlanner {
       .map(padded(s, _))
   }
 
+  /** per-sub-geometry envelope constraints — the reference's
+    * GeometryUtils.basicConstraintsFromGeometry decomposition
+    * (core/geotime/.../GeometryUtils.java:82-145; GeometryUtilsTest
+    * .testConstraintGeneration pins a multipolygon → one box constraint
+    * per member). */
+  def constraintEnvelopes(geom: org.locationtech.jts.geom.Geometry)
+      : Seq[org.locationtech.jts.geom.Envelope] =
+    if (geom.getNumGeometries > 1)
+      (0 until geom.getNumGeometries).map(geom.getGeometryN(_).getEnvelopeInternal)
+    else Seq(geom.getEnvelopeInternal)
+
   /** ranges for an arbitrary JTS geometry: per-sub-geometry envelopes
     * (reference: GeometryUtils.constructListOfConstraintSetsFromGeometry:82-145). */
   def spatialGeometryRanges(geom: org.locationtech.jts.geom.Geometry,
                             maxRanges: Int = MaxRangeDecomposition,
                             pointOnly: Boolean = true): Seq[(Array[Byte], Array[Byte])] = {
-    val envs =
-      if (geom.getNumGeometries > 1)
-        (0 until geom.getNumGeometries).map(geom.getGeometryN(_).getEnvelopeInternal)
-      else Seq(geom.getEnvelopeInternal)
+    val envs = constraintEnvelopes(geom)
     val perEnv = math.max(1, maxRanges / envs.size)
     envs.flatMap { e =>
       spatialBoxRanges(e.getMinX, e.getMaxX, e.getMinY, e.getMaxY, perEnv, pointOnly)
