@@ -114,6 +114,11 @@ object Ingest {
       // byte order of row_key == (salt, cell_id) tuple order because the
       // prefix is fixed-width.
       .withColumn("row_key", compoundKey(col("salt"), col("cell_id")))
+    // record the stored schema once (DDL) so an emptied store still reads
+    // as a typed empty frame (readStore's no-bucket fallback)
+    val schemaFile = Paths.get(outDir, SchemaFile)
+    if (!Files.exists(schemaFile))
+      Files.write(schemaFile, encoded.schema.toDDL.getBytes(StandardCharsets.UTF_8))
     val written = Seq.newBuilder[BucketLineage]
     todo.grouped(cfg.batchSize).zipWithIndex.foreach { case (batch, bi) =>
       if (bi >= cfg.failAfterBatches)
@@ -259,7 +264,22 @@ object Ingest {
     * crashed delete left mid-swap first — see recoverRetiredBuckets). */
   def readStore(spark: SparkSession, outDir: String): DataFrame = {
     recoverRetiredBuckets(s"$outDir/data")
-    spark.read.parquet(s"$outDir/data")
+    val dataDir = Paths.get(outDir, "data")
+    // a fully-deleted store has no bucket dirs left (delete swaps remove
+    // them); serve an EMPTY frame with the ingest-recorded schema instead
+    // of letting parquet schema inference throw — the reference's store
+    // returns an empty scan, not an error. One-level dir listing only.
+    def hasBuckets: Boolean = Files.exists(dataDir) && {
+      val s = Files.list(dataDir)
+      try s.anyMatch(p => p.getFileName.toString.startsWith("bucket="))
+      finally s.close()
+    }
+    val schemaFile = Paths.get(outDir, SchemaFile)
+    if (!hasBuckets && Files.exists(schemaFile)) {
+      val ddl = new String(Files.readAllBytes(schemaFile), StandardCharsets.UTF_8)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    } else spark.read.parquet(dataDir.toString)
   }
 
   /**
@@ -466,6 +486,7 @@ object Ingest {
   }
 
   private val DeleteMarker = ".delete-inprogress"
+  private val SchemaFile = "_schema.ddl"
   private val DeleteGraceMs = 15L * 60 * 1000
 
   /** recount + recommit the lineage of `buckets` from the LIVE store — the
