@@ -737,6 +737,25 @@ object SparkEntry {
       Ops.radiusQueryMeters(Tables.pages(s, dir), RadCenter._1, RadCenter._2, RadMeters)
         .select(col("doc_id"), col("lon"), col("lat"))
     }),
+    "q88_rowkey_scan" -> ((s, dir) => {
+      // the KV-layout access path driven end to end: box scan by the
+      // compound ROW KEY (salt ‖ cell) through the salt × SFC
+      // cross-product ranges (CompoundIndexStrategy.getQueryRanges) over
+      // the sorted store — shares q85's fingerprinted store artifact
+      // (reads only doc_id/lon/lat/row_key, which its visibility
+      // transform never touches; ingest is committed-bucket idempotent)
+      val path = tmpIndexPath(dir, "graft-transtore")
+      val pages = Tables.pages(s, dir)
+        .withColumn("url", concat(lit("doc-"), col("doc_id")))
+        .withColumn("vis", element_at(
+          array(lit("a"), lit("b&a"), lit("c|b"), lit("(a|c)&d")),
+          (col("doc_id") % 4).cast("int") + 1))
+      graft.spark.Ingest.run(s, pages, path, graft.spark.Ingest.Config(
+        numBuckets = 8, batchSize = 8, targetPartitions = 8))
+      Ops.spatialBoxQueryRowKey(graft.spark.Ingest.readStore(s, path),
+          Box._1, Box._2, Box._3, Box._4, saltCount = 8)
+        .select(col("doc_id"), col("lon"), col("lat"))
+    }),
     "q85_transform_vis" -> ((s, dir) => {
       // the store's third mutation verb, oracle-gated end to end: ingest a
       // store carrying a per-row visibility expression, rewrite the
@@ -1659,6 +1678,13 @@ object SparkEntry {
     "q71_text_range_cs" ->
       s"""SELECT doc_id AS id FROM documents
          |WHERE text >= 'the' AND text <= 'these'""".stripMargin,
+    "q88_rowkey_scan" ->
+      // the row_key compound-range scan is an access-path choice; the
+      // result set is the plain box query over the same pages
+      s"""$pagesCte
+         |SELECT doc_id, lon, lat FROM pages
+         |WHERE lon >= ${Box._1} AND lon <= ${Box._2}
+         |  AND lat >= ${Box._3} AND lat <= ${Box._4}""".stripMargin,
     "q86_stats_clipped_box" ->
       // the clip is a pure pruning optimization: the oracle filters the
       // shard with the ORIGINAL (unclipped) query box

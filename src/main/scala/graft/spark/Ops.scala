@@ -157,6 +157,27 @@ object Ops {
     }
   }
 
+  /** Spatial box scan by the COMPOUND ROW KEY (salt byte ‖ cell id) — the
+    * reference's physical access path: CompoundIndexStrategy.getQueryRanges
+    * fans the SFC ranges across every salt prefix and the sorted store is
+    * range-scanned per compound range (HashKeyIndexStrategy.getQueryRanges
+    * via CompoundIndexStrategy, core/index/.../CompoundIndexStrategy.java).
+    * Our usual scans push the cell predicate on the `cell_id` COLUMN
+    * instead (equivalent pruning without the salt fan-out); this is the
+    * row_key-ordered twin, pruning parquet row groups through the store's
+    * (salt, cell) sort. `saltCount` must match the ingest config. */
+  def spatialBoxQueryRowKey(store: DataFrame, lonMin: Double, lonMax: Double,
+                            latMin: Double, latMax: Double, saltCount: Int,
+                            rowKeyCol: String = "row_key"): DataFrame = {
+    val cellRanges = SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax)
+    // salt-major emission preserves disjoint sorted order (fixed-width
+    // one-byte prefix dominates the compound key comparison)
+    val ranges = SpatialPlanner.compoundRanges(saltCount, cellRanges)
+    store
+      .where(SpatialPlanner.rangesPredicate(col(rowKeyCol), ranges))
+      .where(SpatialPlanner.boxPredicate(col("lon"), col("lat"), lonMin, lonMax, latMin, latMax))
+  }
+
   /** Meters-radius point query (the reference's DWITHIN shape): geodesic
     * surrounding envelope(s) from the direct problem — TWO when the radius
     * crosses the antimeridian — bound the coarse SFC ranges and the box

@@ -45,6 +45,26 @@ class SaltStrategyPortSpec extends SparkTestBase {
     assert(multi.length == 512 && multi.forall(_ == 4L))
   }
 
+  test("row_key compound-range scan == cell_id-pruned scan over a salted sorted store") {
+    val dir = graft.TestTmp.dir("graft-rowkey-scan").toString
+    val pages = Tables.synthPages(spark, 1500)
+    Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 4, batchSize = 4, saltCount = 8))
+    val store = Ingest.readStore(spark, dir)
+    val box = (10.0, 120.0, -20.0, 60.0)
+    val viaRowKey = Ops.spatialBoxQueryRowKey(store, box._1, box._2, box._3, box._4, 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaCell = Ops.spatialBoxQuery(store, box._1, box._2, box._3, box._4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaRowKey == viaCell && viaCell.nonEmpty)
+    // the compound coarse prefilter genuinely prunes (admits < all rows)
+    val ranges = SpatialPlanner.compoundRanges(8,
+      SpatialPlanner.spatialBoxRanges(box._1, box._2, box._3, box._4))
+    val coarse = store.where(
+      SpatialPlanner.rangesPredicate(org.apache.spark.sql.functions.col("row_key"), ranges)).count()
+    assert(coarse < store.count() && coarse >= viaCell.size)
+    graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
   test("HashKeyIndexStrategyTest.testGetQueryRangesWithMaximumNumberOfRanges: compound ranges == salt x sfc cross product") {
     // the reference composes every salt byte with every SFC range for the
     // numeric box [50.0, 50.025] x [-20.5, -20.455]
