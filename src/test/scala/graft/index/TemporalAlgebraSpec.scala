@@ -94,4 +94,29 @@ class TemporalAlgebraSpec extends AnyFunSuite {
     assert(StatsClip.clipEnvelope(q, Some(StatsClip.Env(20, 30, 0, 10))).isEmpty)
     assert(StatsClip.clipEnvelope(q, Some(StatsClip.Env(0, 10, 20, 30))).isEmpty)
   }
+
+  test("fuzz: findIntersections membership == pointwise AND over 200 random instances") {
+    // soundness of the clip regardless of the reference add()'s
+    // overlap-retaining quirk: a point is inside the intersection result
+    // iff it is inside some range on BOTH sides (closed intervals)
+    val rnd = new scala.util.Random(20260818L)
+    def randRanges(): List[TemporalRange] =
+      List.fill(1 + rnd.nextInt(4)) {
+        val a = rnd.nextInt(200).toLong; TemporalRange(a, a + rnd.nextInt(40))
+      }
+    def member(t: Long, rs: List[TemporalRange]): Boolean =
+      rs.exists(r => t >= r.start && t <= r.end)
+    for (_ <- 0 until 200) {
+      val (l, r) = (randRanges(), randRanges())
+      val inter = TemporalAlgebra.findIntersections(l, r)
+      for (t <- 0L to 250L)
+        assert(member(t, inter) == (member(t, l) && member(t, r)),
+          s"t=$t l=$l r=$r inter=$inter")
+      // merge covers the union pointwise
+      val merged = TemporalAlgebra.merge(l, r)
+      for (t <- 0L to 250L)
+        assert(member(t, merged) == (member(t, l) || member(t, r)),
+          s"merge t=$t l=$l r=$r merged=$merged")
+    }
+  }
 }
