@@ -694,5 +694,35 @@ object GeoFunctions {
       es => VincentyMeters(es.head, es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("gw_geohash",
       es => GeohashId(es.head, es(1), intLit(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("st_coord_cosine",
+      es => {
+        // raw catalyst tree (a Column round-trip is Unevaluable inside a
+        // FunctionBuilder in Spark 4) mirroring st_coord_cosine exactly:
+        // same operation order, same IEEE edge branches
+        require(es.length == 6, s"st_coord_cosine takes (x1,y1,z1,x2,y2,z2); got ${es.length}")
+        val Seq(x1, y1, z1, x2, y2, z2) = es.toSeq
+        def dot(ax: Expression, ay: Expression, az: Expression,
+                bx: Expression, by: Expression, bz: Expression): Expression =
+          Add(Add(Multiply(ax, bx), Multiply(ay, by)), Multiply(az, bz))
+        val ab = dot(x1, y1, z1, x2, y2, z2)
+        val denom = Multiply(Sqrt(dot(x1, y1, z1, x1, y1, z1)),
+          Sqrt(dot(x2, y2, z2, x2, y2, z2)))
+        val zero = Literal(0.0)
+        CaseWhen(Seq(
+          (EqualTo(denom, zero), CaseWhen(Seq(
+            (EqualTo(ab, zero), Literal(Double.NaN)),
+            (GreaterThan(ab, zero), Literal(Double.PositiveInfinity))),
+            Literal(Double.NegativeInfinity)))),
+          Divide(ab, denom))
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("gw_vis_allows",
+      es => {
+        // auths as a comma-separated string LITERAL (constant per query,
+        // like the reference scan's authorization set)
+        require(es.length == 2, s"gw_vis_allows takes (vis, 'a,b,...'); got ${es.length}")
+        val auths = es(1).eval(InternalRow.empty).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Visibility.VisibilityMatches(es.head, auths)
+      }, "scala_udf")
   }
 }

@@ -32,6 +32,20 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("st_coord_cosine and gw_vis_allows are SQL-callable") {
+    GeoFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT st_coord_cosine(1.0, 0.0, 0.0, 1.0, 0.0, 0.0) AS same,
+        |       st_coord_cosine(1.0, 0.0, 0.0, 0.0, 1.0, 0.0) AS ortho,
+        |       st_coord_cosine(0.0, 0.0, 0.0, 1.0, 0.0, 0.0) AS zeroNorm,
+        |       gw_vis_allows('a&b', 'a,b') AS yes,
+        |       gw_vis_allows('a&b', 'a,c') AS no,
+        |       gw_vis_allows('', 'x') AS everyone""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+    assert(java.lang.Double.isNaN(r.getDouble(2))) // the reference's 0/0 quirk
+    assert(r.getBoolean(3) && !r.getBoolean(4) && r.getBoolean(5))
+  }
+
   test("st_envelope / st_centroid over WKB geometries") {
     import spark.implicits._
     val gf = new org.locationtech.jts.geom.GeometryFactory()
