@@ -25,8 +25,6 @@ object SparkEntry {
   // q87 meters-radius query: a center whose radius crosses the antimeridian
   private val RadCenter = (179.8, 30.0)
   private val RadMeters = 2000000.0
-  private lazy val RadEnvs =
-    graft.spark.GeoCodec.surroundingEnvelopes(RadCenter._1, RadCenter._2, RadMeters, RadMeters)
   // triangle polygon for exact-geometry tests; vertices chosen so no
   // 0.01-grid point sits on a non-horizontal edge (see q02 oracle)
   private val TriWkt = "POLYGON ((0.005 0.005, 60.005 0.005, 30.005 40.005, 0.005 0.005))"
@@ -725,15 +723,15 @@ object SparkEntry {
       val shard = Tables.pages(s, dir)
         .where(col("lon").between(0.0, 50.0) && col("lat").between(0.0, 40.0))
       Ops.spatialBoxQueryClipped(shard, 25.0, 179.0, 20.0, 89.0,
-          Some(Ops.bboxStatsEnv(shard)))
+          Ops.bboxStatsEnv(shard))
         .select(col("doc_id"), col("lon"), col("lat"))
     }),
     "q87_radius_meters" -> ((s, dir) => {
-      // meters-radius DWITHIN at the antimeridian: the geodesic
-      // surrounding envelopes (vincentyDirect, dateline-SPLIT into two)
-      // bound the coarse ranges and the box fine filter; haversine
-      // decides. The oracle applies the same two envelopes (bounds are
-      // deterministic doubles computed once below) + the haversine twin.
+      // meters-radius DWITHIN at the antimeridian: the SOUND
+      // haversine-disk envelopes (dateline-SPLIT into two) bound the
+      // coarse ranges and the box fine filter; haversine decides. The
+      // oracle is PURE haversine, so envelope under-coverage would
+      // hash-mismatch.
       Ops.radiusQueryMeters(Tables.pages(s, dir), RadCenter._1, RadCenter._2, RadMeters)
         .select(col("doc_id"), col("lon"), col("lat"))
     }),
@@ -1692,22 +1690,18 @@ object SparkEntry {
          |SELECT doc_id, lon, lat FROM pages
          |WHERE lon >= 0.0 AND lon <= 50.0 AND lat >= 0.0 AND lat <= 40.0
          |  AND lon >= 25.0 AND lon <= 179.0 AND lat >= 20.0 AND lat <= 89.0""".stripMargin,
-    "q87_radius_meters" -> {
-      // exact envelope bounds from the same vincentyDirect computation the
-      // Spark side uses (Double.toString round-trips through DuckDB's
-      // decimal parse), haversine twin in q41's exact operation order
-      val envSql = RadEnvs.map(e =>
-        s"(lon >= ${e.minX} AND lon <= ${e.maxX} AND lat >= ${e.minY} AND lat <= ${e.maxY})")
-        .mkString("(", " OR ", ")")
+    "q87_radius_meters" ->
+      // PURE haversine oracle (q41's exact operation order) — no envelope
+      // terms: the Spark side's haversine-disk envelope cover must be a
+      // SOUND superset of the disk, so any under-coverage shows up here
+      // as a hash mismatch
       s"""$pagesCte
          |SELECT doc_id, lon, lat FROM pages
-         |WHERE $envSql
-         |  AND 2.0 * 6371008.8 * ASIN(SQRT(
+         |WHERE 2.0 * 6371008.8 * ASIN(SQRT(
          |    SIN(RADIANS(lat - ${RadCenter._2}) / 2) * SIN(RADIANS(lat - ${RadCenter._2}) / 2) +
          |    COS(RADIANS(${RadCenter._2})) * COS(RADIANS(lat)) *
          |    SIN(RADIANS(lon - ${RadCenter._1}) / 2) * SIN(RADIANS(lon - ${RadCenter._1}) / 2)))
-         |    <= $RadMeters""".stripMargin
-    },
+         |    <= $RadMeters""".stripMargin,
     "q85_transform_vis" ->
       // visibility-transform oracle (VisibilityTransformer.java:25-60):
       // replaceFirst is DuckDB regexp_replace's non-global default; no

@@ -36,10 +36,9 @@ object TemporalAlgebra {
     val buf = scala.collection.mutable.ListBuffer.from(constraints)
     var pos = 0
     var nextNeighbor: TemporalRange = null
-    var done = false
     val it = constraints.iterator
     var broke = false
-    while (it.hasNext && !done && !broke) {
+    while (it.hasNext && !broke) {
       nextNeighbor = it.next()
       if (nextNeighbor.start > range.start) {
         broke = true

@@ -394,7 +394,12 @@ object Analytics {
     * None when the group is empty (the reducer's ptCount == 0 no-write). */
   def distortion(sumSquaredError: Double, count: Long, dims: Int = 2): Option[Double] =
     if (count <= 0) None
-    else Some(math.pow((sumSquaredError / count) / dims, -(dims / 2.0)))
+    else Some(distortionOfExpectation(sumSquaredError / count, dims))
+
+  /** the distortion transform of an already-averaged expectation —
+    * shared by [[distortion]] and [[kmeansJump]]. */
+  def distortionOfExpectation(expectation: Double, dims: Int): Double =
+    math.pow(expectation / dims, -(dims / 2.0))
 
   /** KMeans-jump k selection: run kmeans per candidate k, distortion per
     * the reference's Sugar–James reducer (mean cost / dims)^(−dims/2)
@@ -410,7 +415,7 @@ object Analytics {
         (r.getLong(0), r.getLong(2).toDouble / r.getLong(1) / 100.0,
           r.getLong(3).toDouble / r.getLong(1) / 100.0)
       }.toSeq
-      k -> math.pow(kmeansCost(pts, cents) / dims, -(dims / 2.0))
+      k -> distortionOfExpectation(kmeansCost(pts, cents), dims)
     }
     val jumps = distortions.zip(0.0 +: distortions.map(_._2))
       .map { case ((k, d), prev) => (k, d - prev) }

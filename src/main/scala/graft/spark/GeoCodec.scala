@@ -427,6 +427,38 @@ object GeoCodec {
   }
 
   /**
+   * SOUND bounding envelope(s) of the haversine disk of radius `rMeters`
+   * around a center, on the same sphere (R = 6371008.8) the haversine
+   * filter uses — antimeridian-split like [[surroundingEnvelopes]]. Unlike
+   * the 4-cardinal-destination envelope, this covers the disk's true
+   * east/west extremes, which lie POLEWARD of the center latitude:
+   * dLon = asin(sin(r/R) / cos(lat)) (vs the bearing-90 destination's
+   * smaller atan-based offset). A disk reaching a pole or with
+   * cos(lat) <= sin(r/R) spans all longitudes. Use this to bound a
+   * haversine-decided radius query; [[surroundingEnvelopes]] remains the
+   * GeometryCalculations port with the reference's own (envelope-decides)
+   * semantics.
+   */
+  def haversineDiskEnvelopes(lon: Double, lat: Double, rMeters: Double): Seq[StatsClip.Env] = {
+    val R = 6371008.8
+    val c = rMeters / R // angular radius
+    val latR = math.toRadians(lat)
+    val loY = math.max(-90.0, lat - math.toDegrees(c))
+    val hiY = math.min(90.0, lat + math.toDegrees(c))
+    val sinC = math.sin(c)
+    if (c >= math.Pi / 2 || loY <= -90.0 + 1e-12 || hiY >= 90.0 - 1e-12 ||
+        math.cos(latR) <= sinC)
+      return Seq(StatsClip.Env(-180.0, 180.0, loY, hiY))
+    val dLon = math.toDegrees(math.asin(sinC / math.cos(latR)))
+    val (xW, xE) = (lon - dLon, lon + dLon)
+    if (xW < -180.0)
+      Seq(StatsClip.Env(xW + 360.0, 180.0, loY, hiY), StatsClip.Env(-180.0, xE, loY, hiY))
+    else if (xE > 180.0)
+      Seq(StatsClip.Env(-180.0, xE - 360.0, loY, hiY), StatsClip.Env(xW, 180.0, loY, hiY))
+    else Seq(StatsClip.Env(xW, xE, loY, hiY))
+  }
+
+  /**
    * Geodesic envelope(s) of half-width xMeters / half-height yMeters
    * around a center — the reference's
    * GeometryCalculations.buildSurroundingGeometries +

@@ -115,10 +115,16 @@ object Ingest {
       // prefix is fixed-width.
       .withColumn("row_key", compoundKey(col("salt"), col("cell_id")))
     // record the stored schema once (DDL) so an emptied store still reads
-    // as a typed empty frame (readStore's no-bucket fallback)
+    // as a typed empty frame (readStore's no-bucket fallback). Recorded in
+    // the READ-BACK order: the parquet reader appends the bucket partition
+    // column LAST, not where the ingest frame carries it — the fallback
+    // frame must be positionally identical to a real read
     val schemaFile = Paths.get(outDir, SchemaFile)
-    if (!Files.exists(schemaFile))
-      Files.write(schemaFile, encoded.schema.toDDL.getBytes(StandardCharsets.UTF_8))
+    if (!Files.exists(schemaFile)) {
+      val readBack = org.apache.spark.sql.types.StructType(
+        encoded.schema.fields.filterNot(_.name == "bucket") :+ encoded.schema("bucket"))
+      Files.write(schemaFile, readBack.toDDL.getBytes(StandardCharsets.UTF_8))
+    }
     val written = Seq.newBuilder[BucketLineage]
     todo.grouped(cfg.batchSize).zipWithIndex.foreach { case (batch, bi) =>
       if (bi >= cfg.failAfterBatches)
@@ -539,9 +545,10 @@ object Ingest {
 
   def deleteByQuery(spark: SparkSession, outDir: String,
                     predicate: org.apache.spark.sql.Column): Seq[BucketLineage] = {
-    val dataDir = s"$outDir/data"
     recoverStaleDelete(spark, outDir)
-    val store = spark.read.parquet(dataDir)
+    // readStore, not a raw parquet read: a fully-deleted store must make
+    // this a no-op (typed empty frame), never a schema-inference error
+    val store = readStore(spark, outDir)
     val affected = store.where(predicate)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -566,7 +573,8 @@ object Ingest {
                                  regex: String, replacement: String,
                                  visCol: String = "vis"): Seq[BucketLineage] = {
     recoverStaleDelete(spark, outDir)
-    val store = spark.read.parquet(s"$outDir/data")
+    // readStore for the emptied-store no-op, like deleteByQuery
+    val store = readStore(spark, outDir)
     val rewritten = Visibility.replaceFirst(col(visCol), regex, replacement)
     // null predicate values are NOT matches (same contract as delete)
     val changes = coalesce(predicate, lit(false)) && rewritten =!= col(visCol)

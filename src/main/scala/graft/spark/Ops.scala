@@ -106,10 +106,13 @@ object Ops {
 
   /** the store's bounding-box statistic as a pure envelope — the
     * reference's client-side FeatureBoundingBoxStatistics read feeding
-    * QueryIndexHelper (a 4-double collect, like its metadata-table get). */
-  def bboxStatsEnv(pts: DataFrame): graft.index.StatsClip.Env = {
+    * QueryIndexHelper (a 4-double collect, like its metadata-table get).
+    * None for an EMPTY store (null aggregates) — the unset statistic;
+    * feed it to the clipped scans to short-circuit to an empty result. */
+  def bboxStatsEnv(pts: DataFrame): Option[graft.index.StatsClip.Env] = {
     val r = pts.agg(min(col("lon")), max(col("lon")), min(col("lat")), max(col("lat"))).collect()(0)
-    graft.index.StatsClip.Env(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    if (r.isNullAt(0)) None
+    else Some(graft.index.StatsClip.Env(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
   }
 
   /** Stats-clipped spatial box query
@@ -169,7 +172,13 @@ object Ops {
   def spatialBoxQueryRowKey(store: DataFrame, lonMin: Double, lonMax: Double,
                             latMin: Double, latMax: Double, saltCount: Int,
                             rowKeyCol: String = "row_key"): DataFrame = {
-    val cellRanges = SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax)
+    // divide the decomposition budget across the salt fan-out like the
+    // reference (CompoundIndexStrategy.getQueryRanges caps the inner
+    // strategy at maxRanges / partitionCount) — otherwise a large box
+    // materializes saltCount x MaxRangeDecomposition literal ranges in
+    // the driver plan
+    val cellRanges = SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax,
+      math.max(1, SpatialPlanner.MaxRangeDecomposition / saltCount))
     // salt-major emission preserves disjoint sorted order (fixed-width
     // one-byte prefix dominates the compound key comparison)
     val ranges = SpatialPlanner.compoundRanges(saltCount, cellRanges)
@@ -178,19 +187,21 @@ object Ops {
       .where(SpatialPlanner.boxPredicate(col("lon"), col("lat"), lonMin, lonMax, latMin, latMax))
   }
 
-  /** Meters-radius point query (the reference's DWITHIN shape): geodesic
-    * surrounding envelope(s) from the direct problem — TWO when the radius
-    * crosses the antimeridian — bound the coarse SFC ranges and the box
-    * fine filter (GeometryCalculations.buildSurroundingGeometries,
-    * analytics/api/.../GeometryCalculations.java:41-170), then the
-    * haversine distance decides. */
+  /** Meters-radius point query (the reference's DWITHIN shape): SOUND
+    * haversine-disk envelope(s) — TWO when the radius crosses the
+    * antimeridian — bound the coarse SFC ranges and the box fine filter,
+    * then the haversine distance decides. The envelopes come from
+    * [[GeoCodec.haversineDiskEnvelopes]] (the disk's true east/west
+    * extremes, poleward of the center), so no point within the radius is
+    * ever excluded by the cover; the 4-cardinal
+    * GeometryCalculations envelope would under-cover near the E/W edges. */
   def radiusQueryMeters(pts: DataFrame, lon: Double, lat: Double,
                         radiusMeters: Double,
                         cellCol: String = "cell_id"): DataFrame = {
     val withCell =
       if (pts.columns.contains(cellCol)) pts
       else pts.withColumn(cellCol, gw_cell_id(col("lon"), col("lat")))
-    val envs = GeoCodec.surroundingEnvelopes(lon, lat, radiusMeters, radiusMeters)
+    val envs = GeoCodec.haversineDiskEnvelopes(lon, lat, radiusMeters)
     val ranges = SpatialPlanner.mergeRanges(envs.flatMap { e =>
       SpatialPlanner.spatialBoxRanges(e.minX, e.maxX, e.minY, e.maxY,
         math.max(1, SpatialPlanner.MaxRangeDecomposition / envs.size))

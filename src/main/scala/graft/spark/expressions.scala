@@ -720,8 +720,11 @@ object GeoFunctions {
         // auths as a comma-separated string LITERAL (constant per query,
         // like the reference scan's authorization set)
         require(es.length == 2, s"gw_vis_allows takes (vis, 'a,b,...'); got ${es.length}")
-        val auths = es(1).eval(InternalRow.empty).toString
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        require(es(1).foldable,
+          "gw_vis_allows: the authorization set must be a string literal")
+        val authsVal = es(1).eval(InternalRow.empty)
+        require(authsVal != null, "gw_vis_allows: the authorization set must not be NULL")
+        val auths = authsVal.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         Visibility.VisibilityMatches(es.head, auths)
       }, "scala_udf")
   }

@@ -17,7 +17,7 @@ class StatsClipQuerySpec extends SparkTestBase {
     val shard = pts.where(col("lon").between(0.0, 50.0) && col("lat").between(0.0, 40.0))
       .withColumn("cell_id", GeoFunctions.gw_cell_id(col("lon"), col("lat")))
       .cache()
-    val stats = Ops.bboxStatsEnv(shard)
+    val stats = Ops.bboxStatsEnv(shard).get
     val budget = 16
     val q = (25.0, 179.0, 20.0, 89.0)
     val unclipped = SpatialPlanner.spatialBoxRanges(q._1, q._2, q._3, q._4, budget)
@@ -38,7 +38,7 @@ class StatsClipQuerySpec extends SparkTestBase {
   }
 
   test("clipped scan returns exactly the unclipped result set") {
-    val stats = Ops.bboxStatsEnv(pts)
+    val stats = Ops.bboxStatsEnv(pts).get
     val plain = Ops.spatialBoxQuery(pts, -180.0, -100.0, 40.0, 90.0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val clipped = Ops.spatialBoxQueryClipped(pts, -180.0, -100.0, 40.0, 90.0, Some(stats))
@@ -66,7 +66,7 @@ class StatsClipQuerySpec extends SparkTestBase {
       case i: java.time.Instant => i.toEpochMilli
     }
     val statsTs = (millis(r.get(0)), millis(r.get(1)))
-    val stats = Ops.bboxStatsEnv(evts)
+    val stats = Ops.bboxStatsEnv(evts).get
     val plain = Ops.stBoxQuery(evts, 10.0, 120.0, -20.0, 60.0, tsMin, tsMax)
       .select("event_id").collect().map(_.getLong(0)).toSet
     val clipped = Ops.stBoxQueryClipped(evts, 10.0, 120.0, -20.0, 60.0, tsMin, tsMax,

@@ -49,9 +49,9 @@ class StoreStatsPortSpec extends SparkTestBase {
     assert(scoped(Seq("aaa")).count() == 2L)
     assert(scoped(Seq("bbb")).count() == 1L)
     // bbox stats: aaa = [25,26]x[32,32], bbb = [27,27], merged = [25,27]
-    assert(Ops.bboxStatsEnv(scoped(Seq("aaa"))) == graft.index.StatsClip.Env(25, 26, 32, 32))
-    assert(Ops.bboxStatsEnv(scoped(Seq("bbb"))) == graft.index.StatsClip.Env(27, 27, 32, 32))
-    assert(Ops.bboxStatsEnv(scoped(Seq("aaa", "bbb"))) == graft.index.StatsClip.Env(25, 27, 32, 32))
+    assert(Ops.bboxStatsEnv(scoped(Seq("aaa"))).contains(graft.index.StatsClip.Env(25, 26, 32, 32)))
+    assert(Ops.bboxStatsEnv(scoped(Seq("bbb"))).contains(graft.index.StatsClip.Env(27, 27, 32, 32)))
+    assert(Ops.bboxStatsEnv(scoped(Seq("aaa", "bbb"))).contains(graft.index.StatsClip.Env(25, 27, 32, 32)))
     // deleting test_pt_2 (vis bbb) with auths {aaa} is a NO-OP — the
     // delete's scan cannot see the row (ScanCallback found == false)
     assert(authedDelete(dir, "test_pt_2", Seq("aaa")) == 0)
@@ -64,8 +64,8 @@ class StoreStatsPortSpec extends SparkTestBase {
     assert(scoped(Seq("bbb")).count() == 1L)
     // DIVERGENCE: the reference's bbox keeps [25,26] for aaa (merge-only
     // statistic, never shrinks on delete); ours recomputes exactly
-    assert(Ops.bboxStatsEnv(scoped(Seq("aaa"))) == graft.index.StatsClip.Env(26, 26, 32, 32))
-    assert(Ops.bboxStatsEnv(scoped(Seq("aaa", "bbb"))) == graft.index.StatsClip.Env(26, 27, 32, 32))
+    assert(Ops.bboxStatsEnv(scoped(Seq("aaa"))).contains(graft.index.StatsClip.Env(26, 26, 32, 32)))
+    assert(Ops.bboxStatsEnv(scoped(Seq("aaa", "bbb"))).contains(graft.index.StatsClip.Env(26, 27, 32, 32)))
     // lineage row totals track the delete exactly
     val lineageRows = Ingest.readLineage(spark, dir)
       .agg(sum("rows")).collect()(0).getLong(0)
