@@ -70,10 +70,22 @@ class StoreStatsPortSpec extends SparkTestBase {
     val lineageRows = Ingest.readLineage(spark, dir)
       .agg(sum("rows")).collect()(0).getLong(0)
     assert(lineageRows == 2L)
-    // the everything-delete under full auths empties the store
+    // the everything-delete under full auths empties the store; the
+    // emptied store reads as a typed empty frame POSITIONALLY identical
+    // to a real partitioned-parquet read (bucket last)
+    val fullSchema = Ingest.readStore(spark, dir).schema
     assert(Ingest.deleteByQuery(spark, dir,
       Visibility.visible(col("vis"), Seq("aaa", "bbb"))).nonEmpty)
+    val emptyRead = Ingest.readStore(spark, dir)
+    assert(emptyRead.count() == 0)
+    assert(emptyRead.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      fullSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"fallback schema order must match a real read:\n${emptyRead.schema}\nvs\n$fullSchema")
     assert(queryCount(dir, Seq("aaa", "bbb")) == 0L)
+    // stats of nothing: unset, and a further delete/transform is a no-op
+    assert(Ops.bboxStatsEnv(emptyRead).isEmpty)
+    assert(Ingest.deleteByQuery(spark, dir, lit(true)).isEmpty)
+    assert(Ingest.transformVisibilityByQuery(spark, dir, lit(true), "a", "z").isEmpty)
     graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
   }
 }
