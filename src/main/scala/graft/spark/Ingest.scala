@@ -60,14 +60,17 @@ object Ingest {
     val d = lineageDir(outDir)
     if (!Files.exists(d)) Set.empty
     else {
-      val it = Files.list(d).iterator()
-      val out = Set.newBuilder[Int]
-      while (it.hasNext) {
-        val name = it.next().getFileName.toString
-        if (name.startsWith("bucket-") && name.endsWith(".json"))
-          out += name.stripPrefix("bucket-").stripSuffix(".json").toInt
-      }
-      out.result()
+      val s = Files.list(d)
+      try {
+        val it = s.iterator()
+        val out = Set.newBuilder[Int]
+        while (it.hasNext) {
+          val name = it.next().getFileName.toString
+          if (name.startsWith("bucket-") && name.endsWith(".json"))
+            out += name.stripPrefix("bucket-").stripSuffix(".json").toInt
+        }
+        out.result()
+      } finally s.close()
     }
   }
 
@@ -123,7 +126,11 @@ object Ingest {
     if (!Files.exists(schemaFile)) {
       val readBack = org.apache.spark.sql.types.StructType(
         encoded.schema.fields.filterNot(_.name == "bucket") :+ encoded.schema("bucket"))
-      Files.write(schemaFile, readBack.toDDL.getBytes(StandardCharsets.UTF_8))
+      // tmp + atomic move: a torn DDL would break every emptied-store read
+      // forever (the existence guard above would never rewrite it)
+      val tmp = Paths.get(outDir, SchemaFile + ".tmp")
+      Files.write(tmp, readBack.toDDL.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, schemaFile, StandardCopyOption.ATOMIC_MOVE)
     }
     val written = Seq.newBuilder[BucketLineage]
     todo.grouped(cfg.batchSize).zipWithIndex.foreach { case (batch, bi) =>
@@ -204,8 +211,18 @@ object Ingest {
     * its HIGH hex digits here and collide. hex/unhex because ANSI mode
     * rejects a direct int→binary cast. */
   def compoundKey(salt: org.apache.spark.sql.Column,
-                  cellId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    concat(unhex(lpad(hex(salt), 2, "0")), cellId)
+                  cellId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // the prefix spends exactly ONE byte; lpad(hex(salt), 2) would
+    // silently TRUNCATE a salt > 255 ('100' → '10', colliding with salt
+    // 16 and breaking the row_key order invariant). Config enforces the
+    // range for the ingest salt; external compositions (e.g.
+    // roundRobinSalt(n > 256), which the reference allows standalone)
+    // must fail loudly instead
+    val guarded = when(salt.between(0, 255), salt)
+      .otherwise(raise_error(format_string(
+        "compoundKey: salt %s outside [0, 255] (one prefix byte)", salt)).cast("int"))
+    concat(unhex(lpad(hex(guarded), 2, "0")), cellId)
+  }
 
   /** rotating per-writer partition prefix — the reference's
     * RoundRobinKeyIndexStrategy (core/index/.../simple/
@@ -335,8 +352,12 @@ object Ingest {
       .sortWithinPartitions(idCol)
       .write.mode("overwrite").parquet(s"$outDir/_alt")
     finally alt.unpersist()
-    Files.write(Paths.get(outDir, "_alt", "_graft_covered.json"),
-      covered.mkString("[", ",", "]").getBytes("UTF-8"))
+    // tmp + atomic move like appendAltRows: a torn coverage file would
+    // either wedge later parses or silently claim buckets covered
+    val tmp = Paths.get(outDir, "_alt", "_graft_covered.json.tmp")
+    Files.write(tmp, covered.mkString("[", ",", "]").getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(outDir, "_alt", "_graft_covered.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** the coverage-metadata set as recorded (empty when absent). */
@@ -427,23 +448,32 @@ object Ingest {
           .collect().map(_.getInt(0)).toSet
         // buckets ingested AFTER the alt build are invisible to the probe:
         // scan just those for matches (ids the stale index cannot locate)
+        // readStore (not a raw parquet read) everywhere below: a
+        // fully-emptied store must make this a no-op, never a
+        // schema-inference error — stale alt rows can outlive every bucket
+        val store = readStore(spark, outDir)
         val uncovered = (completedBuckets(outDir) -- covered).toSeq.sorted
+        // buckets ingested AFTER the alt build: this scan already
+        // match-CONFIRMS them, so they skip the candidate confirm below
         val extra =
           if (uncovered.isEmpty) Set.empty[Int]
-          else spark.read.parquet(s"$outDir/data")
+          else store
             .where(col("bucket").isin(uncovered: _*)).where(pred)
             .select("bucket").distinct().collect().map(_.getInt(0)).toSet
         // stale alt entries over-approximate (ids deleted or moved by an
-        // earlier rewrite still map to their old bucket): confirm with ONE
-        // candidate-bucket-pruned scan and rewrite only buckets that hold
-        // actual matches — a re-run of the same delete is then a cheap
-        // no-op instead of a file-identical bucket rewrite
-        val cand = (probed ++ extra).toSeq.sorted
-        val buckets =
-          if (cand.isEmpty) Seq.empty[Int]
-          else spark.read.parquet(s"$outDir/data")
+        // earlier rewrite still map to their old bucket): confirm the
+        // PROBED candidates with one bucket-pruned scan (the uncovered
+        // scan above already confirmed `extra` — re-confirming would read
+        // those buckets twice) and rewrite only buckets holding actual
+        // matches — a re-run of the same delete is then a cheap no-op
+        // instead of a file-identical bucket rewrite
+        val cand = (probed -- extra).toSeq.sorted
+        val confirmed =
+          if (cand.isEmpty) Set.empty[Int]
+          else store
             .where(col("bucket").isin(cand: _*)).where(pred)
-            .select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
+            .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+        val buckets = (confirmed ++ extra).toSeq.sorted
         if (buckets.isEmpty) Seq.empty
         else rewriteBuckets(spark, outDir, buckets, pred)
     }
@@ -502,7 +532,10 @@ object Ingest {
     if (buckets.isEmpty) return
     val t0 = System.nanoTime()
     val aggs = bucketMetricAggs(buckets)
-    val row = spark.read.parquet(s"$outDir/data")
+    // readStore: recovery after a FULL-store delete crash must recommit
+    // zero-row lineage and release the marker, not throw on an empty dir
+    // (a raw parquet read here would wedge every later mutation forever)
+    val row = readStore(spark, outDir)
       .where(col("bucket").isin(buckets: _*))
       .agg(aggs.head, aggs.tail: _*).collect()(0)
     val wallMs = (System.nanoTime() - t0) / 1000000
@@ -549,11 +582,12 @@ object Ingest {
     // readStore, not a raw parquet read: a fully-deleted store must make
     // this a no-op (typed empty frame), never a schema-inference error
     val store = readStore(spark, outDir)
+    // distinct buckets only (like the id-delete and transform paths) —
+    // the per-bucket counts were never consumed
     val affected = store.where(predicate)
-      .groupBy("bucket").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (affected.isEmpty) return Seq.empty
-    rewriteBuckets(spark, outDir, affected.keys.toSeq.sorted, predicate)
+    rewriteBuckets(spark, outDir, affected, predicate)
   }
 
   /** In-place visibility rewrite of rows matching `predicate`: vis :=

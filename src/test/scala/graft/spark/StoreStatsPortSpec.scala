@@ -86,6 +86,32 @@ class StoreStatsPortSpec extends SparkTestBase {
     assert(Ops.bboxStatsEnv(emptyRead).isEmpty)
     assert(Ingest.deleteByQuery(spark, dir, lit(true)).isEmpty)
     assert(Ingest.transformVisibilityByQuery(spark, dir, lit(true), "a", "z").isEmpty)
+    // the ID delete path no-ops too, even with STALE alt rows pointing at
+    // buckets that no longer exist (the alt store outlives a full delete)
+    assert(Ingest.deleteByIds(spark, dir, Seq(1L, 2L, 3L)).isEmpty)
+    // crashed FULL-store delete: marker left behind on the emptied store —
+    // the next mutation's recovery must recommit zero-row lineage and
+    // release the marker, not throw and wedge every later delete
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".delete-inprogress"),
+      "[0,1]".getBytes("UTF-8"))
+    assert(Ingest.deleteByQuery(spark, dir, lit(false)).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, ".delete-inprogress")))
+    assert(Ingest.readLineage(spark, dir)
+      .agg(sum("rows")).collect()(0).getLong(0) == 0L)
     graft.FsUtils.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
+
+  test("compoundKey refuses a salt outside one prefix byte instead of silently truncating") {
+    import spark.implicits._
+    // 300 -> hex '100' -> lpad-2 would truncate to '10' (collides with 16)
+    val bad = Seq((300, Array[Byte](1, 2))).toDF("salt", "cell")
+      .select(Ingest.compoundKey(col("salt"), col("cell")).as("k"))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage.contains("outside [0, 255]") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside [0, 255]")), e.toString)
+    // in-range salts are unchanged by the guard
+    val ok = Seq((16, Array[Byte](1, 2))).toDF("salt", "cell")
+      .select(Ingest.compoundKey(col("salt"), col("cell")).as("k")).collect()(0)
+    assert(ok.getAs[Array[Byte]](0).toSeq == Seq[Byte](0x10, 1, 2))
   }
 }
