@@ -1305,7 +1305,7 @@ object SparkEntry {
          |SELECT a.event_id AS a_id, b.event_id AS b_id
          |FROM ev a JOIN ev b ON a.event_id < b.event_id
          |WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) < 1.0
-         |  AND ABS(CAST(epoch(a.ts) AS BIGINT) - CAST(epoch(b.ts) AS BIGINT)) <= 3600""".stripMargin,
+         |  AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 3600000000""".stripMargin,
     "q46_region_counts" ->
       s"""$pagesCte
          |SELECT r.region_id, COUNT(*) AS cnt

@@ -74,7 +74,12 @@ object Ops {
     val hits = store
       .where(SpatialPlanner.rangesPredicate(col("cell_id"), ranges))
       .where(overlaps)
-    if (hasDuplicates) hits.dropDuplicates(idCol) else hits
+    // drop the index-artifact column BEFORE the dedupe: a multi-tier entry
+    // matches via several cell_ids and dropDuplicates keeps an arbitrary
+    // row — identical payloads make the surviving row's CONTENT
+    // deterministic (the reference's DedupeFilter returns the entry, not
+    // its row id)
+    if (hasDuplicates) hits.drop("cell_id").dropDuplicates(idCol) else hits
   }
 
   /** envelope-store encode: one row per tiered insertion id, with the
@@ -172,6 +177,7 @@ object Ops {
   def spatialBoxQueryRowKey(store: DataFrame, lonMin: Double, lonMax: Double,
                             latMin: Double, latMax: Double, saltCount: Int,
                             rowKeyCol: String = "row_key"): DataFrame = {
+    require(saltCount >= 1, s"saltCount must be >= 1 (the ingest config's value), got $saltCount")
     // divide the decomposition budget across the salt fan-out like the
     // reference (CompoundIndexStrategy.getQueryRanges caps the inner
     // strategy at maxRanges / partitionCount) — otherwise a large box
@@ -305,8 +311,18 @@ object Ops {
   def distanceJoinMeters(pts: DataFrame, idCol: String, dMeters: Double,
                          bits: Int, maxAbsLatDeg: Double = 85.0): DataFrame = {
     val mPerDegEquator = 2 * math.Pi * 6371008.8 / 360.0
-    val latDeg = dMeters / mPerDegEquator
-    val lonDeg = latDeg / math.cos(math.toRadians(maxAbsLatDeg))
+    val latDeg = dMeters / mPerDegEquator // Δφ <= d/R exactly (haversine)
+    // EXACT in-band lon bound, not the small-angle linear one: from
+    // hav(d/R) = hav(Δφ) + cosφ1·cosφ2·hav(Δλ), two in-band points within
+    // d satisfy sin²(Δλ/2) <= sin²(d/2R)/cos²(maxAbsLat), so
+    // Δλ <= 2·asin(sin(d/2R)/cos(maxAbsLat)). The linear d/(R·cos φ)
+    // under-covers at high latitude (missing pairs near the band edge);
+    // the same asin form backs GeoCodec.haversineDiskEnvelopes.
+    val sinHalf = math.sin(dMeters / (2.0 * 6371008.8)) /
+      math.cos(math.toRadians(maxAbsLatDeg))
+    val lonDeg =
+      if (sinHalf >= 1.0) 360.0
+      else math.toDegrees(2.0 * math.asin(sinHalf))
     val cellDeg = 360.0 / (1L << bits)
     // neighborhood half-width in cells per axis
     val kx = math.ceil(lonDeg / cellDeg).toLong
@@ -341,11 +357,15 @@ object Ops {
     require(360.0 / (1L << bits) >= d, s"cell size at $bits bits must be >= d=$d")
     val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
       (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
-    val dt = abs(col("a_ts_s") - col("b_ts_s"))
-    // NTZ timestamps need an intermediate cast; session TZ is UTC
+    // MICROsecond precision so the millisecond contract holds exactly —
+    // seconds truncation both dropped sub-second-window pairs and admitted
+    // pairs up to 999 ms outside the window (sessionize uses the same
+    // unix_micros form). NTZ timestamps need the intermediate cast;
+    // session TZ is UTC.
+    val dt = abs(col("a_ts_us") - col("b_ts_us"))
     neighborhoodSelfJoin(pts.select(col(idCol).as("id"), col("lon"), col("lat"),
-        col(tsCol).cast("timestamp").cast("long").as("ts_s")), bits)
-      .where(col("a_id") < col("b_id") && d2 < lit(d * d) && dt <= lit(dtMillis / 1000))
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us")), bits)
+      .where(col("a_id") < col("b_id") && d2 < lit(d * d) && dt <= lit(dtMillis * 1000L))
       .select(col("a_id"), col("b_id"))
   }
 
@@ -417,9 +437,11 @@ object Ops {
       min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"))
 
   /** fixed-bin numeric histogram (reference: FixedBinNumericStatistics.java:30). */
-  def fixedBinHistogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame =
+  def fixedBinHistogram(df: DataFrame, valueCol: String, binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     df.groupBy(floor(col(valueCol) / binWidth).as("bin"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** exact dedup by content hash: group identical text, keep min id
     * (the exact tier of the dedup ladder; MinHash/SimHash build on this). */
@@ -536,10 +558,11 @@ object Ops {
 
   /** one-pass global profile — the ingest-maintained statistics bundle
     * (StatsCompositionTool; Count/BoundingBox/TimeRange statistics). */
-  def statsProfile(pts: DataFrame, tsCol: Option[String] = None): DataFrame = {
+  def statsProfile(pts: DataFrame, tsCol: Option[String] = None,
+                   idCol: String = "doc_id"): DataFrame = {
     val base = Seq(
       count(lit(1)).as("cnt"),
-      countDistinct(col("doc_id")).as("n_ids"),
+      countDistinct(col(idCol)).as("n_ids"),
       min(col("lon")).as("min_lon"), max(col("lon")).as("max_lon"),
       min(col("lat")).as("min_lat"), max(col("lat")).as("max_lat"))
     val withTs = tsCol.map(c => Seq(min(col(c)).as("min_ts"), max(col(c)).as("max_ts")))
@@ -599,6 +622,9 @@ object Ops {
    */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
                tieCol: String): DataFrame = {
+    for (reserved <- Seq("__side", "__tie", "__r", "__m"); df <- Seq(left, right))
+      require(!df.columns.contains(reserved),
+        s"asofJoin reserves column name '$reserved' (rename it on the input)")
     val payloadCols = right.columns.filterNot(c => c == keyCol || c == tieCol)
     val r2 = right.select(col(keyCol), col(tieCol).as("__tie"),
         struct(payloadCols.map(col) :+ col(tieCol): _*).as("__r"))
