@@ -37,6 +37,14 @@ object SpatialJoin {
   case class RegionsForPoint(left: Expression, right: Expression,
                              ids: Array[String], wkbs: Array[Array[Byte]])
       extends BinaryExpression {
+    // analysis-time type check: wrong-typed lon/lat would pass codegen
+    // (Java widening) but crash interpreted eval — fail the query upfront
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == org.apache.spark.sql.types.DoubleType &&
+          right.dataType == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"regions_for_point expects (double, double), got (${left.dataType}, ${right.dataType})")
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullIntolerant: Boolean = true
 
@@ -97,16 +105,35 @@ object SpatialJoin {
     * polygon tables). */
   case class WkbCoversPoint(first: Expression, second: Expression, third: Expression)
       extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (first.dataType == org.apache.spark.sql.types.BinaryType &&
+          second.dataType == org.apache.spark.sql.types.DoubleType &&
+          third.dataType == org.apache.spark.sql.types.DoubleType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"st_wkb_covers_point expects (binary, double, double), got " +
+          s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
     override def dataType: DataType = org.apache.spark.sql.types.BooleanType
     override def nullIntolerant: Boolean = true
     @transient private lazy val reader = new WKBReader()
     @transient private lazy val gf = new GeometryFactory()
     @transient private lazy val pt = gf.createPoint(new Coordinate(0, 0))
+    // task-local prepared-geometry interning (the reference's
+    // SpatialQueryFilter.java:284-301): a hot tile tests the SAME polygon
+    // against many points — parse + prepare each distinct WKB once per
+    // task, capped so a pathological region table cannot balloon memory
+    @transient private lazy val interned =
+      new java.util.HashMap[java.nio.ByteBuffer, PreparedGeometry]()
+    private val MaxInterned = 10000
 
-    /** codegen entry point (per-row WKB parse is the dominant cost, but a
-      * fused stage still avoids the eval-mode row boxing). */
+    /** codegen entry point: interned prepared-geometry intersects test. */
     def test(wkb: Array[Byte], lon: Double, lat: Double): Boolean = {
-      val g = reader.read(wkb)
+      val key = java.nio.ByteBuffer.wrap(wkb)
+      var g = interned.get(key)
+      if (g == null) {
+        g = PreparedGeometryFactory.prepare(reader.read(wkb))
+        if (interned.size() < MaxInterned) interned.put(key, g)
+      }
       val c = pt.getCoordinate
       c.x = lon; c.y = lat
       pt.geometryChanged()
@@ -142,17 +169,23 @@ object SpatialJoin {
    * lat_min, lat_max).
    */
   def polygonJoinLarge(pts: DataFrame, regions: DataFrame, bits: Int = 6): DataFrame = {
+    // collision-safe working names: user point tables can legitimately
+    // carry tx/ty/geom columns (knnRing closes its schema for the same
+    // reason); region_id stays the contractual output name
+    for (reserved <- Seq("__pj_tx", "__pj_ty", "__pj_geom", "region_id"))
+      require(!pts.columns.contains(reserved),
+        s"polygonJoinLarge reserves column name '$reserved' on the points side")
     val cover = Tiling.tileCover(
         regions.select(col("region_id").as("env_id"), col("lon_min"), col("lon_max"),
           col("lat_min"), col("lat_max")), bits)
-      .select(col("env_id").as("region_id"), col("tx"), col("ty"))
-      .join(regions.select(col("region_id"), col("geom")), Seq("region_id"))
+      .select(col("env_id").as("region_id"), col("tx").as("__pj_tx"), col("ty").as("__pj_ty"))
+      .join(regions.select(col("region_id"), col("geom").as("__pj_geom")), Seq("region_id"))
     val keyed = pts
-      .withColumn("tx", GeoFunctions.gw_tile_x(col("lon"), bits))
-      .withColumn("ty", GeoFunctions.gw_tile_y(col("lat"), bits))
-    keyed.join(cover, Seq("tx", "ty"))
-      .where(st_wkb_covers_point(col("geom"), col("lon"), col("lat")))
-      .drop("tx", "ty", "geom")
+      .withColumn("__pj_tx", GeoFunctions.gw_tile_x(col("lon"), bits))
+      .withColumn("__pj_ty", GeoFunctions.gw_tile_y(col("lat"), bits))
+    keyed.join(cover, Seq("__pj_tx", "__pj_ty"))
+      .where(st_wkb_covers_point(col("__pj_geom"), col("lon"), col("lat")))
+      .drop("__pj_tx", "__pj_ty", "__pj_geom")
   }
 
   /** strategy selection for the point-in-polygon join — the join-level
@@ -161,13 +194,18 @@ object SpatialJoin {
     * `maxBroadcast` rows ships inside the expression (shuffle-free),
     * otherwise the tile-cover equi-join runs distributed. */
   def polygonJoinAuto(pts: DataFrame, regions: DataFrame,
-                      maxBroadcast: Long = 100000, bits: Int = 6): DataFrame = {
-    val n = regions.count()
-    if (n <= maxBroadcast) {
+                      maxBroadcast: Int = 100000, bits: Int = 6): DataFrame = {
+    // ONE pass sizes the dim side AND supplies the broadcast rows: a
+    // count-then-collect pair scans an expensive regions plan twice and
+    // can decide on different data than it ships
+    val sample = regions.select("region_id", "geom").limit(maxBroadcast + 1).collect()
+    if (sample.isEmpty)
+      // joining against an empty dim table is an empty join, not an error
+      pts.withColumn("region_id", lit(null).cast("string")).where(lit(false))
+    else if (sample.length <= maxBroadcast) {
       val reader = new org.locationtech.jts.io.WKBReader()
-      val seq = regions.select("region_id", "geom").collect()
-        .map(r => (r.getString(0), reader.read(r.getAs[Array[Byte]](1)))).toSeq
-      polygonJoin(pts, seq).drop("cell_id")
+      val seq = sample.map(r => (r.getString(0), reader.read(r.getAs[Array[Byte]](1)))).toSeq
+      polygonJoin(pts, seq)
     } else polygonJoinLarge(pts, regions, bits)
   }
 
@@ -179,8 +217,14 @@ object SpatialJoin {
                   cellCol: String = "cell_id"): DataFrame = {
     require(regions.nonEmpty)
     import org.apache.spark.sql.GraftBridge.{column, expression}
+    // TRUST CONTRACT: a pre-existing `cellCol` must hold gw_cell_id values
+    // at the default spatial tiers (the committed store's cell_id does) —
+    // the coarse prefilter ranges are decomposed against that strategy, so
+    // any other id kind silently drops matches. Tables keyed differently
+    // must pass a cellCol name that is NOT present so it is synthesized.
+    val hadCell = pts.columns.contains(cellCol)
     val withCell =
-      if (pts.columns.contains(cellCol)) pts
+      if (hadCell) pts
       else pts.withColumn(cellCol, GeoFunctions.gw_cell_id(col("lon"), col("lat")))
     // coarse union prefilter: decomposed ranges of every polygon envelope
     val perPoly = math.max(1, SpatialPlanner.MaxRangeDecomposition / regions.size)
@@ -191,9 +235,12 @@ object SpatialJoin {
     val matches: Column = column(RegionsForPoint(
       expression(col("lon")), expression(col("lat")),
       regions.map(_._1).toArray, regions.map(r => wkbWriter.write(r._2)).toArray))
-    withCell
+    val out = withCell
       .where(SpatialPlanner.rangesPredicate(col(cellCol), ranges))
       .withColumn("region_id", explode(matches))
+    // honor the documented output contract (point cols + region_id): a
+    // cell column WE synthesized is an internal artifact, not output
+    if (hadCell) out else out.drop(cellCol)
   }
 
   /**

@@ -62,7 +62,7 @@ class SpatialJoinSpec extends SparkTestBase {
     assert(large == small)
     assert(large.nonEmpty)
     // auto-selection picks each strategy by dim size; results identical
-    for (threshold <- Seq(1L, 100000L)) {
+    for (threshold <- Seq(1, 100000)) {
       val auto = SpatialJoin.polygonJoinAuto(pages, regionsDf, maxBroadcast = threshold)
         .select("doc_id", "region_id").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
