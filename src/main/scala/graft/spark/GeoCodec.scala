@@ -109,6 +109,12 @@ object GeoCodec {
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Long]]()
   def hyperplaneSig(v: org.apache.spark.sql.catalyst.util.ArrayData,
                     dims: Int, bits: Int): Long = {
+    // ArrayData.getLong does NO bounds check (unsafe memory read): a
+    // caller-supplied dims larger than the vector would read adjacent row
+    // memory — nondeterministic buckets or a crash. Fail loudly instead.
+    if (v.numElements() < dims)
+      throw new IllegalArgumentException(
+        s"hyperplaneSig: vector has ${v.numElements()} dims, expected >= $dims")
     val w = hyperplaneWeights.computeIfAbsent((dims, bits), { k =>
       val (d, b) = k
       val arr = new Array[Long](b * d)

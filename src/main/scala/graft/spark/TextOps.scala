@@ -53,7 +53,10 @@ object TextOps {
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, tau: Double, maxDf: Long = Long.MaxValue): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    // localCheckpoint, not cache(): CacheManager entries pin storage until
+    // an explicit unpersist (which a plan builder cannot safely issue);
+    // checkpoint blocks release when the frame is GC'd
+    val sh = shingles(docs, idCol, textCol, n).localCheckpoint(true)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val pairs =
       if (maxDf == Long.MaxValue) {
@@ -64,7 +67,7 @@ object TextOps {
           .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
           .agg(count(lit(1)).as("inter"))
       } else {
-        val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")).cache()
+        val dfCounts = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df")).localCheckpoint(true)
         val dropped = dfCounts.where(col("df") > maxDf).count()
         // scale guard telemetry: silent truncation would read as full coverage
         println(s"[graft] ngramJaccardPairs: dropped $dropped shingles with df > $maxDf from candidate generation")
@@ -94,13 +97,18 @@ object TextOps {
   /** MinHash signature: numHashes columns min_j = min over shingles of
     * ((2j+1)*h + 12345j + 1) mod p. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-      .withColumn("h", portableHash(col("shingle")))
+                        n: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFrom(shingles(docs, idCol, textCol, n), numHashes)
+
+  /** signatures from an ALREADY-built (id, shingle) frame — lets
+    * [[minhashLshPairs]] shingle the corpus once for both the signature
+    * and the verification sides. */
+  private def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
+    val withH = sh.withColumn("h", portableHash(col("shingle")))
     val aggs = (0 until numHashes).map { j =>
       min((lit(2L * j + 1) * col("h") + lit(12345L * j + 1)) % P).as(s"sig$j")
     }
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    withH.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /**
@@ -113,7 +121,11 @@ object TextOps {
                       n: Int, bands: Int, rowsPerBand: Int, tau: Double,
                       maxBucket: Long = Long.MaxValue): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    // ONE shingle pass feeds both the signatures and the exact verify —
+    // localCheckpoint materializes it eagerly and, unlike cache(), its
+    // blocks are context-cleaner-released when the frame is GC'd
+    val sh = shingles(docs, idCol, textCol, n).localCheckpoint(true)
+    val sig = minhashSignaturesFrom(sh, numHashes)
     val B = 786433L
     val bandCols = (0 until bands).map { b =>
       val bucket = (0 until rowsPerBand)
@@ -138,7 +150,7 @@ object TextOps {
           .withColumn("bsz", count(lit(1)).over(szW))
           .where(col("bsz") <= maxBucket)
           .drop("bsz")
-          .cache()
+          .localCheckpoint(true)
         val droppedRows = ab.count() - kept.count()
         ab.unpersist()
         println(s"[graft] minhashLshPairs: dropped $droppedRows bucket memberships in buckets larger than $maxBucket")
@@ -150,8 +162,8 @@ object TextOps {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .distinct()
     // exact verification on candidates only (shingle inside the equi-key —
-    // see ngramJaccardPairs: join-then-filter would cross size_a × size_b)
-    val sh = shingles(docs, idCol, textCol, n).cache()
+    // see ngramJaccardPairs: join-then-filter would cross size_a × size_b),
+    // reusing the checkpointed shingle frame from the signature side
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.withColumnRenamed("id", "a_id"), "a_id")
@@ -206,7 +218,12 @@ object TextOps {
         transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("v"))
       .withColumn("n2", GeoFunctions.dot_long(col("v"), col("v")))
     val dot = GeoFunctions.dot_long(col("a.v"), col("b.v"))
+    // a quantized-to-zero vector has no direction: its cosine is 0/0 = NaN
+    // and Spark orders NaN ABOVE every double, so without the n2 guard one
+    // zero vector passes `>= tau` against every row and a downstream
+    // connected-components collapse would link the whole corpus
     q.as("a").join(q.as("b"), col("a.id") < col("b.id"))
+      .where(col("a.n2") > 0 && col("b.n2") > 0)
       .withColumn("cos", dot.cast("double") /
         sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
       .where(col("cos") >= tau)
@@ -238,6 +255,7 @@ object TextOps {
     val dot = GeoFunctions.dot_long(col("a.v"), col("b.v"))
     q.as("a").join(q.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .where(col("a.n2") > 0 && col("b.n2") > 0) // zero vectors: see exact path
       .withColumn("cos", dot.cast("double") /
         sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
       .where(col("cos") >= tau)
@@ -290,7 +308,7 @@ object TextOps {
     * argmax (ties broken by language order), 'und' (undetermined) when no
     * marker hits. */
   def languageId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("id"), col(textCol).as("t"),
+    val words = docs.select(col(idCol).as("id"), 
       explode(split(col(textCol), " ")).as("w"))
     val scores = LangMarkers.map { case (lang, ms) =>
       sum(when(col("w").isin(ms: _*), 1L).otherwise(0L)).as(s"n_$lang")
@@ -380,9 +398,14 @@ object TextOps {
     * the per-host page cap web-crawl pipelines apply before training.
     * One window top-k; Spark's WindowGroupLimit pushes the limit below
     * the shuffle so at most k rows per key move. */
-  def capPerKey(df: DataFrame, keyCol: String, ordCol: String, k: Int): DataFrame = {
+  def capPerKey(df: DataFrame, keyCol: String, ordCol: String, k: Int,
+                tieCols: Seq[String] = Seq.empty): DataFrame = {
+    // ties on ordCol straddling rank k would make the kept set
+    // partition-order-dependent; callers with a non-unique ordCol pass a
+    // unique tie-break column (q66 uses the doc id)
+    val order = (col(ordCol) +: tieCols.map(col)).map(_.asc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(ordCol))
+      .partitionBy(col(keyCol)).orderBy(order: _*)
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
   }
 
@@ -428,7 +451,7 @@ object TextOps {
     val hash = md5(col(textCol).cast("binary"))
     // cache: the seen-side scan + md5 feeds BOTH the eager bloomFilter
     // action and the verify join — without it the whole DAG runs twice
-    val seen = seenDocs.select(hash.as("text_md5")).cache()
+    val seen = seenDocs.select(hash.as("text_md5")).localCheckpoint(true)
     // stat.bloomFilter goes through bloom_filter_agg, whose sizing is
     // SILENTLY clamped by the runtime-filter confs; raise them for the
     // build so the advertised expectedSeen/fpp are actually honored

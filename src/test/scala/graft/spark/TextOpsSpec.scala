@@ -146,4 +146,24 @@ class TextOpsSpec extends SparkTestBase {
     }
     assert(got(0L) == got(7L), "identical docs share fingerprint")
   }
+
+  test("a zero embedding vector near-dups NOTHING (NaN cosine must not pass the threshold)") {
+    import spark.implicits._
+    // Spark orders NaN above every double, so 0/0 = NaN would satisfy
+    // >= tau for every pair without the n2 > 0 guard — one zero vector
+    // would link the whole corpus through connected components
+    val emb = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f, 0.0f)),           // quantizes to zero
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.001f, 0.0f, 0.0f)),          // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val exact = TextOps.embeddingNearDupPairs(emb, "vec_id", "embedding", tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)), s"exact path: $exact")
+    val lsh = TextOps.embeddingLshPairs(emb, "vec_id", "embedding",
+        dims = 4, bits = 4, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!lsh.exists(p => p._1 == 0L || p._2 == 0L), s"lsh path leaked the zero vector: $lsh")
+  }
 }
