@@ -55,13 +55,29 @@ object Analytics {
     var stats: DataFrame = null
     for (_ <- 0 until iters) {
       stats = kmeansAssignStats(pts, centroids)
-      centroids = stats.collect().map { r =>
-        (r.getLong(0),
-          r.getLong(2).toDouble / r.getLong(1) / 100.0,
-          r.getLong(3).toDouble / r.getLong(1) / 100.0)
-      }.toSeq.sortBy(_._1)
+      // carry forward memberless centroids (same contract as kmeansVec):
+      // the groupBy emits no row for them, and silently shrinking k would
+      // change every later iteration AND the k the caller asked for
+      centroids = refreshCentroids(centroids, stats.collect())
     }
     stats
+  }
+
+  /** recompute centroids from a stats collect, carrying forward any
+    * centroid that attracted no members this iteration (logged) —
+    * shared by [[kmeans]] and [[multiLevelKmeans]]. */
+  private def refreshCentroids(prev: Seq[(Long, Double, Double)],
+                               rows: Array[org.apache.spark.sql.Row]): Seq[(Long, Double, Double)] = {
+    val updated = rows.map { r =>
+      r.getLong(0) -> ((r.getLong(2).toDouble / r.getLong(1) / 100.0,
+        r.getLong(3).toDouble / r.getLong(1) / 100.0))
+    }.toMap
+    val lost = prev.map(_._1).filterNot(updated.contains)
+    if (lost.nonEmpty)
+      println(s"[graft] kmeans: centroids ${lost.mkString(",")} attracted no members this iteration; carried forward unchanged")
+    prev.map { case (cid, lon, lat) =>
+      updated.get(cid).map { case (x, y) => (cid, x, y) }.getOrElse((cid, lon, lat))
+    }.sortBy(_._1)
   }
 
   /**
@@ -100,11 +116,14 @@ object Analytics {
     val coreOut = labels.select(col("id"), col("lbl").as("cluster"), lit("core").as("role"))
     // border: non-core with >= 1 core neighbor → lowest core cluster
     val nonCore = base.select("id").join(core, Seq("id"), "left_anti")
+    // localCheckpoint: this small aggregate appears TWICE in the output
+    // plan (union branch + noise's anti-join) — materialize it once
     val borderLbl = edges.withColumnRenamed("a_id", "id")
       .join(nonCore, "id")
       .join(labels.withColumnRenamed("id", "b_id").withColumnRenamed("lbl", "b_lbl"), "b_id")
       .groupBy("id").agg(min("b_lbl").as("cluster"))
       .withColumn("role", lit("border"))
+      .localCheckpoint(true)
     val noise = base.select("id")
       .join(core, Seq("id"), "left_anti")
       .join(borderLbl.select("id"), Seq("id"), "left_anti")
@@ -297,7 +316,7 @@ object Analytics {
   /**
    * Deterministic k-means|| initialization (Bahman et al.): `rounds`
    * oversampling passes, each admitting points with pseudo-probability
-   * l·cost(x)/totalCost (the coin flip is a hash of (id, round), so the
+   * l·k·cost(x)/totalCost (the coin flip is a hash of (id, round), so the
    * sample is reproducible and partition-independent), then keep the k
    * admitted points with the largest attracted population — the
    * KSamplerMapReduce + BahmanEtAlSampleProbabilityFn + strip-weak chain
@@ -309,7 +328,7 @@ object Analytics {
                          l: Double = 4.0): Seq[(Long, Double, Double)] = {
     val PREC = 1000000L
     // seed: the lowest-id point
-    var cents = pts.orderBy("id").limit(1).collect()
+    var cents = pts.select("id", "lon", "lat").orderBy("id").limit(1).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
     for (round <- 1 to rounds) {
       // per-point cost = min d² as one codegen'd argmin column — no
@@ -327,6 +346,7 @@ object Analytics {
           .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
         cents = (cents ++ admitted).distinctBy(_._1)
       }
+      cost.unpersist() // every action on this round's costs has run
     }
     // strip: keep the k candidates with the largest attracted population
     val weights = kmeansAssignStats(pts, cents).collect()
@@ -417,9 +437,14 @@ object Analytics {
       }.toSeq
       k -> distortionOfExpectation(kmeansCost(pts, cents), dims)
     }
-    val jumps = distortions.zip(0.0 +: distortions.map(_._2))
+    // sort by k before differencing — the reference sorts its
+    // clusterCountToDistortion list ascending before the jump scan
+    // (DistortionGroupManagement.java:325-348); caller-order ks would
+    // otherwise produce meaningless adjacent deltas
+    val byK = distortions.sortBy(_._1)
+    val jumps = byK.zip(0.0 +: byK.map(_._2))
       .map { case ((k, d), prev) => (k, d - prev) }
-    (jumps.maxBy(_._2)._1, distortions)
+    (jumps.maxBy(_._2)._1, byK)
   }
 
   /**
@@ -602,17 +627,17 @@ object Analytics {
     var centroids = init1
     for (_ <- 0 until iters) {
       val stats = kmeansAssignStats(pts, centroids)
-      centroids = stats.collect().map { r =>
-        (r.getLong(0), r.getLong(2).toDouble / r.getLong(1) / 100.0,
-          r.getLong(3).toDouble / r.getLong(1) / 100.0)
-      }.toSeq.sortBy(_._1)
+      centroids = refreshCentroids(centroids, stats.collect()) // carry-forward, like kmeans
     }
-    // final level-1 assignment: one codegen'd argmin column, no shuffle
+    // final level-1 assignment: one codegen'd argmin column, no shuffle.
+    // localCheckpoint, not cache(): the returned stats plan reads it after
+    // this call returns, and a cache() here would pin executor storage for
+    // the session lifetime (nothing could safely unpersist it)
     val assigned = pts.select(
         GeoFunctions.gw_nearest_centroid(col("lon"), col("lat"), centroids)
           .getField("cid").as("parent_id"),
         col("id"), col("lon"), col("lat"))
-      .cache()
+      .localCheckpoint(true)
     // level-2 init: the childK lowest point ids per parent, in one window
     val initW = Window.partitionBy(col("parent_id")).orderBy(col("id"))
     var cents2 = assigned
@@ -624,11 +649,19 @@ object Analytics {
     var stats: DataFrame = null
     for (_ <- 0 until iters) {
       stats = groupedAssignStats(assigned, cents2)
-      cents2 = stats.collect().map { r =>
-        (r.getLong(0), r.getLong(1),
+      // grouped carry-forward: a memberless child centroid keeps its spot
+      // (same contract as refreshCentroids / kmeansVec)
+      val updated = stats.collect().map { r =>
+        (r.getLong(0), r.getLong(1)) -> ((
           r.getLong(3).toDouble / r.getLong(2) / 100.0,
-          r.getLong(4).toDouble / r.getLong(2) / 100.0)
-      }.toSeq.sortBy(t => (t._1, t._2))
+          r.getLong(4).toDouble / r.getLong(2) / 100.0))
+      }.toMap
+      val lost = cents2.map(t => (t._1, t._2)).filterNot(updated.contains)
+      if (lost.nonEmpty)
+        println(s"[graft] multiLevelKmeans: child centroids ${lost.mkString(",")} attracted no members this iteration; carried forward unchanged")
+      cents2 = cents2.map { case (p, cid, lon, lat) =>
+        updated.get((p, cid)).map { case (x, y) => (p, cid, x, y) }.getOrElse((p, cid, lon, lat))
+      }.sortBy(t => (t._1, t._2))
     }
     stats.select("parent_id", "centroid_id", "cnt", "sum_lon_c", "sum_lat_c")
   }
@@ -645,6 +678,11 @@ object Analytics {
    */
   def kdeTiles(pts: DataFrame, cellBits: Int, tileBits: Int): DataFrame = {
     require(tileBits < cellBits)
+    // tileSide² positions are materialized per tile; beyond 2^30 the Int
+    // arithmetic overflows SILENTLY (sequence(0, tileSide²-1) would get a
+    // garbage bound) and the tile would be absurd to assemble anyway
+    require(cellBits - tileBits <= 15,
+      s"tile side 2^${cellBits - tileBits} too large to assemble (max 2^15 per axis)")
     val k = cellBits - tileBits
     val tileSide = 1 << k
     val mask = (tileSide - 1).toLong
@@ -688,6 +726,8 @@ object Analytics {
   def kdeTilesMultiLevel(pts: DataFrame, minBits: Int, maxBits: Int,
                          tileBits: Int): DataFrame = {
     require(tileBits < minBits, s"tileBits=$tileBits must be < minBits=$minBits")
+    require(maxBits - tileBits <= 15,
+      s"tile side 2^${maxBits - tileBits} at the finest level too large to assemble (max 2^15 per axis)")
     val cells = kdeMultiLevel(pts, minBits, maxBits) // checkpointed table
     cells
       .withColumn("side", expr(s"shiftleft(1L, level - $tileBits)"))
@@ -700,13 +740,15 @@ object Analytics {
         map_from_entries(collect_list(struct(col("pos"), col("norm")))).as("nm"),
         map_from_entries(collect_list(struct(col("pos"), col("pr")))).as("pm"))
       .withColumn("side", expr(s"shiftleft(1L, level - $tileBits)"))
+      // band order matches kdeTiles (weight, pct, norm) so positional
+      // consumers can switch between the single-level and pyramid APIs
       .select(col("level"), col("tile_x"), col("tile_y"),
         transform(sequence(lit(0), (col("side") * col("side") - 1).cast("int")),
           i => coalesce(element_at(col("wm"), i), lit(0L))).as("band_weight"),
         transform(sequence(lit(0), (col("side") * col("side") - 1).cast("int")),
-          i => coalesce(element_at(col("nm"), i), lit(0.0))).as("band_norm"),
+          i => coalesce(element_at(col("pm"), i), lit(0.0))).as("band_pct"),
         transform(sequence(lit(0), (col("side") * col("side") - 1).cast("int")),
-          i => coalesce(element_at(col("pm"), i), lit(0.0))).as("band_pct"))
+          i => coalesce(element_at(col("nm"), i), lit(0.0))).as("band_norm"))
   }
 
   /** two-dataset KDE difference on the shared cell grid (the reference's

@@ -255,7 +255,10 @@ class Round4Spec extends SparkTestBase {
       val (level, txT, tyT) = (r.getInt(0), r.getLong(1), r.getLong(2))
       val k = level - 2
       val side = 1 << k
-      val w = r.getSeq[Long](3); val n = r.getSeq[Double](4); val pr = r.getSeq[Double](5)
+      // by NAME: band order is (weight, pct, norm), aligned with kdeTiles
+      val w = r.getSeq[Long](r.fieldIndex("band_weight"))
+      val n = r.getSeq[Double](r.fieldIndex("band_norm"))
+      val pr = r.getSeq[Double](r.fieldIndex("band_pct"))
       assert(w.size == side * side && n.size == side * side && pr.size == side * side)
       for (pos <- 0 until side * side) {
         val cx = (txT << k) + (pos % side)
