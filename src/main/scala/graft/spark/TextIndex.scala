@@ -37,21 +37,27 @@ object TextIndex {
     * parquet row-group stats prune to the probe gram. The ingest-side twin
     * of `Ingest.run`'s sorted store write. */
   def buildAndWrite(docs: DataFrame, idCol: String, textCol: String, path: String,
-                    minN: Int = 2, maxN: Int = 4, numFiles: Int = 8): Unit = {
-    // persist before repartitionByRange: its range-boundary sampling pass
-    // re-executes the child, and the child here is the full gram explode +
-    // distinct — without the pin the corpus is gram-exploded TWICE
-    val postings = build(docs, idCol, textCol, minN, maxN).persist()
+                    minN: Int = 2, maxN: Int = 4, numFiles: Int = 8): Unit =
+    writeSortedPostings(build(docs, idCol, textCol, minN, maxN),
+      path, numFiles, minN, maxN, "plain")
+
+  /** the ONE sorted-postings write shape, shared by the plain and anchored
+    * builders: persist before repartitionByRange (its range-boundary
+    * sampling pass re-executes the child — without the pin the corpus is
+    // gram-exploded TWICE), range-partition + sort by gram so parquet
+    * row-group stats prune to the probe, then record the gram params AND
+    * KIND — reuse must not probe a 2..4-gram table with 6-gram probes,
+    * nor an anchored probe against a plain store or vice versa (silent
+    * empties either way). */
+  private def writeSortedPostings(postingsDf: DataFrame, path: String, numFiles: Int,
+                                  minN: Int, maxN: Int, kind: String): Unit = {
+    val postings = postingsDf.persist()
     try postings
       .repartitionByRange(numFiles, col("gram"))
       .sortWithinPartitions("gram")
       .write.mode("overwrite").parquet(path)
     finally postings.unpersist()
-    // record the gram params AND KIND the store was built with — reuse
-    // must not probe a 2..4-gram table with 6-gram probes, nor an
-    // anchored (case-folded, boundary-marked) probe against a plain
-    // store or vice versa (silent empties either way)
-    writeMeta(path, minN, maxN, "plain")
+    writeMeta(path, minN, maxN, kind)
   }
 
   private def writeMeta(path: String, minN: Int, maxN: Int, kind: String): Unit =
@@ -111,13 +117,14 @@ object TextIndex {
   def buildAnchoredAndWrite(docs: DataFrame, idCol: String, textCol: String, path: String,
                             minN: Int = 2, maxN: Int = 4, numFiles: Int = 8,
                             fold: Boolean = true): Unit = {
-    val postings = buildAnchored(docs, idCol, textCol, minN, maxN, fold).persist()
-    try postings
-      .repartitionByRange(numFiles, col("gram"))
-      .sortWithinPartitions("gram")
-      .write.mode("overwrite").parquet(path)
-    finally postings.unpersist()
-    writeMeta(path, minN, maxN, if (fold) "anchored" else "anchored_cs")
+    // minN > 3 would make values shorter than minN-2 code points emit
+    // ZERO anchored grams — invisible to the store, breaking the
+    // candidates-over-approximate contract for in-range short values.
+    // The reference's text-index configs are (2,4)/(3,4).
+    require(minN <= 3,
+      s"anchored index needs minN <= 3 (got $minN): shorter values would emit no grams")
+    writeSortedPostings(buildAnchored(docs, idCol, textCol, minN, maxN, fold),
+      path, numFiles, minN, maxN, if (fold) "anchored" else "anchored_cs")
   }
 
   /** the anchored-gram probe interval for a whole-value range [start, end]
@@ -129,10 +136,16 @@ object TextIndex {
     * lexicographic order, so every in-range value's anchored start gram
     * falls inside the probe interval (candidates over-approximate). */
   def rangeProbe(start: String, end: String, minN: Int, maxN: Int): (String, String) = {
-    val L = math.min(maxN, math.min(start.length, end.length) + 1)
+    // CODE POINTS, not UTF-16 chars (like probeGram): a char-based cut can
+    // split a surrogate pair, and the resulting lone surrogate encodes as
+    // '?' — a mojibake bound that can make the probe interval EMPTY
+    // (silent under-approximation for astral-plane bounds)
+    def cpLen(x: String) = x.codePointCount(0, x.length)
+    val L = math.min(maxN, math.min(cpLen(start), cpLen(end)) + 1)
     require(L >= minN,
-      s"range bounds must be >= ${minN - 1} chars for the $minN..$maxN-gram index")
-    (Anchor + start.substring(0, L - 1), Anchor + end.substring(0, L - 1))
+      s"range bounds must be >= ${minN - 1} code points for the $minN..$maxN-gram index")
+    def prefix(x: String) = x.substring(0, x.offsetByCodePoints(0, math.min(L - 1, cpLen(x))))
+    (Anchor + prefix(start), Anchor + prefix(end))
   }
 
   /**
@@ -147,7 +160,8 @@ object TextIndex {
                         start: String, end: String, indexPath: String,
                         caseSensitive: Boolean = false,
                         minN: Int = 2, maxN: Int = 4,
-                        maxLookup: Int = 10000): DataFrame = {
+                        maxLookup: Int = 10000,
+                        reuse: Boolean = true): DataFrame = {
     // a CASE-SENSITIVE range cannot be probed through the case-FOLDED
     // index: folding is not monotone under binary order (e.g. 'Z' lies in
     // ['B','b'] but folds above 'b'), so a folded probe would UNDER-
@@ -157,11 +171,22 @@ object TextIndex {
     // the WRONG kind is rebuilt (callers keep sensitive and insensitive
     // stores at distinct paths to retain both).
     val kind = if (caseSensitive) "anchored_cs" else "anchored"
-    val committed = new java.io.File(indexPath, "_SUCCESS").isFile &&
+    // reuse = false forces a rebuild over the CURRENT docs (the committed
+    // store cannot know the corpus changed — same escape hatch as
+    // searchStored)
+    val committed = reuse && new java.io.File(indexPath, "_SUCCESS").isFile &&
       storedParams(indexPath).contains((minN, maxN, kind))
-    if (!committed)
+    if (!committed) {
+      // loud: a kind/param mismatch here means EVERY call rebuilds the
+      // whole store (e.g. two query sites sharing one path with different
+      // caseSensitive) — CLAUDE.md forbids per-query artifact rebuilds
+      val have = storedParams(indexPath)
+      if (new java.io.File(indexPath, "_SUCCESS").isFile && have.isDefined && reuse)
+        println(s"[graft] rangeSearchStored: REBUILDING $indexPath — committed store is " +
+          s"${have.get} but the query needs ($minN, $maxN, $kind); keep kinds at distinct paths")
       buildAnchoredAndWrite(docs, idCol, textCol, indexPath, minN, maxN,
         fold = !caseSensitive)
+    }
     // the folded index is probed with folded bounds (Locale.ROOT — Spark's
     // lower() is locale-independent); the unfolded one with the bounds as-is
     val (bLo, bHi) =
