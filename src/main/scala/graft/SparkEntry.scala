@@ -754,6 +754,50 @@ object SparkEntry {
           Box._1, Box._2, Box._3, Box._4, saltCount = 8)
         .select(col("doc_id"), col("lon"), col("lat"))
     }),
+    "q89_snapshot_asof" -> ((s, dir) => {
+      // snapshot time travel over the copy-on-write store — the
+      // Iceberg-parity piece (version log + retained pre-images; the
+      // reference gets the same capability from Accumulo/HBase cell
+      // timestamps): ingest once (fingerprinted artifact), enable
+      // snapshots, run two deletes → versions 1 and 2, then read the
+      // store AS OF version 0, 1 and live, tagged. Deletes are
+      // match-confirmed no-ops on re-runs, so the reused store serves
+      // the identical three frames on every call — version numbers
+      // never drift.
+      val path = tmpIndexPath(dir, "graft-snapstore")
+      val pages = Tables.pages(s, dir)
+        .withColumn("url", concat(lit("doc-"), col("doc_id")))
+      graft.spark.Ingest.run(s, pages, path, graft.spark.Ingest.Config(
+        numBuckets = 8, batchSize = 8, targetPartitions = 8))
+      graft.spark.Snapshots.enable(path)
+      graft.spark.Ingest.deleteByQuery(s, path,
+        col("lon") >= 100.0 && col("lat") >= 20.0)
+      graft.spark.Ingest.deleteByQuery(s, path, col("lon") < -100.0)
+      def tag(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.select(lit(v).as("version"), col("doc_id"), col("lon"), col("lat"))
+      tag(graft.spark.Snapshots.readStoreAsOf(s, path, 0), 0)
+        .unionByName(tag(graft.spark.Snapshots.readStoreAsOf(s, path, 1), 1))
+        .unionByName(tag(graft.spark.Ingest.readStore(s, path), 2))
+    }),
+    "q90_compact_store" -> ((s, dir) => {
+      // store compaction (Iceberg rewrite_data_files; the verb the
+      // reference delegates to Accumulo/HBase major compaction): a
+      // deliberately fragmented ingest (2-bucket batches × 16 write
+      // partitions) leaves multi-file buckets; compactBuckets rewrites
+      // each over-threshold bucket to ONE sorted file through the same
+      // copy-on-write swap as delete/transform. The oracle is exact row
+      // conservation — compaction must be invisible to readers
+      // (SnapshotsSpec pins the file counts and in-file sort order).
+      // Re-runs no-op: every bucket is already at one file.
+      val path = tmpIndexPath(dir, "graft-compactstore")
+      val pages = Tables.pages(s, dir)
+        .withColumn("url", concat(lit("doc-"), col("doc_id")))
+      graft.spark.Ingest.run(s, pages, path, graft.spark.Ingest.Config(
+        numBuckets = 4, batchSize = 2, targetPartitions = 16))
+      graft.spark.Ingest.compactBuckets(s, path, maxFilesPerBucket = 1)
+      graft.spark.Ingest.readStore(s, path)
+        .select(col("doc_id"), col("lon"), col("lat"))
+    }),
     "q85_transform_vis" -> ((s, dir) => {
       // the store's third mutation verb, oracle-gated end to end: ingest a
       // store carrying a per-row visibility expression, rewrite the
@@ -1676,6 +1720,22 @@ object SparkEntry {
     "q71_text_range_cs" ->
       s"""SELECT doc_id AS id FROM documents
          |WHERE text >= 'the' AND text <= 'these'""".stripMargin,
+    "q89_snapshot_asof" ->
+      // time travel is pure history bookkeeping: as-of V0 = everything,
+      // V1 = minus the first delete, live = minus both — each version a
+      // plain anti-predicate over the same pages
+      s"""$pagesCte
+         |SELECT CAST(0 AS INTEGER) AS version, doc_id, lon, lat FROM pages
+         |UNION ALL
+         |SELECT CAST(1 AS INTEGER), doc_id, lon, lat FROM pages
+         |WHERE NOT (lon >= 100.0 AND lat >= 20.0)
+         |UNION ALL
+         |SELECT CAST(2 AS INTEGER), doc_id, lon, lat FROM pages
+         |WHERE NOT (lon >= 100.0 AND lat >= 20.0) AND NOT (lon < -100.0)""".stripMargin,
+    "q90_compact_store" ->
+      // compaction is invisible to readers: exact row conservation
+      s"""$pagesCte
+         |SELECT doc_id, lon, lat FROM pages""".stripMargin,
     "q88_rowkey_scan" ->
       // the row_key compound-range scan is an access-path choice; the
       // result set is the plain box query over the same pages

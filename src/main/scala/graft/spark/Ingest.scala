@@ -297,12 +297,20 @@ object Ingest {
       try s.anyMatch(p => p.getFileName.toString.startsWith("bucket="))
       finally s.close()
     }
+    if (!hasBuckets && Files.exists(Paths.get(outDir, SchemaFile)))
+      typedEmptyStore(spark, outDir)
+    else spark.read.parquet(dataDir.toString)
+  }
+
+  /** the ingest-recorded schema as an empty frame — positionally identical
+    * to a real bucket read (bucket partition column last). */
+  private[spark] def typedEmptyStore(spark: SparkSession, outDir: String): DataFrame = {
     val schemaFile = Paths.get(outDir, SchemaFile)
-    if (!hasBuckets && Files.exists(schemaFile)) {
-      val ddl = new String(Files.readAllBytes(schemaFile), StandardCharsets.UTF_8)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    } else spark.read.parquet(dataDir.toString)
+    require(Files.exists(schemaFile),
+      s"store at $outDir has no recorded $SchemaFile (pre-schema-file ingest?)")
+    val ddl = new String(Files.readAllBytes(schemaFile), StandardCharsets.UTF_8)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
   }
 
   /**
@@ -590,6 +598,63 @@ object Ingest {
     rewriteBuckets(spark, outDir, affected, predicate)
   }
 
+  /**
+   * COMPACT buckets whose file count exceeds `maxFilesPerBucket` down to a
+   * single sorted file each — Iceberg's `rewrite_data_files`, the verb the
+   * reference delegates to Accumulo/HBase major compaction. Small files are
+   * THE accumulating cost of incremental ingest + copy-on-write mutation at
+   * 100 TB (every query pays per-file open/footer overhead), so compaction
+   * is a first-class store verb here: same single-mutator copy-on-write
+   * swap as delete/transform (marker, atomic bucket rename, lineage
+   * recommit, snapshot archival when enabled). Row content is untouched —
+   * the rewrite is the identity; each bucket's rows hash-repartition to ONE
+   * task sorted by row_key, so a re-run finds every bucket at one file and
+   * is a no-op (the store contract's never-file-identical-rewrites rule).
+   */
+  def compactBuckets(spark: SparkSession, outDir: String,
+                     maxFilesPerBucket: Int = 4): Seq[BucketLineage] = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    recoverStaleDelete(spark, outDir)
+    val dataDir = s"$outDir/data"
+    val over = listLiveBuckets(dataDir).filter { b =>
+      parquetFileCount(Paths.get(dataDir, s"bucket=$b")) > maxFilesPerBucket
+    }
+    if (over.isEmpty) Seq.empty
+    else rewriteBucketsWith(spark, outDir, over, identity,
+      verb = "compact", singleFilePerBucket = true)
+  }
+
+  /** live `bucket=N` partition dirs under `dataDir`, sorted. */
+  private def listLiveBuckets(dataDir: String): Seq[Int] = {
+    val dd = Paths.get(dataDir)
+    if (!Files.isDirectory(dd)) return Seq.empty
+    val s = Files.list(dd)
+    try {
+      val it = s.iterator()
+      val b = Seq.newBuilder[Int]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("bucket=")) b += n.stripPrefix("bucket=").toInt
+      }
+      b.result().sorted
+    } finally s.close()
+  }
+
+  private def parquetFileCount(bucketDir: Path): Int = {
+    if (!Files.isDirectory(bucketDir)) return 0
+    val s = Files.list(bucketDir)
+    try {
+      var n = 0
+      val it = s.iterator()
+      while (it.hasNext) {
+        val name = it.next().getFileName.toString
+        if (name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_")) n += 1
+      }
+      n
+    } finally s.close()
+  }
+
   /** In-place visibility rewrite of rows matching `predicate`: vis :=
     * replaceFirst(regex, replacement), stripping one exposed leading
     * operator — the reference's TransformerWriter + VisibilityTransformer
@@ -616,7 +681,8 @@ object Ingest {
       .select("bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (affected.isEmpty) return Seq.empty
     rewriteBucketsWith(spark, outDir, affected,
-      _.withColumn(visCol, when(changes, rewritten).otherwise(col(visCol))))
+      _.withColumn(visCol, when(changes, rewritten).otherwise(col(visCol))),
+      verb = "transform")
   }
 
   /** stage + atomically swap the surviving rows of `buckets`, dropping
@@ -632,15 +698,34 @@ object Ingest {
   /** stage + atomically swap `rewrite`-transformed rows of `buckets` under
     * the delete-marker protocol, recommitting each bucket's lineage. The
     * copy-on-write machinery shared by the DELETE path (rewrite = drop
-    * matching rows) and the TRANSFORM path (rewrite = recompute columns of
+    * matching rows), the TRANSFORM path (rewrite = recompute columns of
     * matching rows — the reference's TransformerWriter, which re-writes
     * scanned entries through a Transformer,
-    * extensions/datastores/accumulo/.../util/TransformerWriter.java). */
+    * extensions/datastores/accumulo/.../util/TransformerWriter.java) and
+    * COMPACTION (rewrite = identity, `singleFilePerBucket` — each bucket's
+    * rows hash-land in one task, so the bucket rewrites to one sorted
+    * file). When [[Snapshots.enabled]], every replaced bucket dir is
+    * archived under the staged pending version instead of dropped, and the
+    * version log entry (verb + archived + pre-mutation live set) commits
+    * atomically AFTER all swaps — see [[Snapshots]] for read semantics. */
   private def rewriteBucketsWith(spark: SparkSession, outDir: String,
                                  buckets: Seq[Int],
-                                 rewrite: DataFrame => DataFrame): Seq[BucketLineage] = {
+                                 rewrite: DataFrame => DataFrame,
+                                 verb: String = "delete",
+                                 singleFilePerBucket: Boolean = false): Seq[BucketLineage] = {
     val dataDir = s"$outDir/data"
     recoverRetiredBuckets(dataDir, force = true)
+    val snapOn = Snapshots.enabled(outDir)
+    val snapV = if (snapOn) Snapshots.nextVersion(outDir) else 0
+    // the pre-mutation live set is what readStoreAsOf(snapV - 1) serves;
+    // captured BEFORE any swap so a fully-deleted bucket still appears
+    val livePre = if (snapOn) listLiveBuckets(dataDir) else Seq.empty
+    val pending = Snapshots.pendingDir(outDir, snapV)
+    if (snapOn) {
+      graft.FsUtils.deleteRecursively(pending) // a crashed attempt's leftovers
+      Files.createDirectories(pending)
+    }
+    val archivedB = Seq.newBuilder[Int]
     val store = spark.read.parquet(dataDir)
     val stagingRoot = Paths.get(outDir, ".delete-staging")
     graft.FsUtils.deleteRecursively(stagingRoot)
@@ -649,8 +734,16 @@ object Ingest {
     val obs = org.apache.spark.sql.Observation(s"delete-${System.nanoTime()}")
     val metricAggs = bucketMetricAggs(buckets)
     val t0 = System.nanoTime()
-    survivors
-      .repartitionByRange(math.max(buckets.size, 1), col("bucket"), col("row_key"))
+    // compaction hash-routes each bucket to exactly ONE task (buckets never
+    // span hash partitions), so partitionBy emits one file per bucket; the
+    // mutation paths keep range partitioning so a huge rewritten bucket can
+    // still parallelize across tasks/files
+    val partitioned =
+      if (singleFilePerBucket)
+        survivors.repartition(math.max(buckets.size, 1), col("bucket"))
+      else
+        survivors.repartitionByRange(math.max(buckets.size, 1), col("bucket"), col("row_key"))
+    partitioned
       .observe(obs, metricAggs.head, metricAggs.tail: _*)
       .sortWithinPartitions(col("bucket"), col("row_key"))
       .write.mode("overwrite").partitionBy("bucket")
@@ -686,12 +779,22 @@ object Ingest {
         if (Files.exists(live)) Files.move(live, retired, StandardCopyOption.ATOMIC_MOVE)
         if (Files.exists(staged)) // a fully-deleted bucket stages nothing
           Files.move(staged, live, StandardCopyOption.ATOMIC_MOVE)
-        graft.FsUtils.deleteRecursively(retired)
+        if (snapOn && Files.exists(retired)) {
+          // the replaced dir IS this bucket's pre-image: archive it into
+          // the staged version instead of dropping it (one rename — the
+          // snapshot costs no data copy, exactly like Iceberg keeping the
+          // superseded data files)
+          Files.move(retired, pending.resolve(s"bucket=$b"),
+            StandardCopyOption.ATOMIC_MOVE)
+          archivedB += b
+        } else graft.FsUtils.deleteRecursively(retired)
         val lin = lineageFromMetrics(m, b, wallMs)
         commitLineage(outDir, lin)
         out += lin
       }
       graft.FsUtils.deleteRecursively(stagingRoot)
+      if (snapOn)
+        Snapshots.commit(outDir, snapV, verb, archivedB.result(), livePre, wallMs)
     } catch {
       case e: Throwable =>
         // in-JVM failure mid-swap: restore any half-swapped bucket, then
@@ -699,8 +802,30 @@ object Ingest {
         // store — already-swapped buckets would otherwise keep stale
         // lineage forever (re-running the delete finds no rows in them)
         try {
+          if (snapOn) {
+            // keep history EXACT for in-JVM failures: a bucket with both
+            // live and retired present completed its swap (retired is the
+            // pre-image — archive it before recovery would drop it); a
+            // bucket with only retired is half-swapped and recovery
+            // restores it (the mutation never applied there)
+            for (b <- buckets) {
+              val retired = Paths.get(dataDir, s".bucket=$b.retired")
+              if (Files.exists(retired) && Files.exists(Paths.get(dataDir, s"bucket=$b"))) {
+                Files.move(retired, pending.resolve(s"bucket=$b"),
+                  StandardCopyOption.ATOMIC_MOVE)
+                archivedB += b
+              }
+            }
+          }
           recoverRetiredBuckets(dataDir, force = true)
           recommitBucketLineage(spark, outDir, buckets)
+          // commit the PARTIAL version when any bucket did swap: as-of
+          // reads below it then serve archived pre-images for swapped
+          // buckets and live dirs (untouched) for the rest — exact. A
+          // failure before any swap burns no version number.
+          val archived = archivedB.result()
+          if (snapOn && archived.nonEmpty)
+            Snapshots.commit(outDir, snapV, verb, archived, livePre, wallMs)
         } catch { case r: Throwable => e.addSuppressed(r) }
         throw e
     } finally Files.deleteIfExists(marker)

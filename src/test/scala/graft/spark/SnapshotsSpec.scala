@@ -1,0 +1,202 @@
+package graft.spark
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Snapshot log + time travel + compaction over the copy-on-write store:
+ * every mutation verb (delete / transform / compact) archives exact
+ * pre-images, `readStoreAsOf` reconstructs any retained version
+ * bit-for-bit, `expire` trims history, and the whole thing is opt-in
+ * (a store without `Snapshots.enable` behaves exactly as before).
+ */
+class SnapshotsSpec extends SparkTestBase {
+
+  /** order-free content witness: (row count, xor of full-row hashes). */
+  private def witness(df: DataFrame): (Long, Long) = {
+    val cols = df.columns.sorted.map(col).toSeq
+    val r = df.agg(count(lit(1)), bit_xor(xxhash64(cols: _*))).collect()(0)
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def dataFiles(dir: String, bucket: Int): Int = {
+    val d = Paths.get(dir, "data", s"bucket=$bucket")
+    if (!Files.isDirectory(d)) 0
+    else {
+      val s = Files.list(d)
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+  }
+
+  test("time travel across delete / transform / compact versions") {
+    val dir = graft.TestTmp.dir("graft-snap").toString
+    val pages = Tables.synthPages(spark, 2000)
+      .withColumn("vis", when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b&a")))
+    Ingest.run(spark, pages, dir,
+      Ingest.Config(numBuckets = 8, batchSize = 2, altIndexCol = Some("doc_id")))
+    Snapshots.enable(dir)
+    assert(Snapshots.enabled(dir))
+
+    val w0 = witness(Ingest.readStore(spark, dir))
+    assert(w0._1 == 2000)
+
+    // v1: spatial delete
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 90.0)
+    val w1 = witness(Ingest.readStore(spark, dir))
+    // v2: id delete through the alt index — ids picked from the
+    // SURVIVORS of v1 so the delete is guaranteed not to no-op
+    val victims = Ingest.readStore(spark, dir)
+      .select("doc_id").orderBy("doc_id").limit(4)
+      .collect().map(_.getLong(0)).toSeq
+    Ingest.deleteByIds(spark, dir, victims, idCol = "doc_id")
+    val w2 = witness(Ingest.readStore(spark, dir))
+    assert(w2._1 == w1._1 - 4)
+    // v3: visibility transform
+    Ingest.transformVisibilityByQuery(spark, dir, col("lat") < 0.0, "b", "c")
+    val w3 = witness(Ingest.readStore(spark, dir))
+    // v4: compaction (multi-file buckets from the 4-batch ingest)
+    assert((0 until 8).exists(dataFiles(dir, _) > 1),
+      "fixture must hold a multi-file bucket for the compact version")
+    val compacted = Ingest.compactBuckets(spark, dir, maxFilesPerBucket = 1)
+    assert(compacted.nonEmpty)
+    val w4 = witness(Ingest.readStore(spark, dir))
+    assert(w4 == w3, "compaction must not change store content")
+
+    val vs = Snapshots.versions(dir)
+    assert(vs.map(_.version) == Seq(1, 2, 3, 4))
+    assert(vs.map(_.verb) == Seq("delete", "delete", "transform", "compact"))
+    assert(vs.forall(_.archived.nonEmpty))
+    assert(vs.head.livePre == (0 until 8))
+
+    // each version reconstructs bit-for-bit, live included
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 0)) == w0)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 1)) == w1)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 2)) == w2)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 3)) == w3)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 4)) == w4)
+    // as-of schema is positionally identical to the live read
+    assert(Snapshots.readStoreAsOf(spark, dir, 0).schema ==
+      Ingest.readStore(spark, dir).schema)
+
+    // semantic spot checks, not just hashes: v0 has the deleted rows,
+    // v3 shows the transformed visibility where v2 does not
+    assert(Snapshots.readStoreAsOf(spark, dir, 0)
+      .where(col("lon") >= 90.0).count() > 0)
+    assert(Ingest.readStore(spark, dir).where(col("lon") >= 90.0).count() == 0)
+    val vis2 = Snapshots.readStoreAsOf(spark, dir, 2)
+      .where(col("lat") < 0.0 && col("vis") === "c&a").count()
+    val vis3 = Snapshots.readStoreAsOf(spark, dir, 3)
+      .where(col("lat") < 0.0 && col("vis") === "c&a").count()
+    assert(vis2 == 0 && vis3 > 0)
+
+    // no-op mutations burn no version numbers (idempotent re-runs)
+    assert(Ingest.deleteByQuery(spark, dir, col("lon") >= 90.0).isEmpty)
+    assert(Ingest.deleteByIds(spark, dir, victims, idCol = "doc_id").isEmpty)
+    assert(Ingest.compactBuckets(spark, dir, maxFilesPerBucket = 1).isEmpty)
+    assert(Snapshots.versions(dir).size == 4)
+  }
+
+  test("compaction: one sorted file per bucket, content identity, no-op re-run") {
+    val dir = graft.TestTmp.dir("graft-compact").toString
+    val pages = Tables.synthPages(spark, 1200)
+    Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 4, batchSize = 1))
+    val before = witness(Ingest.readStore(spark, dir))
+    assert((0 until 4).forall(dataFiles(dir, _) >= 4),
+      "4 single-bucket batches must leave >= 4 files per bucket")
+
+    val done = Ingest.compactBuckets(spark, dir, maxFilesPerBucket = 1)
+    assert(done.map(_.bucket).sorted == (0 until 4))
+    assert((0 until 4).forall(dataFiles(dir, _) == 1))
+    assert(witness(Ingest.readStore(spark, dir)) == before)
+    // rows stay sorted by row_key inside each bucket's single file (the
+    // store invariant) — read the file directly so row order is the file's
+    for (b <- 0 until 4) {
+      val keys = spark.read.parquet(s"$dir/data/bucket=$b")
+        .coalesce(1).select("row_key").collect().map(_.getAs[Array[Byte]](0))
+      val cmp = java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])
+      assert(keys.zip(keys.tail).forall { case (a, c) => cmp(a, c) <= 0 },
+        s"bucket $b lost its row_key sort order after compaction")
+    }
+    // already at one file per bucket: re-run rewrites nothing
+    assert(Ingest.compactBuckets(spark, dir, maxFilesPerBucket = 1).isEmpty)
+    // threshold respected: nothing exceeds 4 files, so nothing rewrites
+    assert(Ingest.compactBuckets(spark, dir, maxFilesPerBucket = 4).isEmpty)
+  }
+
+  test("expire trims old history; reads below the horizon fail loudly") {
+    val dir = graft.TestTmp.dir("graft-snap-expire").toString
+    Ingest.run(spark, Tables.synthPages(spark, 600), dir,
+      Ingest.Config(numBuckets = 4, batchSize = 4))
+    Snapshots.enable(dir)
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 120.0) // v1
+    val w1 = witness(Ingest.readStore(spark, dir))
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 60.0) // v2
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 0.0) // v3
+    val w3 = witness(Ingest.readStore(spark, dir))
+
+    val dropped = Snapshots.expire(dir, keepLast = 2)
+    assert(dropped == Seq(1))
+    assert(!Files.exists(Snapshots.versionDir(dir, 1)))
+    assert(Snapshots.versions(dir).map(_.version) == Seq(2, 3))
+    // v1 is the oldest still reconstructable (needs only the v2+ archives)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 1)) == w1)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 3)) == w3)
+    intercept[IllegalArgumentException] {
+      Snapshots.readStoreAsOf(spark, dir, 0)
+    }
+    // expire everything: only the live store remains readable
+    assert(Snapshots.expire(dir, keepLast = 0) == Seq(2, 3))
+    assert(Snapshots.versions(dir).isEmpty)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 99)) == w3)
+  }
+
+  test("full wipe: as-of serves everything, live store reads typed empty") {
+    val dir = graft.TestTmp.dir("graft-snap-wipe").toString
+    Ingest.run(spark, Tables.synthPages(spark, 400), dir,
+      Ingest.Config(numBuckets = 4, batchSize = 4))
+    Snapshots.enable(dir)
+    val w0 = witness(Ingest.readStore(spark, dir))
+    Ingest.deleteByQuery(spark, dir, col("doc_id") >= 0L) // wipes every bucket
+    val live = Ingest.readStore(spark, dir)
+    assert(live.count() == 0)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 0)) == w0)
+    val e = Snapshots.versions(dir).head
+    assert(e.archived == (0 until 4) && e.livePre == (0 until 4))
+    // as-of at the wiped version is the same typed empty frame
+    val asOf1 = Snapshots.readStoreAsOf(spark, dir, 1)
+    assert(asOf1.count() == 0 && asOf1.schema == live.schema)
+  }
+
+  test("crashed-commit leftovers are swept; version numbers never collide") {
+    val dir = graft.TestTmp.dir("graft-snap-crash").toString
+    Ingest.run(spark, Tables.synthPages(spark, 500), dir,
+      Ingest.Config(numBuckets = 4, batchSize = 4))
+    Snapshots.enable(dir)
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 150.0) // v1
+    val w1 = witness(Ingest.readStore(spark, dir))
+    // simulate a mutation that archived + renamed v2 but crashed before
+    // writing the log entry, plus a stale pending dir from another attempt
+    val ghost = Snapshots.versionDir(dir, 2)
+    Files.createDirectories(ghost.resolve("bucket=9"))
+    Files.createDirectories(Snapshots.pendingDir(dir, 2))
+    assert(Snapshots.versions(dir).map(_.version) == Seq(1))
+
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 100.0) // reuses v2
+    val vs = Snapshots.versions(dir)
+    assert(vs.map(_.version) == Seq(1, 2))
+    assert(!Files.exists(ghost.resolve("bucket=9")), "ghost dir must be swept")
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 1)) == w1)
+  }
+
+  test("snapshots stay opt-in: an un-enabled store archives nothing") {
+    val dir = graft.TestTmp.dir("graft-snap-off").toString
+    Ingest.run(spark, Tables.synthPages(spark, 300), dir,
+      Ingest.Config(numBuckets = 4, batchSize = 4))
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 0.0)
+    assert(!Snapshots.enabled(dir))
+    assert(Snapshots.versions(dir).isEmpty)
+    assert(!Files.exists(Paths.get(dir, "_snapshots")))
+  }
+}
