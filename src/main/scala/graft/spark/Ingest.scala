@@ -496,7 +496,7 @@ object Ingest {
     * window, and for up to the grace period after a hard crash, a reader
     * can still observe the store minus an in-swap bucket. Delete paths
     * recover unconditionally. */
-  private def recoverRetiredBuckets(dataDir: String, force: Boolean = false): Unit = {
+  private[spark] def recoverRetiredBuckets(dataDir: String, force: Boolean = false): Unit = {
     val dd = Paths.get(dataDir)
     // a LIVE delete (in-progress marker fresher than the grace window)
     // owns the retired dirs — a READER recovering them mid-swap would
@@ -522,7 +522,18 @@ object Ingest {
           if (name.startsWith(".bucket=") && name.endsWith(".retired")) {
             val live = dd.resolve(name.stripPrefix(".").stripSuffix(".retired"))
             if (!Files.exists(live)) Files.move(p, live, StandardCopyOption.ATOMIC_MOVE)
-            else graft.FsUtils.deleteRecursively(p)
+            else {
+              // the live twin exists ⇒ this bucket's swap COMPLETED and the
+              // retired dir is its pre-image: when a snapshot mutation is
+              // open, preserve it in the pending archive (history would
+              // otherwise be silently lost for every version below the
+              // crashed one); dropped only when no pending accepts it
+              val b = name.stripPrefix(".bucket=").stripSuffix(".retired").toInt
+              val outDir = dd.getParent
+              val archived = outDir != null &&
+                Snapshots.archiveRetired(outDir.toString, p, b)
+              if (!archived) graft.FsUtils.deleteRecursively(p)
+            }
           }
         }
       } finally ls.close()
@@ -582,6 +593,12 @@ object Ingest {
       }
       Files.deleteIfExists(marker)
     }
+    // snapshot recovery LAST: retired-bucket recovery above has already
+    // routed every surviving pre-image into the open pending dir, so a
+    // pending holding archives commits as a partial version (as-of reads
+    // below it stay exact) and an empty one is dropped without burning a
+    // version number
+    Snapshots.finalizePending(outDir)
   }
 
   def deleteByQuery(spark: SparkSession, outDir: String,
@@ -724,6 +741,10 @@ object Ingest {
     if (snapOn) {
       graft.FsUtils.deleteRecursively(pending) // a crashed attempt's leftovers
       Files.createDirectories(pending)
+      // recovery metadata BEFORE the first swap: a hard crash at any later
+      // point leaves finalizePending everything it needs to commit the
+      // partial version (or drop it when nothing swapped)
+      Snapshots.writePendingMeta(outDir, snapV, verb, livePre, buckets)
     }
     val archivedB = Seq.newBuilder[Int]
     val store = spark.read.parquet(dataDir)

@@ -146,10 +146,75 @@ class SnapshotsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       Snapshots.readStoreAsOf(spark, dir, 0)
     }
-    // expire everything: only the live store remains readable
+    // expire everything: only the live store remains readable — reads
+    // below the horizon STILL fail loudly (the high-water mark survives
+    // the empty log), and version numbering never restarts
     assert(Snapshots.expire(dir, keepLast = 0) == Seq(2, 3))
     assert(Snapshots.versions(dir).isEmpty)
     assert(witness(Snapshots.readStoreAsOf(spark, dir, 99)) == w3)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 3)) == w3)
+    for (v <- Seq(0, 1, 2))
+      intercept[IllegalArgumentException] { Snapshots.readStoreAsOf(spark, dir, v) }
+    Ingest.deleteByQuery(spark, dir, col("lat") >= -100.0) // wipes the rest
+    assert(Snapshots.versions(dir).map(_.version) == Seq(4),
+      "numbering must continue past expired history, not restart at 1")
+    // expire is a no-op (not a crash) on a store never enabled
+    val plain = graft.TestTmp.dir("graft-snap-plain").toString
+    Ingest.run(spark, Tables.synthPages(spark, 100), plain,
+      Ingest.Config(numBuckets = 2, batchSize = 2))
+    assert(Snapshots.expire(plain, keepLast = 3) == Seq.empty)
+  }
+
+  test("hard crash mid-swap: pre-images survive, history stays exact") {
+    val dir = graft.TestTmp.dir("graft-snap-hardcrash").toString
+    Ingest.run(spark, Tables.synthPages(spark, 800), dir,
+      Ingest.Config(numBuckets = 4, batchSize = 4))
+    Snapshots.enable(dir)
+    val w0 = witness(Ingest.readStore(spark, dir))
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 150.0) // v1
+    val w1 = witness(Ingest.readStore(spark, dir))
+
+    // manufacture the exact filesystem state a hard crash leaves when a
+    // second delete dies AFTER swapping bucket b but BEFORE archiving its
+    // retired pre-image or committing v2: pending dir with _meta, the
+    // pre-image at .bucket=b.retired, mutated rows live, a marker
+    val dataDir = Paths.get(dir, "data")
+    val b = 1
+    val livePre = (0 until 4).filter(i => Files.isDirectory(dataDir.resolve(s"bucket=$i")))
+    Files.createDirectories(Snapshots.pendingDir(dir, 2))
+    Snapshots.writePendingMeta(dir, 2, "delete", livePre, Seq(b))
+    val live = dataDir.resolve(s"bucket=$b")
+    val retired = dataDir.resolve(s".bucket=$b.retired")
+    Files.move(live, retired)
+    spark.read.parquet(retired.toString).where(col("lat") < 50.0)
+      .write.parquet(live.toString) // the "mutated" post-swap content
+    val marker = Paths.get(dir, ".delete-inprogress")
+    Files.write(marker, s"[$b]".getBytes)
+
+    // FRESH marker: a concurrent as-of reader must not self-heal, and must
+    // serve bucket b from its transient .retired pre-image — exact v1
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 1)) == w1)
+    assert(Files.isDirectory(retired), "a fresh marker defers reader self-heal")
+
+    // age the marker past the grace window: reader self-heal now routes
+    // the pre-image into the pending archive (not the void) — still exact
+    Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 16L * 60 * 1000))
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 1)) == w1)
+    assert(!Files.exists(retired) &&
+      Files.isDirectory(Snapshots.pendingDir(dir, 2).resolve(s"bucket=$b")))
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 0)) == w0)
+    val wCrashed = witness(Ingest.readStore(spark, dir)) // partial-mutation live state
+
+    // next mutation entry finalizes the crashed pending as PARTIAL v2,
+    // then runs as v3 — every earlier version still reconstructs exactly
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 100.0) // v3
+    val vs = Snapshots.versions(dir)
+    assert(vs.map(_.version) == Seq(1, 2, 3))
+    assert(vs(1).verb == "delete" && vs(1).archived == Seq(b))
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 0)) == w0)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 1)) == w1)
+    assert(witness(Snapshots.readStoreAsOf(spark, dir, 2)) == wCrashed)
   }
 
   test("full wipe: as-of serves everything, live store reads typed empty") {
