@@ -566,6 +566,43 @@ object Analytics {
     graft.index.MinimalBinHistogram.fromBytes(bytes)
   }
 
+  private final class FixedBinAgg(nbins: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Double, graft.index.FixedBinHistogram, Array[Byte]] {
+    override def zero: graft.index.FixedBinHistogram =
+      new graft.index.FixedBinHistogram(nbins)
+    override def reduce(h: graft.index.FixedBinHistogram, v: Double):
+        graft.index.FixedBinHistogram = { h.add(v); h }
+    override def merge(a: graft.index.FixedBinHistogram,
+                       b: graft.index.FixedBinHistogram):
+        graft.index.FixedBinHistogram = { a.merge(b); a }
+    override def finish(h: graft.index.FixedBinHistogram): Array[Byte] =
+      h.toBytes
+    override def bufferEncoder: org.apache.spark.sql.Encoder[graft.index.FixedBinHistogram] =
+      org.apache.spark.sql.Encoders.javaSerialization
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** the reference's RowRangeHistogramStatistics as one distributed pass
+    * (RowRangeHistogramStatistics.java:176-183: every row id projected
+    * through the histogram ByteUtils' key→double, ingested into a
+    * FixedBinNumericHistogram, per-tablet partials merged): row keys from
+    * `keyCol` (binary) → [[graft.index.KeyBytes.toDouble]] → per-partition
+    * [[graft.index.FixedBinHistogram]]s merged map-side. The returned
+    * histogram answers cdf / quantile / re-binned count — the inputs the
+    * reference's splits provider and stats-driven chooser consume. */
+  def rowRangeHistogram(df: DataFrame, keyCol: String = "row_key",
+                        nbins: Int = 1024): graft.index.FixedBinHistogram = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bytes = df.select(col(keyCol))
+      .where(col(keyCol).isNotNull).as[Array[Byte]]
+      .map(graft.index.KeyBytes.toDouble)
+      .select(new FixedBinAgg(nbins).toColumn).collect()(0)
+    graft.index.FixedBinHistogram.fromBytes(bytes)
+  }
+
   /** drop weak centroids exactly as the reference's runner does
     * (StripWeakCentroidsRunner.java:93-122): sort descending by
     * association count, take the break strategy's keep-count (default

@@ -1,0 +1,95 @@
+package graft.index
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Ports of the reference's row-range histogram tests:
+ *  - ByteUtilsTest (core/store/.../histogram/ByteUtilsTest.java:12-25) —
+ *    the key→double projection's order and round-trip contract;
+ *  - RowHistogramFixedDataStaticticsTest
+ *    (core/store/.../statistics/RowHistogramFixedDataStaticticsTest.java:28-110)
+ *    — cdf over 10k generated row ids, cross-partition merge, binary
+ *    round-trip, all through the FIXED-bin histogram;
+ *  - RowHistogramDataStaticticsTest
+ *    (core/store/.../statistics/RowHistogramDataStaticticsTest.java:47-143)
+ *    — the fixed-bin and dynamic (Ben-Haim/Tom-Tov) histograms agree on
+ *    cdf within 0.02 over the reference's exact seeded-random key stream.
+ */
+class FixedBinHistogramPortSpec extends AnyFunSuite {
+
+  test("ByteUtilsTest: key-to-double order and padded round trip") {
+    val oneTwo = KeyBytes.toDouble("12".getBytes)
+    val oneOneTwo = KeyBytes.toDouble("112".getBytes)
+    val oneThree = KeyBytes.toDouble("13".getBytes)
+    val oneOneThree = KeyBytes.toDouble("113".getBytes)
+    assert(oneTwo > oneOneTwo)
+    assert(oneThree > oneTwo)
+    assert(oneOneTwo < oneOneThree)
+    assert(java.util.Arrays.equals(
+      KeyBytes.toPaddedBytes("113".getBytes), KeyBytes.toBytes(oneOneThree)))
+  }
+
+  // RowHistogramFixedDataStaticticsTest.genId: "\12%5h" of (base + id)
+  // (octal 12 = \n; %h = lowercase hex of the boxed value's hashCode,
+  // space-padded to width 5) followed by the literal suffix
+  private val base = 7L
+  private def genIdFixed(id: Long): Array[Byte] =
+    (String.format("\n%5h", java.lang.Long.valueOf(base + id)) + "20030f89").getBytes
+
+  test("RowHistogramFixedDataStaticticsTest: ingest, cdf, merge, binary round trip") {
+    val stats = new FixedBinHistogram(1024)
+    for (i <- 0L until 10000L) stats.add(KeyBytes.toDouble(genIdFixed(i)))
+
+    assert(math.abs(stats.cdf(KeyBytes.toDouble(genIdFixed(10000))) - 1.0) < 0.00001)
+    assert(math.abs(stats.cdf(KeyBytes.toDouble(genIdFixed(0))) - 0.0) < 0.00001)
+    assert(math.abs(stats.cdf(KeyBytes.toDouble(genIdFixed(5000))) - 0.5) < 0.04)
+
+    val stats2 = new FixedBinHistogram(1024)
+    for (j <- 10000L until 20000L) stats2.add(KeyBytes.toDouble(genIdFixed(j)))
+    assert(math.abs(stats2.cdf(KeyBytes.toDouble(genIdFixed(10000))) - 0.0) < 0.00001)
+
+    stats.merge(stats2)
+    assert(math.abs(stats.cdf(KeyBytes.toDouble(genIdFixed(10000))) - 0.5) < 0.15)
+
+    // the reference round-trips the merged stats through its binary form
+    val thawed = FixedBinHistogram.fromBytes(stats.toBytes)
+    assert(math.abs(thawed.cdf(KeyBytes.toDouble(genIdFixed(10000))) - 0.5) < 0.15)
+    assert(thawed.totalCount == stats.totalCount)
+    assert(thawed.count(64).toSeq == stats.count(64).toSeq)
+  }
+
+  test("RowHistogramDataStaticticsTest: fixed-bin and dynamic histograms agree on cdf") {
+    // the reference's exact key stream: java.util.Random(347), id =
+    // "\12%6h" of the boxed DOUBLE bottom + r.nextDouble * (top - bottom)
+    val r = new java.util.Random(347)
+    def genId(bottom: Long, top: Long): Array[Byte] =
+      (String.format("\n%6h",
+        java.lang.Double.valueOf(bottom + r.nextDouble() * (top - bottom))) +
+        "20030f89").getBytes
+
+    val fixed = new FixedBinHistogram(1024)
+    val dynamic = new MinimalBinHistogram(1024)
+    for (_ <- 0 until 10000) {
+      val id = genId(0, 100000)
+      fixed.add(KeyBytes.toDouble(id))
+      dynamic.add(KeyBytes.toDouble(id))
+    }
+    for (i <- 1000 until 100000 by 1000) {
+      val half = KeyBytes.toDouble(genId(i, i + 1))
+      assert(math.abs(fixed.cdf(half) - dynamic.cdf(half)) < 0.02, s"iteration $i")
+    }
+    for (_ <- 10000L until 20000L) {
+      val id = genId(100000, 200000)
+      fixed.add(KeyBytes.toDouble(id))
+      dynamic.add(KeyBytes.toDouble(id))
+    }
+    for (i <- 1000 until 100000 by 1000) {
+      val half = KeyBytes.toDouble(genId(i, i + 1))
+      assert(math.abs(fixed.cdf(half) - dynamic.cdf(half)) < 0.02, s"iteration $i")
+    }
+    val nearfull = KeyBytes.toDouble(genId(79998, 89999))
+    assert(math.abs(fixed.cdf(nearfull) - dynamic.cdf(nearfull)) < 0.02, "nearfull")
+    val nearempty = KeyBytes.toDouble(genId(9998, 9999))
+    assert(math.abs(fixed.cdf(nearempty) - dynamic.cdf(nearempty)) < 0.02, "nearempty")
+  }
+}

@@ -246,4 +246,26 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(h.quantile(0.5) / 1000.0 - 52) < 1.5)
     assert(math.abs(h.quantile(0.75) / 1000.0 - 78) < 1.5)
   }
+
+  test("rowRangeHistogram Aggregator: distributed row-key cdf matches local ingest") {
+    // the reference's RowRangeHistogramStatistics shape: row keys →
+    // ByteUtils.toDouble → fixed-bin histogram, per-partition partials
+    // merged. Distributed cdf must track a single-stream local ingest of
+    // the same keys (merge order redistributes bins — approximation
+    // contract, not bit identity).
+    val keys = (0L until 8000L).map(i =>
+      (String.format("\n%5h", java.lang.Long.valueOf(7 + i)) + "20030f89").getBytes)
+    import spark.implicits._
+    val df = keys.toDF("row_key").repartition(8)
+    val h = Analytics.rowRangeHistogram(df, "row_key")
+    assert(h.totalCount == 8000)
+    val local = new graft.index.FixedBinHistogram(1024)
+    keys.foreach(k => local.add(graft.index.KeyBytes.toDouble(k)))
+    for (i <- Seq(0L, 2000L, 4000L, 6000L, 8000L)) {
+      val v = graft.index.KeyBytes.toDouble(
+        (String.format("\n%5h", java.lang.Long.valueOf(7 + i)) + "20030f89").getBytes)
+      assert(math.abs(h.cdf(v) - local.cdf(v)) < 0.02, s"key offset $i")
+    }
+    assert(math.abs(h.cdf(Double.MaxValue) - 1.0) < 1e-9)
+  }
 }
