@@ -779,6 +779,26 @@ object SparkEntry {
         .unionByName(tag(graft.spark.Snapshots.readStoreAsOf(s, path, 1), 1))
         .unionByName(tag(graft.spark.Ingest.readStore(s, path), 2))
     }),
+    "q91_snapshot_diff" -> ((s, dir) => {
+      // the incremental-recrawl primitive (Iceberg changelog read): rows
+      // removed/added between two store versions, scanning ONLY buckets a
+      // mutation in the range touched. Shares q89's fingerprinted
+      // snapshot store (same ingest + same match-confirmed deletes —
+      // idempotent, version numbers never drift), so warm calls re-ingest
+      // nothing. diff(0, 2) over two deletes = exactly the deleted rows,
+      // all tagged 'removed' (nothing is ever added by a delete).
+      val path = tmpIndexPath(dir, "graft-snapstore")
+      val pages = Tables.pages(s, dir)
+        .withColumn("url", concat(lit("doc-"), col("doc_id")))
+      graft.spark.Ingest.run(s, pages, path, graft.spark.Ingest.Config(
+        numBuckets = 8, batchSize = 8, targetPartitions = 8))
+      graft.spark.Snapshots.enable(path)
+      graft.spark.Ingest.deleteByQuery(s, path,
+        col("lon") >= 100.0 && col("lat") >= 20.0)
+      graft.spark.Ingest.deleteByQuery(s, path, col("lon") < -100.0)
+      graft.spark.Snapshots.diff(s, path, 0, 2)
+        .select(col("change"), col("doc_id"), col("lon"), col("lat"))
+    }),
     "q90_compact_store" -> ((s, dir) => {
       // store compaction (Iceberg rewrite_data_files; the verb the
       // reference delegates to Accumulo/HBase major compaction): a
@@ -1736,6 +1756,12 @@ object SparkEntry {
       // compaction is invisible to readers: exact row conservation
       s"""$pagesCte
          |SELECT doc_id, lon, lat FROM pages""".stripMargin,
+    "q91_snapshot_diff" ->
+      // the delta between v0 and v2 is exactly the rows the two deletes
+      // removed — nothing is added by a delete
+      s"""$pagesCte
+         |SELECT 'removed' AS change, doc_id, lon, lat FROM pages
+         |WHERE (lon >= 100.0 AND lat >= 20.0) OR (lon < -100.0)""".stripMargin,
     "q88_rowkey_scan" ->
       // the row_key compound-range scan is an access-path choice; the
       // result set is the plain box query over the same pages

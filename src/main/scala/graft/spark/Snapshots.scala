@@ -376,6 +376,33 @@ object Snapshots {
   }
 
   /**
+   * Rows REMOVED and ADDED between two versions — the incremental-recrawl
+   * primitive (Iceberg's changelog read): downstream consumers process
+   * the delta instead of re-reading the corpus. Scans ONLY buckets a
+   * mutation in (vFrom, vTo] touched — untouched buckets cannot differ —
+   * so cost scales with the mutated fraction, not the store size. Output
+   * is the store schema plus a leading `change` column ('removed' /
+   * 'added'); an in-place rewrite (visibility transform) appears as a
+   * removed/added pair sharing the row key. `vTo` past the high-water
+   * mark diffs against the live store. Uses exceptAll, so duplicate rows
+   * diff by multiplicity, matching the delete path's row semantics.
+   */
+  def diff(spark: SparkSession, outDir: String, vFrom: Int, vTo: Int): DataFrame = {
+    require(0 <= vFrom && vFrom < vTo,
+      s"diff: need 0 <= vFrom < vTo, got ($vFrom, $vTo)")
+    val touched = versions(outDir)
+      .filter(e => e.version > vFrom && e.version <= vTo)
+      .flatMap(_.archived).distinct.sorted
+    def tag(df: DataFrame, change: String): DataFrame =
+      df.select(lit(change).as("change") +: df.columns.map(col).toSeq: _*)
+    if (touched.isEmpty)
+      return tag(Ingest.typedEmptyStore(spark, outDir), "removed")
+    val a = readStoreAsOf(spark, outDir, vFrom).where(col("bucket").isin(touched: _*))
+    val b = readStoreAsOf(spark, outDir, vTo).where(col("bucket").isin(touched: _*))
+    tag(a.exceptAll(b), "removed").unionByName(tag(b.exceptAll(a), "added"))
+  }
+
+  /**
    * Iceberg's `expire_snapshots`: keep only the newest `keepLast` log
    * entries, dropping older archives. The log entry is removed FIRST so a
    * crash mid-expire leaves an orphan archive dir (swept by the next

@@ -98,6 +98,52 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.versions(dir).size == 4)
   }
 
+  test("diff: per-verb deltas, compaction diffs empty, touched buckets only") {
+    val dir = graft.TestTmp.dir("graft-snap-diff").toString
+    val pages = Tables.synthPages(spark, 1500)
+      .withColumn("vis", when(col("doc_id") % 2 === 0, lit("a")).otherwise(lit("b&a")))
+    Ingest.run(spark, pages, dir, Ingest.Config(numBuckets = 8, batchSize = 2))
+    Snapshots.enable(dir)
+    val n0 = Ingest.readStore(spark, dir).count()
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 120.0) // v1
+    val n1 = Ingest.readStore(spark, dir).count()
+    Ingest.transformVisibilityByQuery(spark, dir, col("lat") < 0.0, "b", "c") // v2
+    val nChanged = Ingest.readStore(spark, dir)
+      .where(col("lat") < 0.0 && col("vis") === "c&a").count()
+    Ingest.compactBuckets(spark, dir, maxFilesPerBucket = 1) // v3
+
+    // delete delta: only removals, exactly the deleted rows
+    val d01 = Snapshots.diff(spark, dir, 0, 1)
+    assert(d01.where(col("change") === "added").count() == 0)
+    assert(d01.where(col("change") === "removed").count() == n0 - n1)
+
+    // transform delta: removed/added PAIRS sharing the row key
+    val d12 = Snapshots.diff(spark, dir, 1, 2)
+    assert(d12.where(col("change") === "removed").count() == nChanged)
+    assert(d12.where(col("change") === "added").count() == nChanged)
+    val paired = d12.groupBy("row_key")
+      .agg(countDistinct("change").as("sides"), count(lit(1)).as("n"))
+      .where(col("sides") === 2 && col("n") === 2).count()
+    assert(paired == nChanged, "every transform delta must be a removed/added pair")
+    assert(d12.where(col("change") === "added" && !col("vis").startsWith("c")).count() == 0)
+
+    // compaction rewrites bytes, not rows: its delta is EMPTY
+    assert(Snapshots.diff(spark, dir, 2, 3).count() == 0)
+
+    // scan discipline: the diff reads archives + touched live buckets only
+    val touched = (Snapshots.versions(dir).take(1).flatMap(_.archived)).toSet
+    val untouchedLive = (0 until 8).filterNot(touched)
+      .map(b => s"/data/bucket=$b/")
+    val files = d01.inputFiles
+    assert(files.nonEmpty &&
+      untouchedLive.forall(u => !files.exists(_.contains(u))),
+      "diff(0,1) must not read live buckets v1 never touched")
+
+    // an empty range (no mutations in it) diffs to a typed empty frame
+    intercept[IllegalArgumentException] { Snapshots.diff(spark, dir, 1, 1) }
+    assert(Snapshots.diff(spark, dir, 3, 99).count() == 0)
+  }
+
   test("compaction: one sorted file per bucket, content identity, no-op re-run") {
     val dir = graft.TestTmp.dir("graft-compact").toString
     val pages = Tables.synthPages(spark, 1200)
