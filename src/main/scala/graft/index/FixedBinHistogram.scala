@@ -77,8 +77,13 @@ final class FixedBinHistogram private (private var bins: Array[Long],
   }
 
   private var totalCountVar: Long = 0L
+  // Java's Double.MIN_VALUE (4.9e-324, the smallest POSITIVE subnormal),
+  // not Scala's Double.MinValue (-1.8e308): the reference initializes
+  // maxValue to the former (FixedBinNumericHistogram.java:42), which
+  // changes the first-expansion behavior for all-negative inputs —
+  // reachable here because KeyBytes.toDouble reads keys SIGNED
   private var minVar: Double = Double.MaxValue
-  private var maxVar: Double = Double.MinValue
+  private var maxVar: Double = java.lang.Double.MIN_VALUE
 
   def totalCount: Long = totalCountVar
   def numBins: Int = bins.length
@@ -239,13 +244,19 @@ final class FixedBinHistogram private (private var bins: Array[Long],
 }
 
 object FixedBinHistogram {
-  def fromBytes(bytes: Array[Byte]): FixedBinHistogram = {
+  /** deserialize the reference layout. The binary form carries no
+    * constrained-range flag (the reference's fromBinary is an instance
+    * method that keeps the receiver's flag), so a constrained histogram
+    * must be thawed with `constrained = true` or it would silently start
+    * accepting out-of-range values and re-expanding. */
+  def fromBytes(bytes: Array[Byte], constrained: Boolean = false): FixedBinHistogram = {
     val buf = ByteBuffer.wrap(bytes)
     val total = buf.getLong
     val mn = buf.getDouble
     val mx = buf.getDouble
     val n = buf.getInt
     val h = new FixedBinHistogram(n)
+    h.constrainedRange = constrained
     h.totalCountVar = total
     h.minVar = mn
     h.maxVar = mx

@@ -533,23 +533,35 @@ object Analytics {
     * pairwise by the paper's Algorithm 2, the exact shape of the
     * reference's mergeable FeatureNumericHistogramStatistics
     * (DataStatistics.merge). Only k·nbins numbers ever cross the wire. */
-  private final class MinimalBinAgg(nbins: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        Double, graft.index.MinimalBinHistogram, Array[Byte]] {
-    override def zero: graft.index.MinimalBinHistogram =
-      new graft.index.MinimalBinHistogram(nbins)
-    override def reduce(h: graft.index.MinimalBinHistogram, v: Double):
-        graft.index.MinimalBinHistogram = { h.add(v); h }
-    override def merge(a: graft.index.MinimalBinHistogram,
-                       b: graft.index.MinimalBinHistogram):
-        graft.index.MinimalBinHistogram = { a.merge(b); a }
-    override def finish(h: graft.index.MinimalBinHistogram): Array[Byte] =
-      h.toBytes
-    override def bufferEncoder: org.apache.spark.sql.Encoder[graft.index.MinimalBinHistogram] =
+  /** one typed Aggregator for every mergeable-histogram port: zero /
+    * streaming add / mutating merge / binary finish differ only in the
+    * buffer class, so both the dynamic-bin and fixed-bin paths share it
+    * (a serialization or null-handling fix lands in one place). */
+  private final class HistAgg[H <: AnyRef](mk: () => H,
+                                           addTo: (H, Double) => Unit,
+                                           mergeInto: (H, H) => Unit,
+                                           ser: H => Array[Byte])
+                                          (implicit ct: scala.reflect.ClassTag[H])
+      extends org.apache.spark.sql.expressions.Aggregator[Double, H, Array[Byte]] {
+    override def zero: H = mk()
+    override def reduce(h: H, v: Double): H = { addTo(h, v); h }
+    override def merge(a: H, b: H): H = { mergeInto(a, b); a }
+    override def finish(h: H): Array[Byte] = ser(h)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[H] =
       org.apache.spark.sql.Encoders.javaSerialization
     override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
       org.apache.spark.sql.Encoders.BINARY
   }
+
+  private def minimalBinAgg(nbins: Int) =
+    new HistAgg[graft.index.MinimalBinHistogram](
+      () => new graft.index.MinimalBinHistogram(nbins),
+      _.add(_), _.merge(_), _.toBytes)
+
+  private def fixedBinAgg(nbins: Int) =
+    new HistAgg[graft.index.FixedBinHistogram](
+      () => new graft.index.FixedBinHistogram(nbins),
+      _.add(_), _.merge(_), _.toBytes)
 
   /** distributed approximate quantiles/CDF over a numeric column via the
     * dynamic-bin histogram: returns the merged histogram itself so the
@@ -562,26 +574,8 @@ object Analytics {
     // values); without the filter the primitive deserializer would throw
     val bytes = df.select(col(valueCol).cast("double"))
       .where(col(valueCol).isNotNull).as[Double]
-      .select(new MinimalBinAgg(nbins).toColumn).collect()(0)
+      .select(minimalBinAgg(nbins).toColumn).collect()(0)
     graft.index.MinimalBinHistogram.fromBytes(bytes)
-  }
-
-  private final class FixedBinAgg(nbins: Int)
-      extends org.apache.spark.sql.expressions.Aggregator[
-        Double, graft.index.FixedBinHistogram, Array[Byte]] {
-    override def zero: graft.index.FixedBinHistogram =
-      new graft.index.FixedBinHistogram(nbins)
-    override def reduce(h: graft.index.FixedBinHistogram, v: Double):
-        graft.index.FixedBinHistogram = { h.add(v); h }
-    override def merge(a: graft.index.FixedBinHistogram,
-                       b: graft.index.FixedBinHistogram):
-        graft.index.FixedBinHistogram = { a.merge(b); a }
-    override def finish(h: graft.index.FixedBinHistogram): Array[Byte] =
-      h.toBytes
-    override def bufferEncoder: org.apache.spark.sql.Encoder[graft.index.FixedBinHistogram] =
-      org.apache.spark.sql.Encoders.javaSerialization
-    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
-      org.apache.spark.sql.Encoders.BINARY
   }
 
   /** the reference's RowRangeHistogramStatistics as one distributed pass
@@ -599,7 +593,7 @@ object Analytics {
     val bytes = df.select(col(keyCol))
       .where(col(keyCol).isNotNull).as[Array[Byte]]
       .map(graft.index.KeyBytes.toDouble)
-      .select(new FixedBinAgg(nbins).toColumn).collect()(0)
+      .select(fixedBinAgg(nbins).toColumn).collect()(0)
     graft.index.FixedBinHistogram.fromBytes(bytes)
   }
 

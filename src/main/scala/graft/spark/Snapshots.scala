@@ -390,16 +390,54 @@ object Snapshots {
   def diff(spark: SparkSession, outDir: String, vFrom: Int, vTo: Int): DataFrame = {
     require(0 <= vFrom && vFrom < vTo,
       s"diff: need 0 <= vFrom < vTo, got ($vFrom, $vTo)")
-    val touched = versions(outDir)
-      .filter(e => e.version > vFrom && e.version <= vTo)
-      .flatMap(_.archived).distinct.sorted
+    require(enabled(outDir),
+      s"diff: snapshots were never enabled for $outDir — there is no " +
+        "mutation history to read a changelog from")
+    val vs = versions(outDir)
+    // the horizon guard readStoreAsOf has, specialized to the range: an
+    // EXPIRED entry inside (vFrom, vTo] touched buckets we can no longer
+    // enumerate — an empty changelog there would be silently wrong
+    val hw = highwater(outDir)
+    if (vs.isEmpty)
+      require(vFrom >= hw,
+        s"diff($vFrom, $vTo): all log entries have been expired but " +
+          s"versions were committed up to v$hw — changes at and below v$hw " +
+          "are no longer enumerable")
+    else require(vs.head.version <= vFrom + 1,
+      s"diff($vFrom, $vTo): log entries at and below v${vs.head.version - 1} " +
+        "have been expired — the range may contain mutations whose touched " +
+        "buckets are no longer enumerable")
+    // same uncommitted-pending overlay as readStoreAsOf: a crashed or
+    // in-flight mutation's swapped buckets are part of the live state, so
+    // the changelog up to "live" must include them
+    val overlayTouched = pendingDirs(outDir).lastOption.flatMap { p =>
+      readPendingMeta(p).collect {
+        case m if m.version > vs.lastOption.map(_.version).getOrElse(0) &&
+          m.version > vFrom && m.version <= vTo => listBucketDirs(p)
+      }
+    }.getOrElse(Seq.empty)
+    val touched = (vs.filter(e => e.version > vFrom && e.version <= vTo)
+      .flatMap(_.archived) ++ overlayTouched).distinct.sorted
     def tag(df: DataFrame, change: String): DataFrame =
       df.select(lit(change).as("change") +: df.columns.map(col).toSeq: _*)
     if (touched.isEmpty)
       return tag(Ingest.typedEmptyStore(spark, outDir), "removed")
     val a = readStoreAsOf(spark, outDir, vFrom).where(col("bucket").isin(touched: _*))
     val b = readStoreAsOf(spark, outDir, vTo).where(col("bucket").isin(touched: _*))
-    tag(a.exceptAll(b), "removed").unionByName(tag(b.exceptAll(a), "added"))
+    // ONE scan per side (exceptAll twice would read every touched bucket
+    // four times): union with a signed side marker, aggregate the signed
+    // multiplicity per full row, re-expand |multiplicity| copies — the
+    // exact exceptAll semantics in a single pass
+    val cols = a.columns.toSeq
+    val tagged = a.withColumn("_side", lit(1))
+      .unionByName(b.withColumn("_side", lit(-1)))
+    val delta = tagged.groupBy(cols.map(col): _*)
+      .agg(sum("_side").as("_d")).where(col("_d") =!= 0)
+    delta.select(
+      when(col("_d") > 0, lit("removed")).otherwise(lit("added")).as("change") +:
+        cols.map(col) :+
+        explode(sequence(lit(1L), abs(col("_d")))).as("_i"): _*)
+      .drop("_i")
   }
 
   /**

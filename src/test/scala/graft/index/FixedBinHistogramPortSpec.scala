@@ -58,6 +58,27 @@ class FixedBinHistogramPortSpec extends AnyFunSuite {
     assert(thawed.count(64).toSeq == stats.count(64).toSeq)
   }
 
+  test("negative values follow the reference's Double.MIN_VALUE max init") {
+    // the reference initializes maxValue to Java's Double.MIN_VALUE (the
+    // smallest POSITIVE subnormal), so after add(-10) the range is
+    // (-10, ~0] and add(-5) lands mid-histogram — NOT in the min==max
+    // two-value branch a negative-max init would take. Reachable through
+    // KeyBytes.toDouble (signed read) for keys with the high bit set.
+    val h = new FixedBinHistogram(16)
+    h.add(-10.0)
+    h.add(-5.0)
+    assert(math.abs(h.cdf(-7.5) - 0.5) < 1e-9,
+      "add(-5) after add(-10) must land mid-range, not in the last bin")
+    assert(h.maxValue == java.lang.Double.MIN_VALUE)
+    // constrained histograms stay constrained through the binary form
+    val c = new FixedBinHistogram(16, 0.0, 1.0)
+    c.add(0.5); c.add(100.0) // out of range: ignored
+    assert(c.totalCount == 1)
+    val thawed = FixedBinHistogram.fromBytes(c.toBytes, constrained = true)
+    thawed.add(100.0)
+    assert(thawed.totalCount == 1, "thawed constrained histogram must still clip")
+  }
+
   test("RowHistogramDataStaticticsTest: fixed-bin and dynamic histograms agree on cdf") {
     // the reference's exact key stream: java.util.Random(347), id =
     // "\12%6h" of the boxed DOUBLE bottom + r.nextDouble * (top - bottom)

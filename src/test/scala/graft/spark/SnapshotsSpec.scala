@@ -130,18 +130,48 @@ class SnapshotsSpec extends SparkTestBase {
     // compaction rewrites bytes, not rows: its delta is EMPTY
     assert(Snapshots.diff(spark, dir, 2, 3).count() == 0)
 
-    // scan discipline: the diff reads archives + touched live buckets only
-    val touched = (Snapshots.versions(dir).take(1).flatMap(_.archived)).toSet
-    val untouchedLive = (0 until 8).filterNot(touched)
-      .map(b => s"/data/bucket=$b/")
-    val files = d01.inputFiles
-    assert(files.nonEmpty &&
-      untouchedLive.forall(u => !files.exists(_.contains(u))),
-      "diff(0,1) must not read live buckets v1 never touched")
-
     // an empty range (no mutations in it) diffs to a typed empty frame
     intercept[IllegalArgumentException] { Snapshots.diff(spark, dir, 1, 1) }
     assert(Snapshots.diff(spark, dir, 3, 99).count() == 0)
+    // a never-enabled store has no changelog — loud, not silently empty
+    val plain = graft.TestTmp.dir("graft-diff-plain").toString
+    Ingest.run(spark, Tables.synthPages(spark, 100), plain,
+      Ingest.Config(numBuckets = 2, batchSize = 2))
+    intercept[IllegalArgumentException] { Snapshots.diff(spark, plain, 0, 1) }
+  }
+
+  test("diff scan discipline: untouched live buckets prune out of the plan") {
+    // a store where v1 touches a strict SUBSET of buckets and nothing is
+    // compacted: the a/b sides' live relations still contain the
+    // untouched buckets, so the isin(touched) filter must reach the scan
+    // as a partition filter and prune them — the documented
+    // cost-proportional-to-the-mutated-fraction contract
+    val dir = graft.TestTmp.dir("graft-snap-prune").toString
+    Ingest.run(spark, Tables.synthPages(spark, 1200), dir,
+      Ingest.Config(numBuckets = 8, batchSize = 8, altIndexCol = Some("doc_id")))
+    Snapshots.enable(dir)
+    // salt buckets spread any SPATIAL predicate across the whole store, so
+    // a subset-touching mutation is an ID delete through the alt index
+    Ingest.deleteByIds(spark, dir, Seq(17L, 18L), idCol = "doc_id")
+    val touched = Snapshots.versions(dir).head.archived.toSet
+    assert(touched.size < 8, "fixture needs untouched buckets to prune")
+    val d = Snapshots.diff(spark, dir, 0, 1)
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides the scans
+    val liveScans = d.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("/data")) => s
+    }
+    assert(liveScans.nonEmpty, "diff must read the live side for vTo")
+    for (s <- liveScans) {
+      assert(s.metadata("PartitionFilters").contains("bucket"),
+        s"live scan lost the bucket partition filter: ${s.metadata("PartitionFilters")}")
+      val scannedBuckets = s.selectedPartitions.toPartitionArray
+        .map(_.filePath.toString)
+        .flatMap(p => "bucket=(\\d+)".r.findFirstMatchIn(p).map(_.group(1).toInt))
+        .toSet
+      assert(scannedBuckets.subsetOf(touched),
+        s"live scan read untouched buckets: $scannedBuckets vs touched $touched")
+    }
   }
 
   test("compaction: one sorted file per bucket, content identity, no-op re-run") {
@@ -184,6 +214,10 @@ class SnapshotsSpec extends SparkTestBase {
 
     val dropped = Snapshots.expire(dir, keepLast = 2)
     assert(dropped == Seq(1))
+    // a diff whose range reaches into expired history must fail loudly —
+    // an empty changelog there would silently drop v1's deletions
+    intercept[IllegalArgumentException] { Snapshots.diff(spark, dir, 0, 3) }
+    assert(Snapshots.diff(spark, dir, 1, 3).count() > 0) // fully retained range
     assert(!Files.exists(Snapshots.versionDir(dir, 1)))
     assert(Snapshots.versions(dir).map(_.version) == Seq(2, 3))
     // v1 is the oldest still reconstructable (needs only the v2+ archives)
@@ -204,6 +238,10 @@ class SnapshotsSpec extends SparkTestBase {
     Ingest.deleteByQuery(spark, dir, col("lat") >= -100.0) // wipes the rest
     assert(Snapshots.versions(dir).map(_.version) == Seq(4),
       "numbering must continue past expired history, not restart at 1")
+    // diff below the fully-expired horizon fails; above it works
+    intercept[IllegalArgumentException] { Snapshots.diff(spark, dir, 0, 4) }
+    assert(Snapshots.diff(spark, dir, 3, 4)
+      .where(col("change") === "removed").count() > 0)
     // expire is a no-op (not a crash) on a store never enabled
     val plain = graft.TestTmp.dir("graft-snap-plain").toString
     Ingest.run(spark, Tables.synthPages(spark, 100), plain,
@@ -299,6 +337,36 @@ class SnapshotsSpec extends SparkTestBase {
     assert(vs.map(_.version) == Seq(1, 2))
     assert(!Files.exists(ghost.resolve("bucket=9")), "ghost dir must be swept")
     assert(witness(Snapshots.readStoreAsOf(spark, dir, 1)) == w1)
+  }
+
+  test("as-of reads keep the 100 TB read path: pushdown + pruning through archives") {
+    val dir = graft.TestTmp.dir("graft-snap-push").toString
+    Ingest.run(spark, Tables.synthPages(spark, 3000), dir,
+      Ingest.Config(numBuckets = 4, batchSize = 4))
+    Snapshots.enable(dir)
+    Ingest.deleteByQuery(spark, dir, col("lon") >= 150.0) // v1
+    // a box query over the TIME-TRAVELED store must still push its
+    // cell_id range into every parquet scan (archive relations included) —
+    // time travel must not cost the row-group pruning the live read has
+    val q = Ops.spatialBoxQuery(Snapshots.readStoreAsOf(spark, dir, 0), -20, 55, -10, 48)
+    val plan = q.queryExecution.executedPlan.toString
+    val pushedLines = plan.linesIterator.filter(_.contains("PushedFilters")).toSeq
+    assert(pushedLines.nonEmpty &&
+      pushedLines.forall(_.contains("GreaterThanOrEqual(cell_id")),
+      s"cell_id range not pushed into every as-of scan:\n${plan.take(2000)}")
+    // column pruning reaches the archive scans too
+    val narrow = Snapshots.readStoreAsOf(spark, dir, 0).select(col("url"), col("lon"))
+    val readSchemas = narrow.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(l =>
+      !l.contains("text") && !l.contains("html")),
+      "as-of ReadSchema must exclude unused wide columns")
+    // correctness unchanged vs recomputing cell ids over the same as-of frame
+    val want = Ops.spatialBoxQuery(
+        Snapshots.readStoreAsOf(spark, dir, 0).drop("cell_id"), -20, 55, -10, 48)
+      .select("url").collect().map(_.getString(0)).toSet
+    val got = q.select("url").collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
   }
 
   test("snapshots stay opt-in: an un-enabled store archives nothing") {
