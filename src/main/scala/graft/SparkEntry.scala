@@ -101,6 +101,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, tau = 0.5,
         maxDf = 5)
     }),
+    "q92_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination (the pre-training hygiene screen):
+      // treat every 97th doc as the held-out benchmark; flag TRAIN docs
+      // sharing any 3-gram shingle with it, with the distinct-overlap
+      // count. The benchmark shingle set broadcasts — at 100 TB the train
+      // side is one scan + broadcast join + per-doc partial count.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.spark.TextOps.decontaminate(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_hits"))
+    }),
     "q17_minhash_lsh" -> ((s, dir) => {
       graft.spark.TextOps.minhashLshPairs(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
@@ -1137,6 +1150,14 @@ object SparkEntry {
          |           (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat), p.doc_id) AS rn
          |  FROM pages p CROSS JOIN (SELECT * FROM pages WHERE doc_id % 97 = 0) q
          |) WHERE rn <= 10""".stripMargin,
+    "q92_decontaminate" ->
+      // every-97th-doc benchmark; hits = distinct shared 3-gram shingles
+      s"""WITH $shCte,
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM sh s JOIN ev USING (shingle)
+         |WHERE s.doc_id % 97 <> 0
+         |GROUP BY 1""".stripMargin,
     "q16_ngram_jaccard" ->
       // hot-shingle cap (maxDf = 5) mirrored from ngramJaccardPairs:
       // candidates only from rare shingles, exact inter over full sets

@@ -38,6 +38,29 @@ object TextOps {
   }
 
   /**
+   * Benchmark decontamination screen — the training-data hygiene step
+   * every large corpus pipeline runs before training (flag/drop training
+   * documents that share word n-grams with an evaluation benchmark, so
+   * eval scores measure generalization rather than memorized test items):
+   * returns (id, n_hits) for every TRAIN doc sharing >= `minHits` distinct
+   * n-gram shingles with ANY benchmark doc. The benchmark side is tiny
+   * next to the corpus, so its distinct shingle set BROADCASTS: the train
+   * side is one scan + broadcast hash join + map-side partial count — no
+   * train-side shuffle beyond the per-doc aggregate, the only shape that
+   * survives 100 TB.
+   */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int, minHits: Long = 1): DataFrame = {
+    require(minHits >= 1, s"minHits must be >= 1, got $minHits")
+    val benchShingles = shingles(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    shingles(train, idCol, textCol, n)
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+  }
+
+  /**
    * Exact n-gram Jaccard near-dup pairs via inverted-index join: candidate
    * pairs share >= 1 shingle, intersection counted from the FULL shingle
    * sets on candidates only, union from per-doc set sizes. Output:

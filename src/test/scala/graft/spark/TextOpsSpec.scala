@@ -147,6 +147,43 @@ class TextOpsSpec extends SparkTestBase {
     assert(got(0L) == got(7L), "identical docs share fingerprint")
   }
 
+  test("decontaminate: brute-force shingle-overlap oracle + broadcast plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"), // benchmark
+      (1L, "a quick brown fox runs far away today"),       // shares "quick brown fox"
+      (2L, "the lazy dog sleeps all day long"),            // shares "the lazy dog"
+      (3L, "completely different words here entirely now"),
+      (4L, "quick brown fox jumps over the lazy dog again"), // many shared
+      (5L, "short one")                                      // < n words: no shingles
+    ).toDF("doc_id", "text")
+    val bench = docs.where(col("doc_id") === 0L)
+    val train = docs.where(col("doc_id") =!= 0L)
+    val got = TextOps.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: distinct 3-gram overlap counts vs the benchmark doc
+    def sh(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val benchSh = sh("the quick brown fox jumps over the lazy dog")
+    val want = Seq(1L, 2L, 3L, 4L, 5L).flatMap { id =>
+      val t = docs.where(col("doc_id") === id).collect()(0).getString(1)
+      val hits = (sh(t) & benchSh).size.toLong
+      if (hits >= 1) Some(id -> hits) else None
+    }.toMap
+    assert(got == want, s"got $got want $want")
+    assert(!got.contains(3L) && !got.contains(5L))
+    // minHits gate
+    val strict = TextOps.decontaminate(train, bench, "doc_id", "text", n = 3,
+      minHits = 2).collect().map(_.getLong(0)).toSet
+    assert(strict == want.filter(_._2 >= 2).keySet)
+    // scale shape: the benchmark side must be a broadcast hash join —
+    // a sort-merge join would shuffle the whole training corpus
+    val plan = TextOps.decontaminate(train, bench, "doc_id", "text", n = 3)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"), "train side must not sort-merge")
+  }
+
   test("a zero embedding vector near-dups NOTHING (NaN cosine must not pass the threshold)") {
     import spark.implicits._
     // Spark orders NaN above every double, so 0/0 = NaN would satisfy
