@@ -61,7 +61,11 @@ object Pipeline {
     // UNCONDITIONALLY: deleteByQuery is idempotent (a resumed run after
     // the rows are gone finds no matches and touches nothing), and any
     // gate on "did this run ingest" would skip the delete forever after
-    // a crash between ingest completion and this step
+    // a crash between ingest completion and this step. Snapshots are
+    // enabled FIRST (idempotent) so the delete and transform below
+    // archive their pre-images and the whole mutation history stays
+    // time-travelable — verified in stage 5.
+    Snapshots.enable(storeDir)
     val t3 = System.nanoTime()
     val deleted = Ingest.deleteByQuery(spark, storeDir, col("doc_id") % 10007 === 0)
       .map(_.bucket).size
@@ -91,12 +95,36 @@ object Pipeline {
     require(lineageRows2 == afterRows,
       s"lineage ($lineageRows2) must track the store ($afterRows) through the transform")
 
+    // 5. time travel + changelog over the mutation history (resume-safe:
+    // on a resumed run the deletes/transform above no-op and commit no
+    // versions, so the conservation identities below hold against
+    // whatever history the store actually carries)
+    val t5 = System.nanoTime()
+    val hw = Snapshots.highwater(storeDir)
+    val asOf0 = Snapshots.readStoreAsOf(spark, storeDir, 0).count()
+    val (chgRemoved, chgAdded) =
+      if (hw == 0) (0L, 0L)
+      else {
+        val d = Snapshots.diff(spark, storeDir, 0, hw)
+          .groupBy("change").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        (d.getOrElse("removed", 0L), d.getOrElse("added", 0L))
+      }
+    require(chgRemoved - chgAdded == asOf0 - afterRows,
+      s"changelog must conserve rows: removed $chgRemoved - added $chgAdded " +
+        s"!= asOf0 $asOf0 - live $afterRows")
+    require(asOf0 >= afterRows,
+      s"version 0 ($asOf0 rows) cannot be smaller than the live store ($afterRows)")
+    val snapshotSec = (System.nanoTime() - t5) / 1e9
+
     println(
       f"""{"rows":$totalRows,"lineage_rows":$lineageRows,"buckets_written":${written.size},""" +
         f""""ingest_sec":$ingestSec%.2f,"join_rows":$joinRows,"join_sec":$querySec%.2f,""" +
         f""""knn_rows":$knnRows,"knn_sec":$knnSec%.2f,""" +
         f""""deleted_buckets":$deleted,"rows_after_delete":$afterRows,"delete_sec":$deleteSec%.2f,""" +
         f""""transformed_buckets":$transformed,"transform_sec":$transformSec%.2f,""" +
+        f""""snapshot_versions":$hw,"rows_as_of_v0":$asOf0,""" +
+        f""""changelog_removed":$chgRemoved,"changelog_added":$chgAdded,"snapshot_sec":$snapshotSec%.2f,""" +
         f""""join_rows_per_sec":${(totalRows / querySec).toLong}}""")
     spark.stop()
   }
