@@ -159,6 +159,11 @@ final class FixedBinHistogram private (private var bins: Array[Long],
   def quantiles(n: Int): Array[Double] =
     Array.tabulate(n)(b => quantile((b + 1).toDouble / n))
 
+  /** estimated population fraction inside [start, stop] (reference
+    * percentPopulationOverRange). */
+  def percentPopulationOverRange(start: Double, stop: Double): Double =
+    cdf(stop) - cdf(start)
+
   /** counts re-binned to `n` equal-width bins over [min, max]. */
   def count(n: Int): Array[Long] = {
     val range = maxVar - minVar

@@ -465,6 +465,33 @@ object GeoCodec {
   }
 
   /**
+   * Geodesic buffer ring: `segments` vertices, each the WGS84 direct-
+   * problem destination at distance `meters` from the center, azimuths
+   * evenly spaced — the geometry the reference's DWITHIN query rewrite
+   * produces (ExtractGeometryFilterVisitor: CQL DWITHIN → buffered
+   * geometry whose boundary lies AT the distance,
+   * extensions/adapters/vector/.../plugin/ExtractGeometryFilterVisitor.java;
+   * its test asserts every boundary coordinate sits at the requested
+   * orthodromic distance). Longitudes normalize to [-180, 180] (a
+   * dateline-crossing ring is valid input to the split-envelope cover).
+   * Returned ring is closed (first point repeated last).
+   */
+  def geodesicBufferRing(lon: Double, lat: Double, meters: Double,
+                         segments: Int = 32): Seq[(Double, Double)] = {
+    require(segments >= 3, s"a ring needs >= 3 segments, got $segments")
+    require(meters > 0.0, s"buffer distance must be > 0, got $meters")
+    def norm(x: Double): Double = {
+      val m = ((x + 180.0) % 360.0 + 360.0) % 360.0 - 180.0
+      if (m == -180.0 && x > 0) 180.0 else m
+    }
+    val pts = (0 until segments).map { k =>
+      val (dLon, dLat) = vincentyDirect(lon, lat, 360.0 * k / segments, meters)
+      (norm(dLon), math.min(90.0, math.max(-90.0, dLat)))
+    }
+    pts :+ pts.head
+  }
+
+  /**
    * Geodesic envelope(s) of half-width xMeters / half-height yMeters
    * around a center — the reference's
    * GeometryCalculations.buildSurroundingGeometries +

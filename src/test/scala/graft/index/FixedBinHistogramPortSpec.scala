@@ -58,6 +58,100 @@ class FixedBinHistogramPortSpec extends AnyFunSuite {
     assert(thawed.count(64).toSeq == stats.count(64).toSeq)
   }
 
+  // ----- FeatureFixedBinNumericStaticticsTest ports (extensions/adapters/
+  // vector/.../stats/FeatureFixedBinNumericStaticticsTest.java:63-379):
+  // the reference's attribute-value statistics are this same histogram at
+  // its default 32 bins; values go straight to add(), so the SimpleFeature
+  // wrapper is irrelevant to the golden expectations.
+
+  test("FeatureFixedBin testPositive: skewed merge, cdf and re-binned counts") {
+    val stat = new FixedBinHistogram(32)
+    val rand = new java.util.Random(7777)
+    stat.add(100.0); stat.add(101.0); stat.add(2.0)
+    var next = 1.0
+    for (_ <- 0 until 10000) {
+      next += math.round(rand.nextDouble()).toDouble
+      stat.add(next)
+    }
+    var stat2 = new FixedBinHistogram(32)
+    next += 1000
+    val skewvalue = next + 1000 * rand.nextDouble()
+    for (_ <- 0 until 10000) stat2.add(skewvalue)
+    next += 1000
+    var max = 0.0
+    for (_ <- 0L until 10000L) {
+      val v = next + 1000 * rand.nextDouble()
+      stat2.add(v)
+      max = math.max(v, max)
+    }
+    stat2 = FixedBinHistogram.fromBytes(stat2.toBytes) // reference round-trips here
+    assert(math.abs(stat2.cdf(max + 1) - 1.0) < 0.00001)
+    stat.merge(stat2)
+    assert(math.abs(stat.cdf(max + 1) - 1.0) < 0.00001)
+    assert(math.abs(stat.cdf(skewvalue - 1000) - 0.33) < 0.01)
+    assert(stat.count(10).sum == 30003L)
+    val r = stat.percentPopulationOverRange(skewvalue - 1000, skewvalue + 1000)
+    assert(r > 0.45 && r < 0.55)
+  }
+
+  test("FeatureFixedBin testRapidIncreaseInRange: wide-range merges stay sane") {
+    val rand = new java.util.Random(7777)
+    var stat1 = new FixedBinHistogram(32)
+    var next = 1.0
+    for (_ <- 0 until 10000) { next += rand.nextDouble() * 100.0; stat1.add(next) }
+    var stat2 = new FixedBinHistogram(32)
+    next = 4839434.547854578
+    for (_ <- 0L until 10000L) stat2.add(next + 1000.0 * rand.nextDouble())
+    stat2 = FixedBinHistogram.fromBytes(stat2.toBytes)
+    stat1 = FixedBinHistogram.fromBytes(stat1.toBytes)
+    stat1.merge(stat2)
+    stat2 = new FixedBinHistogram(32)
+    for (_ <- 0 until 40000) stat2.add(math.round(rand.nextDouble()).toDouble)
+    var stat3 = new FixedBinHistogram(32)
+    next = 54589058545734.049454545458
+    for (_ <- 0L until 10000L) stat3.add(next + rand.nextDouble())
+    stat2 = FixedBinHistogram.fromBytes(stat2.toBytes)
+    stat3 = FixedBinHistogram.fromBytes(stat3.toBytes)
+    stat1.merge(stat3)
+    stat1.merge(stat2)
+    stat1 = FixedBinHistogram.fromBytes(stat1.toBytes)
+    assert(stat1.totalCount == 70000L)
+    assert(stat1.count(10).sum == 70000L)
+  }
+
+  test("FeatureFixedBin testMix: negative range, cdf ends and midpoint") {
+    val stat = new FixedBinHistogram(32)
+    val rand = new java.util.Random(7777)
+    var min = 0.0
+    var max = 0.0
+    var next = 0.0
+    for (_ <- 0 until 10000) {
+      next += 100 * rand.nextDouble(); stat.add(next); max = math.max(next, max)
+    }
+    next = 0.0
+    for (_ <- 0 until 10000) {
+      next -= 100 * rand.nextDouble(); stat.add(next); min = math.min(next, min)
+    }
+    assert(math.abs(stat.cdf(min) - 0.0) < 0.00001)
+    assert(math.abs(stat.cdf(max) - 1.0) < 0.00001)
+    assert(math.abs(stat.cdf(0) - 0.5) < 0.05)
+    assert(stat.count(10).sum == 20000L)
+    assert(math.abs(stat.percentPopulationOverRange(min / 2, max / 2) - 0.5) < 0.05)
+  }
+
+  test("FeatureFixedBin testMix2: 100k Gaussian") {
+    val stat = new FixedBinHistogram(32)
+    val rand = new java.util.Random(7777)
+    var max = 0.0
+    for (_ <- 0 until 100000) {
+      val next = 1000 * rand.nextGaussian(); stat.add(next); max = math.max(next, max)
+    }
+    assert(math.abs(stat.cdf(max) - 1.0) < 0.00001)
+    assert(math.abs(stat.cdf(0) - 0.5) < 0.05)
+    assert(stat.count(10).sum == 100000L)
+    assert(math.abs(stat.percentPopulationOverRange(0.0 / 2, max / 2) - 0.5) < 0.05)
+  }
+
   test("negative values follow the reference's Double.MIN_VALUE max init") {
     // the reference initializes maxValue to Java's Double.MIN_VALUE (the
     // smallest POSITIVE subnormal), so after add(-10) the range is

@@ -112,4 +112,37 @@ class GeodesySpec extends SparkTestBase {
     val polar = GeoCodec.haversineDiskEnvelopes(10.0, 85.0, 1000000.0)
     assert(polar == Seq(graft.index.StatsClip.Env(-180.0, 180.0, polar.head.minY, 90.0)))
   }
+
+  test("ExtractGeometryFilterVisitorTest port: DWITHIN buffer boundary at distance") {
+    // testDWithin (ExtractGeometryFilterVisitorTest.java:24-51): every
+    // coordinate of DWITHIN(geom, POINT(-122.7668 0.4979), 233.7, meters)'s
+    // buffer geometry sits at 233.7 m orthodromic distance (+- 2 m). Our
+    // ring is built with the Vincenty DIRECT problem and checked with the
+    // independent Vincenty INVERSE (st_distance_vincenty's engine) — a
+    // real closure check, far inside the reference's tolerance.
+    val ring = GeoCodec.geodesicBufferRing(-122.7668, 0.4979, 233.7)
+    assert(ring.length == 33 && ring.head == ring.last)
+    for ((lon, lat) <- ring.dropRight(1)) {
+      val d = GeoCodec.vincentyMeters(-122.7668, 0.4979, lon, lat)
+      assert(math.abs(d - 233.7) < 2.0, s"($lon, $lat) at $d m")
+      assert(math.abs(d - 233.7) < 0.01, s"closure should be sub-cm, got $d")
+    }
+
+    // testDWithinDateLine (:53-79): a 13.7 km buffer around
+    // POINT(179.9998 0.79) — the reference checks distance from a point
+    // 0.0001 deg away (13707.1 m, +- 2 km); we check from the true center
+    // at the true radius AND that the ring wraps the antimeridian with
+    // normalized longitudes
+    val dl = GeoCodec.geodesicBufferRing(179.9998, 0.79, 13700.0)
+    for ((lon, lat) <- dl.dropRight(1)) {
+      assert(lon >= -180.0 && lon <= 180.0)
+      val d = GeoCodec.vincentyMeters(179.9998, 0.79, lon, lat)
+      assert(math.abs(d - 13700.0) < 0.01, s"($lon, $lat) at $d m")
+      // the reference's own looser assertion, against ITS offset center
+      val dRef = GeoCodec.vincentyMeters(179.9999, 0.79, lon, lat)
+      assert(math.abs(dRef - 13707.1) < 2000.0)
+    }
+    assert(dl.exists(_._1 > 179.0) && dl.exists(_._1 < -179.0),
+      "the dateline buffer must carry vertices on BOTH sides of the antimeridian")
+  }
 }
