@@ -101,6 +101,23 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, tau = 0.5,
         maxDf = 5)
     }),
+    "q93_best_k_per_group" -> ((s, dir) => {
+      // per-group cluster-count selection by the reference's distortion
+      // jump rule (DistortionGroupManagement.bestCount): a deterministic
+      // distortion table over 5 groups × counts 1..4, selected by ONE
+      // window pass + max_by — the oracle recomputes the same jump scan
+      // in SQL (different engine, same math; spec ports the reference's
+      // own scenario incl. the tie and batch-filter cases)
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select((col("doc_id") % 5).as("group_id")).distinct()
+        .select(col("group_id"),
+          explode(sequence(lit(1), lit(4))).as("cluster_count"))
+        .withColumn("distortion",
+          pmod(col("group_id") * 7 + col("cluster_count") * col("cluster_count") * 13,
+            lit(100)).cast("double") / 10.0)
+      graft.spark.Analytics.bestGroupCount(d)
+        .select(col("group_id"), col("best_count").cast("long").as("best_count"))
+    }),
     "q92_decontaminate" -> ((s, dir) => {
       // benchmark decontamination (the pre-training hygiene screen):
       // treat every 97th doc as the held-out benchmark; flag TRAIN docs
@@ -1150,6 +1167,21 @@ object SparkEntry {
          |           (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat), p.doc_id) AS rn
          |  FROM pages p CROSS JOIN (SELECT * FROM pages WHERE doc_id % 97 = 0) q
          |) WHERE rn <= 10""".stripMargin,
+    "q93_best_k_per_group" ->
+      // the jump scan re-derived in SQL: ascending-count lag deltas (base
+      // 0.0), first maximal jump wins = smallest count among the maxima
+      s"""WITH g AS (SELECT DISTINCT doc_id % 5 AS group_id FROM documents),
+         |d AS (SELECT group_id, cc AS cluster_count,
+         |        CAST((group_id * 7 + cc * cc * 13) % 100 AS DOUBLE) / 10.0 AS distortion
+         |      FROM g, (SELECT unnest(range(1, 5)) AS cc)),
+         |j AS (SELECT group_id, cluster_count,
+         |        distortion - COALESCE(lag(distortion) OVER (
+         |          PARTITION BY group_id ORDER BY cluster_count), 0.0) AS jump
+         |      FROM d)
+         |SELECT j.group_id, CAST(min(j.cluster_count) AS BIGINT) AS best_count
+         |FROM j JOIN (SELECT group_id, max(jump) AS mj FROM j GROUP BY 1) m
+         |  ON j.group_id = m.group_id AND j.jump = m.mj
+         |GROUP BY 1""".stripMargin,
     "q92_decontaminate" ->
       // every-97th-doc benchmark; hits = distinct shared 3-gram shingles
       s"""WITH $shCte,

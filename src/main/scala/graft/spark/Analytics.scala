@@ -448,6 +448,43 @@ object Analytics {
   }
 
   /**
+   * Per-GROUP best cluster count by the reference's jump rule —
+   * DistortionGroupManagement.DistortionGroup.bestCount
+   * (analytics/api/.../clustering/DistortionGroupManagement.java:302-348):
+   * scan distortions in ascending cluster-count order, jump = distortion
+   * minus the previous (base 0.0), the FIRST maximal jump wins (strict
+   * `>`, so ties resolve to the smallest count). Input: one row per
+   * (group, cluster_count) with its distortion — a k-sized table (a few
+   * counts per group), so the window is never data-sized. Output:
+   * (groupCol, best_count).
+   */
+  def bestGroupCount(distortions: DataFrame, groupCol: String = "group_id",
+                     countCol: String = "cluster_count",
+                     distortionCol: String = "distortion"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col(countCol))
+    distortions
+      .withColumn("_jump",
+        col(distortionCol) - lag(col(distortionCol), 1, 0.0).over(w))
+      .groupBy(col(groupCol))
+      // lexicographic max over (jump, -count): max jump, then SMALLEST
+      // count — the reference's first-maximal-wins scan order
+      .agg(max_by(col(countCol), struct(col("_jump"), -col(countCol)))
+        .as("best_count"))
+  }
+
+  /** DistortionGroupManagement.retainBestGroups' retention semantics:
+    * keep only the centroid rows whose (group, cluster count) is the
+    * group's jump-selected best — the post-jump cleanup that leaves one
+    * clustering per group. */
+  def retainBestGroupCentroids(centroids: DataFrame, distortions: DataFrame,
+                               groupCol: String = "group_id",
+                               countCol: String = "cluster_count"): DataFrame =
+    centroids.join(
+      broadcast(bestGroupCount(distortions, groupCol, countCol)
+        .withColumnRenamed("best_count", countCol)),
+      Seq(groupCol, countCol))
+
+  /**
    * Faithful ports of the reference's centroid-strip break strategies
    * (StripWeakCentroidsRunner.java:151-351), golden-tested against
    * StripWeakCentroidsRunnerTest's literal vectors. Input: association

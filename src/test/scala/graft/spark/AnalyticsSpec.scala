@@ -247,6 +247,38 @@ class AnalyticsSpec extends SparkTestBase {
     assert(math.abs(h.quantile(0.75) / 1000.0 - 78) < 1.5)
   }
 
+  test("DistortionGroupManagementTest port: per-group jump selection + retention") {
+    import spark.implicits._
+    // the reference's exact scenario (DistortionGroupManagementTest
+    // setup: big jump for grp1 between counts 2 and 3, for grp2 between
+    // 1 and 2; a wrong-batch entry must not participate)
+    val dist = Seq(
+      ("grp1", "b1", 1, 0.1), ("grp2", "b1", 1, 0.1),
+      ("grp1", "b1", 2, 0.2), ("grp2", "b1", 2, 0.3),
+      ("grp1", "b1", 3, 0.4), ("grp2", "b1", 3, 0.4),
+      ("grp1", "b2", 3, 0.05) // BatchIdQuery excludes this
+    ).toDF("group_id", "batch_id", "cluster_count", "distortion")
+    val best = Analytics.bestGroupCount(dist.where($"batch_id" === "b1"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(best == Map("grp1" -> 3, "grp2" -> 2))
+
+    // retention: only the winning clustering's centroids survive per group
+    val cents = Seq(
+      ("grp1", 2, "fred"), ("grp1", 2, "barney"),
+      ("grp1", 3, "pearl"), ("grp1", 3, "chip"), ("grp1", 3, "dino"),
+      ("grp2", 2, "wilma"), ("grp2", 2, "betty"), ("grp2", 3, "bammbamm")
+    ).toDF("group_id", "cluster_count", "name")
+    val kept = Analytics.retainBestGroupCentroids(
+        cents, dist.where($"batch_id" === "b1"))
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(kept == Set("pearl", "chip", "dino", "wilma", "betty"))
+
+    // ties resolve to the SMALLEST count (the reference's strict-> scan)
+    val tied = Seq(("g", 1, 0.2), ("g", 2, 0.4))
+      .toDF("group_id", "cluster_count", "distortion")
+    assert(Analytics.bestGroupCount(tied).collect()(0).getInt(1) == 1)
+  }
+
   test("rowRangeHistogram Aggregator: distributed row-key cdf matches local ingest") {
     // the reference's RowRangeHistogramStatistics shape: row keys →
     // ByteUtils.toDouble → fixed-bin histogram, per-partition partials
