@@ -101,6 +101,24 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, tau = 0.5,
         maxDf = 5)
     }),
+    "q94_time_filter_query" -> ((s, dir) => {
+      // arbitrary boolean time predicate routed through the TEMPORAL
+      // secondary index: the ExtractTimeFilterVisitor port turns the
+      // (AND/OR/NOT) predicate into closed ms ranges, the index probe
+      // becomes one OR of lexicoded byte ranges (each pushed into the
+      // index scan), the original predicate stays as the exact fine
+      // filter — the reference's CQLQuery-for-time access path. The NOT
+      // branch makes the second window [Jan 12, Jan 20) — a shape Spark
+      // alone would not turn into scan ranges.
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val idx = graft.spark.SecondaryIndex.buildTemporal(ev, "event_id", "ts")
+      val pred = (col("ts") > to_timestamp(lit("2024-01-03 00:00:00")) &&
+          col("ts") < to_timestamp(lit("2024-01-06 00:00:00"))) ||
+        !(col("ts") >= to_timestamp(lit("2024-01-20 00:00:00")) ||
+          col("ts") < to_timestamp(lit("2024-01-12 00:00:00")))
+      graft.spark.TemporalQuery.timeIndexedQuery(ev, idx, "event_id", "ts", pred)
+        .select(col("event_id"), col("ts"))
+    }),
     "q93_best_k_per_group" -> ((s, dir) => {
       // per-group cluster-count selection by the reference's distortion
       // jump rule (DistortionGroupManagement.bestCount): a deterministic
@@ -1167,6 +1185,14 @@ object SparkEntry {
          |           (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat), p.doc_id) AS rn
          |  FROM pages p CROSS JOIN (SELECT * FROM pages WHERE doc_id % 97 = 0) q
          |) WHERE rn <= 10""".stripMargin,
+    "q94_time_filter_query" ->
+      // the index route is an access-path choice; the result set is the
+      // raw predicate over events
+      """SELECT event_id, ts FROM events
+        |WHERE (ts > TIMESTAMP '2024-01-03 00:00:00'
+        |       AND ts < TIMESTAMP '2024-01-06 00:00:00')
+        |   OR NOT (ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |        OR ts < TIMESTAMP '2024-01-12 00:00:00')""".stripMargin,
     "q93_best_k_per_group" ->
       // the jump scan re-derived in SQL: ascending-count lag deltas (base
       // 0.0), first maximal jump wins = smallest count among the maxima
