@@ -95,7 +95,7 @@ object Analytics {
     val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
       (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
     // directed eps-edges including self-loops (counts the point itself)
-    val edges = Ops.neighborhoodSelfJoin(base, bits)
+    val edges = Ops.neighborhoodSelfJoin(base, bits, eps, eps)
       .where(d2 <= lit(eps * eps))
       .select(col("a_id"), col("b_id"))
       .cache()

@@ -75,6 +75,26 @@ object GeoCodec {
     Array(lonMin, lonMax, latMin, latMax)
   }
 
+  /** The partitioner's cube identifiers — the point's own tile (primary)
+    * plus every tile its ±(dxDeg, dyDeg) threshold box overlaps, with the
+    * x-axis wrapping through the antimeridian (reference:
+    * AbstractPartitioner.getCubeIdentifiers:79-102 — primary insertion id
+    * + expansion-box ids, deduped keeping the primary flag —
+    * OrthodromicDistancePartitioner.java:98-145 normalized-longitude
+    * expansion). The driver-side twin of Ops.neighborhoodSelfJoin's
+    * cell emission: a point away from every cell border emits exactly
+    * one tile; at a corner, four — never the full (2k+1)² stencil. */
+  def cubeIdentifiers(lon: Double, lat: Double, dxDeg: Double, dyDeg: Double,
+                      bits: Int): Seq[(Long, Long, Boolean)] = {
+    val bins = 1L << bits
+    def raw(v: Double) = math.ceil((v + 180.0) / 360.0 * bins).toLong - 1L
+    val px = bucketLon(lon, bits); val py = bucketLat(lat, bits)
+    val txs = (raw(lon - dxDeg) to raw(lon + dxDeg))
+      .map(t => ((t % bins) + bins) % bins).distinct
+    val tys = math.max(raw(lat - dyDeg), 0L) to math.min(raw(lat + dyDeg), bins - 1L)
+    for (tx <- txs; ty <- tys) yield (tx, ty, tx == px && ty == py)
+  }
+
   /** full tiered spatial insertion id of a point: tier byte 31 ‖ 8 sfc bytes.
     * Points always land on the finest tier with a single id. */
   def cellIdSpatial(lon: Double, lat: Double): Array[Byte] = {

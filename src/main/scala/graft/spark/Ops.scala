@@ -225,10 +225,10 @@ object Ops {
 
   /**
    * Shared scaffold for cell-partitioned self-joins: every left row
-   * expands to its (2kx+1)×(2ky+1) tile neighborhood at `bits`, the right
-   * side keys by its own tile, so any pair within one neighborhood meets
-   * on exactly one key. Input columns are prefixed `a_`/`b_` in the
-   * output. This is the reference's partitioner-shuffle
+   * expands to the tiles overlapped by its ±(dxDeg, dyDeg) threshold box
+   * at `bits`, the right side keys by its own tile, so any pair within
+   * the threshold meets on exactly one key. Input columns are prefixed
+   * `a_`/`b_` in the output. This is the reference's partitioner-shuffle
    * (AbstractPartitioner.getCubeIdentifiers + NNMapReduce keying) as one
    * equi-join; AQE splits hot cells at runtime.
    *
@@ -240,31 +240,47 @@ object Ops {
    * euclidean-degree metrics, whose distance does not wrap either.
    */
   private[spark] def neighborhoodSelfJoin(pts: DataFrame, bits: Int,
-                                          kx: Long = 1, ky: Long = 1,
+                                          dxDeg: Double, dyDeg: Double,
                                           wrapX: Boolean = false): DataFrame = {
     val cols = pts.columns
     val bins = 1L << bits
-    // wrapped x-offsets reduce to DISTINCT residues mod the tile count —
-    // a neighborhood wider than the grid (2kx+1 > bins) would otherwise
-    // emit the same join key twice and duplicate every matching pair
-    val dxs =
-      if (wrapX) (-kx to kx).map(d => ((d % bins) + bins) % bins).distinct
-      else (-kx to kx).toSeq
-    val base = pts
-      .withColumn("cx", gw_tile_x(col("lon"), bits))
-      .withColumn("cy", gw_tile_y(col("lat"), bits))
-    val neigh = (for (dx <- dxs; dy <- -ky to ky)
-      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))).toSeq
-    val jxExpr =
-      if (wrapX) pmod(col("cx") + col("o.dx"), lit(bins))
-      else col("cx") + col("o.dx")
-    val a = base
-      .select(cols.map(c => col(c).as(s"a_$c")) ++
-        Seq(explode(array(neigh: _*)).as("o"), col("cx"), col("cy")): _*)
-      .select(cols.map(c => col(s"a_$c")) ++
-        Seq(jxExpr.as("jx"), (col("cy") + col("o.dy")).as("jy")): _*)
-    val b = base.select(cols.map(c => col(c).as(s"b_$c")) ++
-      Seq(col("cx").as("jx"), col("cy").as("jy")): _*)
+    val cellDeg = 360.0 / bins
+    // a wrapped x-neighborhood wider than the grid would emit the same
+    // join key twice (through pmod) and duplicate every matching pair —
+    // when the ±dx box can cover every tile, emit the full grid once
+    // instead (the old stencil's distinct-residue reduction)
+    val xCoversGrid = 2 * dxDeg / cellDeg + 2 > bins
+    // CROSSING-BASED cell emission (AbstractPartitioner.getCubeIdentifiers:
+    // the point's own cell + the cells its ±threshold box overlaps — the
+    // reference's OrthodromicDistancePartitioner expansion, NOT a full
+    // (2k+1)² stencil): each left row emits only the tiles of
+    // [x−dx, x+dx] × [y−dy, y+dy]. Any partner within the threshold has
+    // its own tile inside that box, so every qualifying pair still meets
+    // on exactly one key, while points away from cell borders emit 1-4
+    // cells instead of 9 — at 100 TB this emission factor IS the shuffle
+    // width of every distance join / DBSCAN edge pass.
+    // Raw (unclamped) twin of GeoCodec.bucketPoint's ceil−1 rule, so the
+    // emitted span covers every clamped own-tile a partner can have; x
+    // stays unclamped for the antimeridian wrap (pmod folds negatives).
+    def rawTile(c: Column) = (ceil((c + 180.0) / 360.0 * bins) - 1.0).cast("long")
+    val (txLo, txHi) =
+      if (xCoversGrid) (lit(0L), lit(bins - 1))
+      else if (wrapX) (rawTile(col("a_lon") - dxDeg), rawTile(col("a_lon") + dxDeg))
+      else (greatest(rawTile(col("a_lon") - dxDeg), lit(0L)),
+        least(rawTile(col("a_lon") + dxDeg), lit(bins - 1)))
+    // latitude rides the half-range trick (same 360° normalization); its
+    // domain ends clamp — out-of-domain tiles match no partner anyway
+    val (tyLo, tyHi) = (greatest(rawTile(col("a_lat") - dyDeg), lit(0L)),
+      least(rawTile(col("a_lat") + dyDeg), lit(bins - 1)))
+    val a = pts
+      .select(cols.map(c => col(c).as(s"a_$c")): _*)
+      .select(col("*"), explode(sequence(txLo, txHi)).as("tx"))
+      .select(col("*"), explode(sequence(tyLo, tyHi)).as("jy"))
+      .withColumn("jx",
+        if (wrapX && !xCoversGrid) pmod(col("tx"), lit(bins)) else col("tx"))
+      .drop("tx")
+    val b = pts.select(cols.map(c => col(c).as(s"b_$c")) ++
+      Seq(gw_tile_x(col("lon"), bits).as("jx"), gw_tile_y(col("lat"), bits).as("jy")): _*)
     a.join(b, Seq("jx", "jy")).drop("jx", "jy")
   }
 
@@ -285,7 +301,8 @@ object Ops {
     require(360.0 / (1L << bits) >= d, s"cell size at $bits bits must be >= d=$d")
     val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
       (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
-    neighborhoodSelfJoin(pts.select(col(idCol).as("id"), col("lon"), col("lat")), bits)
+    neighborhoodSelfJoin(pts.select(col(idCol).as("id"), col("lon"), col("lat")),
+        bits, d, d)
       .where(col("a_id") < col("b_id") && d2 < lit(d * d))
       .select(col("a_id"), col("b_id"))
   }
@@ -325,9 +342,8 @@ object Ops {
       else math.toDegrees(2.0 * math.asin(sinHalf))
     val cellDeg = 360.0 / (1L << bits)
     // neighborhood half-width in cells per axis
-    val kx = math.ceil(lonDeg / cellDeg).toLong
-    val ky = math.ceil(latDeg / cellDeg).toLong
-    require(kx <= 8 && ky <= 8, s"radius spans too many cells at $bits bits (kx=$kx, ky=$ky)")
+    require(lonDeg <= 8 * cellDeg && latDeg <= 8 * cellDeg,
+      s"radius spans too many cells at $bits bits (lonDeg=$lonDeg, latDeg=$latDeg)")
     val dist = GeoFunctions.st_distance_haversine(
       col("a_lon"), col("a_lat"), col("b_lon"), col("b_lat"))
     // the lon-expansion bound is only valid up to maxAbsLatDeg; enforce it
@@ -338,7 +354,7 @@ object Ops {
     // meet on a join key and silently vanish (the exact-haversine oracle
     // DOES count them)
     neighborhoodSelfJoin(inBand.select(col(idCol).as("id"), col("lon"), col("lat")),
-        bits, kx, ky, wrapX = true)
+        bits, lonDeg, latDeg, wrapX = true)
       .where(col("a_id") < col("b_id"))
       .withColumn("dist_m", dist)
       .where(col("dist_m") < lit(dMeters))
@@ -364,7 +380,7 @@ object Ops {
     // session TZ is UTC.
     val dt = abs(col("a_ts_us") - col("b_ts_us"))
     neighborhoodSelfJoin(pts.select(col(idCol).as("id"), col("lon"), col("lat"),
-        unix_micros(col(tsCol).cast("timestamp")).as("ts_us")), bits)
+        unix_micros(col(tsCol).cast("timestamp")).as("ts_us")), bits, d, d)
       .where(col("a_id") < col("b_id") && d2 < lit(d * d) && dt <= lit(dtMillis * 1000L))
       .select(col("a_id"), col("b_id"))
   }
