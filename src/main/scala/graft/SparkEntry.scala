@@ -101,6 +101,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", n = 3, tau = 0.5,
         maxDf = 5)
     }),
+    "q95_property_query" -> ((s, dir) => {
+      // arbitrary boolean NUMERIC predicate routed through the stored
+      // secondary numeric index: the PropertyFilterVisitor port extracts
+      // one per-attribute interval (AND intersects with the reference's
+      // inclusivity merge, OR unions), the probe becomes one lexicoded
+      // byte range on the index scan, the original predicate stays as the
+      // exact fine filter — the reference's CQLQuery-over-secondary-index
+      // access path for attributes (PropertyFilterVisitor.java:1-560)
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val idx = graft.spark.SecondaryIndex.build(orders, "o_orderkey", "o_totalprice")
+      val pred = (col("o_totalprice") > 50000.0 && col("o_totalprice") <= 80000.0) ||
+        (col("o_totalprice") >= 140000.0 && col("o_totalprice") < 160000.0)
+      graft.spark.PropertyQuery.numericIndexedQuery(orders, idx, "o_orderkey", "o_totalprice", pred)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }),
     "q94_time_filter_query" -> ((s, dir) => {
       // arbitrary boolean time predicate routed through the TEMPORAL
       // secondary index: the ExtractTimeFilterVisitor port turns the
@@ -1185,6 +1200,12 @@ object SparkEntry {
          |           (p.lon - q.lon) * (p.lon - q.lon) + (p.lat - q.lat) * (p.lat - q.lat), p.doc_id) AS rn
          |  FROM pages p CROSS JOIN (SELECT * FROM pages WHERE doc_id % 97 = 0) q
          |) WHERE rn <= 10""".stripMargin,
+    "q95_property_query" ->
+      // the index route is an access-path choice; the result set is the
+      // raw predicate over orders
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE (o_totalprice > 50000.0 AND o_totalprice <= 80000.0)
+        |   OR (o_totalprice >= 140000.0 AND o_totalprice < 160000.0)""".stripMargin,
     "q94_time_filter_query" ->
       // the index route is an access-path choice; the result set is the
       // raw predicate over events
