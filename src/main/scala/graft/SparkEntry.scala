@@ -915,6 +915,18 @@ object SparkEntry {
         "the", "these", tmpIndexPath(dir, "graft-textanchored-cs"),
         caseSensitive = true)
     }),
+    "q96_multi_index_heuristic" -> ((s, dir) => {
+      // the HEURISTIC-MATCH chooser (most constrained dimensions, then
+      // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
+      // ConstraintAlgebra composition of the box and time cubes — with a
+      // time window the 3-dim spatial-temporal index wins; identical
+      // result set to q48/q64/q67 whichever index is elected
+      val mi = graft.spark.MultiIndex
+      val store = mi.encode(Tables.geoEvents(s, dir))
+      mi.queryBestHeuristic(store, Box._1, Box._2, Box._3, Box._4,
+        Some(TsMin), Some(TsMax))._2
+        .select(col("event_id"), col("lon"), col("lat"), col("ts"))
+    }),
     "q67_multi_index_locality" -> ((s, dir) => {
       // the LOCALITY-PRESERVING chooser (max fixed-prefix-bits,
       // ChooseLocalityPreservingQueryStrategy) — identical result set to
@@ -1907,6 +1919,11 @@ object SparkEntry {
          |WHERE CAST(doc_id % 4 AS INTEGER) = 0
          |   OR (CAST(doc_id % 4 AS INTEGER) = 1 AND lon < 0)
          |   OR CAST(doc_id % 4 AS INTEGER) = 2""".stripMargin,
+    "q96_multi_index_heuristic" ->
+      s"""$eventsCte
+         |SELECT event_id, lon, lat, ts FROM ev
+         |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}
+         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     "q67_multi_index_locality" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev

@@ -145,6 +145,114 @@ object MultiIndex {
     }
   }
 
+  // ------------------------------------------------- heuristic-match path
+
+  /** one candidate index for the heuristic chooser: a name, its tiered
+    * strategy, and the strategy's ordered dimension NAMES (the
+    * [[graft.index.ConstraintAlgebra]] keys). Zero dimensions models the
+    * reference's NullIndex (raster chip stores). */
+  final case class IndexCandidate(name: String,
+                                  strategy: graft.index.TieredStrategy,
+                                  dims: Seq[String])
+
+  /**
+   * Heuristic-match index choice — the reference's
+   * ChooseHeuristicMatchIndexQueryStrategy (extensions/adapters/vector/.../
+   * ChooseHeuristicMatchIndexQueryStrategy.java:38-113): prefer the index
+   * that satisfies the MOST query dimensions; among equal dimension counts
+   * tie-break on the total fixed-prefix bits the constraints preserve
+   * (Σ [[dimensionalBitsUsed]] over the query's constraint cubes — so a
+   * YEAR-binned time dimension beats a DAY-binned one whose bins the window
+   * saturates). An index whose constraints decompose to no cube (a full
+   * table scan — IndexUtils.isFullTableScan) is kept only as the FIRST-seen
+   * fallback; dimensionless candidates are skipped outright.
+   */
+  def chooseHeuristicMatch(candidates: Seq[IndexCandidate],
+                           constraints: graft.index.ConstraintAlgebra.Constraints): Option[String] = {
+    var bestBits = -1.0
+    var bestCount = -1
+    var best: Option[String] = None
+    for (c <- candidates if c.dims.nonEmpty) {
+      val cubes = constraints.indexConstraints(c.dims)
+      if (cubes.isEmpty) {
+        // full-table-scan candidate: first one seen is the default fallback
+        if (best.isEmpty) best = Some(c.name)
+      } else {
+        val count = c.dims.length
+        if (count >= bestCount) {
+          val bits = cubes.map(cube =>
+            dimensionalBitsUsed(c.strategy, cube.map(r => r._2 - r._1))).sum
+          if (count > bestCount || bits > bestBits) {
+            bestBits = bits; bestCount = count; best = Some(c.name)
+          }
+        }
+      }
+    }
+    best
+  }
+
+  /** the store's two real indexes as heuristic-chooser candidates, in
+    * store order (spatial cell_id, spatial-temporal cell_id_st). */
+  def storeCandidates: Seq[IndexCandidate] = Seq(
+    IndexCandidate("spatial", GeoCodec.spatial, Seq("longitude", "latitude")),
+    IndexCandidate("spatial_temporal", GeoCodec.spatialTemporal,
+      Seq("longitude", "latitude", "time")))
+
+  /** box + optional time window as a ConstraintAlgebra composition: the
+    * time cube CROSS-MERGED onto the spatial cube, exactly how the
+    * reference assembles a spatio-temporal BasicQuery
+    * (ChooseHeuristicMatchQueryStrategyTest.createConstraints). */
+  def boxTimeConstraints(lonMin: Double, lonMax: Double,
+                         latMin: Double, latMax: Double,
+                         tsMin: Option[Long] = None,
+                         tsMax: Option[Long] = None): graft.index.ConstraintAlgebra.Constraints = {
+    import graft.index.ConstraintAlgebra._
+    val spatial = ConstraintSet.empty
+      .addConstraint("longitude", ConstraintData(lonMin, lonMax, isDefault = false))
+      .addConstraint("latitude", ConstraintData(latMin, latMax, isDefault = false))
+    val base = Constraints(List(spatial))
+    (tsMin, tsMax) match {
+      case (Some(a), Some(b)) =>
+        Constraints(List(ConstraintSet.empty
+          .addConstraint("time", ConstraintData(a.toDouble, b.toDouble, isDefault = false))))
+          .merge(base)
+      case _ => base
+    }
+  }
+
+  /**
+   * Heuristic-match query over the multi-index store: the chooser elects
+   * by dimension count (then bits-used) — with a time window the
+   * 3-dimension spatial-temporal index wins, without one it decomposes to
+   * no cube and the spatial index is elected. Same result set as
+   * q48/q64/q67 whichever index wins (prefilter + exact fine filter).
+   */
+  def queryBestHeuristic(store: DataFrame,
+                         lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+                         tsMin: Option[java.sql.Timestamp] = None,
+                         tsMax: Option[java.sql.Timestamp] = None,
+                         tsCol: String = "ts"): (String, DataFrame) = {
+    val cons = boxTimeConstraints(lonMin, lonMax, latMin, latMax,
+      tsMin.map(_.getTime), tsMax.map(_.getTime))
+    val fineBox = SpatialPlanner.boxPredicate(col("lon"), col("lat"),
+      lonMin, lonMax, latMin, latMax)
+    val fine = (tsMin, tsMax) match {
+      case (Some(t0), Some(t1)) => fineBox && col(tsCol) >= lit(t0) && col(tsCol) <= lit(t1)
+      case _ => fineBox
+    }
+    chooseHeuristicMatch(storeCandidates, cons) match {
+      case Some("spatial_temporal") =>
+        val ranges = SpatialPlanner.stBoxRanges(lonMin, lonMax, latMin, latMax,
+          tsMin.get.getTime, tsMax.get.getTime)
+        ("spatial_temporal",
+          store.where(SpatialPlanner.rangesPredicate(col("cell_id_st"), ranges)).where(fine))
+      case _ =>
+        val ranges = SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax)
+        ("spatial",
+          store.where(SpatialPlanner.rangesPredicate(col("cell_id"), ranges)).where(fine))
+    }
+  }
+
   // ------------------------------------------------- statistics-driven path
 
   /** default histogram prefix lengths: spatial keys are tier ‖ 8 sfc bytes
