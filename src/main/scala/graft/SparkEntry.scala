@@ -432,6 +432,21 @@ object SparkEntry {
       Ops.decimateForRender(Tables.pages(s, dir), "doc_id", viewBits = 5, maxPerCell = 3)
         .select(col("doc_id"), col("tx"), col("ty"))
     }),
+    "q97_field_visibility" -> ((s, dir) => {
+      // FIELD-level visibility from a JSON definition attribute
+      // (JsonDefinitionColumnVisibilityManagement): rotating definitions —
+      // exact key + ordered regex, a catch-all regex, and an unparseable
+      // one falling through to the default — read under auths {a}: fields
+      // the auths cannot see NULL out, rows survive
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("vis", element_at(
+          array(lit("""{"source":"a&b", "te.*":"a"}"""), lit("""{".*":"c"}"""),
+            lit("{bad")),
+          (col("doc_id") % 3).cast("int") + 1))
+      graft.spark.Visibility.redactFields(docs, "vis", Seq("a"),
+          Seq("source", "text"), defaultVis = "a")
+        .select(col("doc_id"), col("source"), col("text"))
+    }),
     "q52_visibility" -> ((s, dir) => {
       // row-level visibility: 4 rotating expressions, auths {a, d} pass
       // 'a' and '(a|c)&d' but not 'b&a' or 'c|b'
@@ -1610,6 +1625,11 @@ object SparkEntry {
          |    FROM pages)
          |) WHERE rn <= 3""".stripMargin
     },
+    "q97_field_visibility" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(doc_id % 3 AS INTEGER) = 2 THEN source END AS source,
+        |  CASE WHEN CAST(doc_id % 3 AS INTEGER) <> 1 THEN text END AS text
+        |FROM documents""".stripMargin,
     "q52_visibility" ->
       """SELECT doc_id,
         |  CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'a' WHEN 1 THEN 'b&a'

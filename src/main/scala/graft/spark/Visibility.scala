@@ -1,6 +1,7 @@
 package graft.spark
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
@@ -103,6 +104,47 @@ object Visibility {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     column(VisibilityMatches(expression(visCol), auths))
   }
+
+  // ---------------------------------------------- field-level visibility
+
+  /**
+   * Field-level visibility from a JSON definition attribute — the
+   * reference's JsonDefinitionColumnVisibilityManagement +
+   * FieldLevelVisibilityHandler (extensions/adapters/vector/.../visibility/
+   * JsonDefinitionColumnVisibilityManagement.java:30-120,
+   * FieldLevelVisibilityHandler.java:70-88): the `visJson` column holds a
+   * JSON object mapping field names — or field-name REGEXES, first match in
+   * document order wins — to visibility expressions. Resolution order per
+   * field: exact JSON key match, then the first key the field name FULLY
+   * matches as a Java regex (String.matches — anchored), else the default
+   * visibility. A null or unparseable definition falls through to the
+   * default, as the reference's error path does. Pure column expressions
+   * (from_json preserves key order; the regex probe anchors with `^(?:…)$`
+   * to reproduce Java full-match semantics).
+   */
+  def fieldVis(visJson: Column, fieldName: String, defaultVis: String): Column = {
+    import org.apache.spark.sql.types.{MapType, StringType}
+    val m = from_json(visJson, MapType(StringType, StringType))
+    val exact = try_element_at(m, lit(fieldName))
+    val firstRegex = try_element_at(
+      org.apache.spark.sql.functions.filter(map_entries(m),
+        e => regexp_like(lit(fieldName), concat(lit("^(?:"), e.getField("key"), lit(")$")))),
+      lit(1)).getField("value")
+    coalesce(exact, firstRegex, lit(defaultVis))
+  }
+
+  /**
+   * Field-level read under an authorization set: every listed field is
+   * kept only where its resolved visibility expression passes the auths,
+   * NULLed otherwise — the Spark-native form of the reference's read path
+   * skipping field values whose visibility the scanner's authorizations
+   * cannot satisfy (row identity survives; only fields redact).
+   */
+  def redactFields(df: DataFrame, visCol: String, auths: Seq[String],
+                   fields: Seq[String], defaultVis: String): DataFrame =
+    fields.foldLeft(df) { (d, f) =>
+      d.withColumn(f, when(visible(fieldVis(col(visCol), f, defaultVis), auths), col(f)))
+    }
 
   /** the reference's visibility rewrite: `replaceFirst(regex, replacement)`
     * on the expression string, then strip ONE leading dangling operator the
