@@ -937,7 +937,9 @@ object SparkEntry {
       // time window the 3-dim spatial-temporal index wins; identical
       // result set to q48/q64/q67 whichever index is elected
       val mi = graft.spark.MultiIndex
-      val store = mi.encode(Tables.geoEvents(s, dir))
+      // encodeInferred: the ts column is DISCOVERED from the schema
+      // (TimeDescriptors inference), not named by the caller
+      val store = mi.encodeInferred(Tables.geoEvents(s, dir))
       mi.queryBestHeuristic(store, Box._1, Box._2, Box._3, Box._4,
         Some(TsMin), Some(TsMax))._2
         .select(col("event_id"), col("lon"), col("lat"), col("ts"))

@@ -29,6 +29,24 @@ object MultiIndex {
     df.withColumn("cell_id", gw_cell_id(col("lon"), col("lat")))
       .withColumn("cell_id_st", gw_cell_id_st(col("lon"), col("lat"), col(tsCol)))
 
+  /** encode with the time column DISCOVERED from the schema — the
+    * reference configures its temporal index from TimeDescriptors
+    * inference the same way (FeatureDataAdapter wiring of
+    * TimeDescriptors.java:150-285). Only an unambiguous single-instant
+    * schema auto-configures; a start/end RANGE schema needs interval
+    * insertion (TieredStrategy range data), not this instant-keyed
+    * column, so it is refused loudly rather than silently indexed by one
+    * bound, and a schema with no temporal field has no ST key to build. */
+  def encodeInferred(df: DataFrame): DataFrame =
+    TimeDescriptors.infer(df.schema) match {
+      case TimeDescriptors.SingleTime(t) => encode(df, t)
+      case TimeDescriptors.RangeTime(s, e) => throw new IllegalArgumentException(
+        s"schema carries a time RANGE [$s, $e]: interval insertion must go " +
+          "through the tiered strategy's range path, not the instant ST key")
+      case TimeDescriptors.NoTime => throw new IllegalArgumentException(
+        "no temporal field in schema: spatial-only stores should not carry cell_id_st")
+    }
+
   /** queried fraction of a key universe: ranges share a constant
     * `prefixLen`-byte prefix (tier byte / tier+year); widths are measured
     * over the SFC tail and normalized by 2^universeBits × universeBins. */
