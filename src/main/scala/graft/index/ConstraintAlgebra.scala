@@ -154,14 +154,19 @@ object ConstraintAlgebra {
 
   /** the generated fine filter: a row's per-dimension (min,max) data
     * accepts iff SOME cube compares true on EVERY dimension it constrains
-    * (unconstrained dimensions are trimmed — BasicQuery.createFilter's
-    * fieldsToTrim pass). */
+    * within the strategy model (off-model dimensions are trimmed —
+    * BasicQuery.createFilter's fieldsToTrim pass). A cube whose trimmed
+    * dimension set is EMPTY accepts nothing: the reference's zero-dimension
+    * filter iterates no fields and falls through to reject
+    * (BinnedNumericDataset.applyBins returns an empty array for zero
+    * dimensions, so BasicQueryFilter.accept's loop never fires). */
   def accepts(constraints: Constraints, strategyDims: Seq[String],
               row: Map[String, (Double, Double)],
               op: CompareOp = Overlaps): Boolean =
     constraints.sets.exists { set =>
-      set.entries.nonEmpty && set.entries.forall { case (dim, cd) =>
-        !strategyDims.contains(dim) || row.get(dim).exists { case (dMin, dMax) =>
+      val trimmed = set.entries.filter { case (dim, _) => strategyDims.contains(dim) }
+      trimmed.nonEmpty && trimmed.forall { case (dim, cd) =>
+        row.get(dim).exists { case (dMin, dMax) =>
           compare(op, dMin, dMax, cd.min, cd.max)
         }
       }

@@ -76,6 +76,10 @@ object MultiIndex {
                 tsMax: Option[java.sql.Timestamp] = None,
                 storeYearBins: Int = 1,
                 tsCol: String = "ts"): (String, DataFrame) = {
+    // a HALF-bounded window would silently fall through to the no-time
+    // plan and drop the caller's bound — refuse it loudly instead
+    require(tsMin.isDefined == tsMax.isDefined,
+      "time window must be fully bounded (both tsMin and tsMax) or absent")
     val spatialRanges = SpatialPlanner.spatialBoxRanges(lonMin, lonMax, latMin, latMax)
     val spatialFrac = queriedFraction(spatialRanges, prefixLen = 1, universeBits = 62)
     val fineBox = SpatialPlanner.boxPredicate(col("lon"), col("lat"),
@@ -250,6 +254,10 @@ object MultiIndex {
                          tsMin: Option[java.sql.Timestamp] = None,
                          tsMax: Option[java.sql.Timestamp] = None,
                          tsCol: String = "ts"): (String, DataFrame) = {
+    // refuse a half-bounded window: it would build no time constraint AND
+    // no time fine filter, silently returning rows outside the given bound
+    require(tsMin.isDefined == tsMax.isDefined,
+      "time window must be fully bounded (both tsMin and tsMax) or absent")
     val cons = boxTimeConstraints(lonMin, lonMax, latMin, latMax,
       tsMin.map(_.getTime), tsMax.map(_.getTime))
     val fineBox = SpatialPlanner.boxPredicate(col("lon"), col("lat"),

@@ -93,4 +93,19 @@ class ConstraintAlgebraSpec extends AnyFunSuite {
     assert(compare(Overlaps, 0.25, 0.35, 0.3, 0.4) && !compare(Contains, 0.25, 0.35, 0.3, 0.4))
     assert(compare(Contains, 0.31, 0.35, 0.3, 0.4))
   }
+
+  test("a cube constraining only off-model dimensions accepts NOTHING, not everything") {
+    // the reference trims off-model dims; a zero-dimension filter falls
+    // through its (empty) loop and rejects (BinnedNumericDataset.applyBins
+    // yields an empty array for zero dimensions)
+    val offModel = ConstraintSet.empty.addConstraint(three, ConstraintData(0, 1, isDefault = false))
+    val inModel = ConstraintSet.empty.addConstraint(one, ConstraintData(0.3, 0.5, isDefault = false))
+    def row(o: Double) = Map(one -> (o, o), two -> (o, o))
+    // off-model-only constraints: no row passes
+    assert(!accepts(Constraints(List(offModel)), strategyDims, row(0.4)))
+    // OR with a real cube: only the real cube's matches pass
+    val both = Constraints(List(offModel, inModel))
+    assert(accepts(both, strategyDims, row(0.4)))
+    assert(!accepts(both, strategyDims, row(0.9)))
+  }
 }

@@ -81,6 +81,18 @@ class HeuristicChooserSpec extends AnyFunSuite {
       candidates.filter(_.dims.isEmpty), Constraints.empty) === None)
   }
 
+  test("queryBestHeuristic refuses a half-bounded time window") {
+    // pure-arg validation: no session or store needed — the require fires first
+    intercept[IllegalArgumentException] {
+      MultiIndex.queryBestHeuristic(null, 0, 1, 0, 1,
+        tsMin = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")), tsMax = None)
+    }
+    intercept[IllegalArgumentException] {
+      MultiIndex.queryBest(null, 0, 1, 0, 1,
+        tsMin = None, tsMax = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    }
+  }
+
   test("equal dimension count tie-breaks on bits-used: DAY never beats YEAR") {
     for (window <- Seq(Hour, Day, Week)) {
       val cons = constraints(House, House, window)

@@ -74,9 +74,20 @@ class SimpleNumericStrategySpec extends AnyFunSuite {
       .map(Lexicoders.decodeShort) === shorts.sorted)
   }
 
-  test("Java narrowing cast semantics on out-of-type-range values") {
+  test("Java (T) doubleValue cast semantics on out-of-type-range values") {
     // SimpleShortIndexStrategy.cast is (short) value — wraps like Java
     val k = SimpleNumeric.short.insertionIds(40000, 40000).head
     assert(SimpleNumeric.short.dec(k) === 40000.toShort.toLong)
+    // double→int SATURATES (JLS 5.1.3): an unbounded upper query bound
+    // keys to Int.MaxValue, never a wrapped negative that inverts the range
+    val (s0, e0) = SimpleNumeric.int.queryRange(0, Double.MaxValue)
+    assert(SimpleNumeric.int.dec(e0) === Int.MaxValue.toLong)
+    assert(unsignedCompare(s0, e0) < 0)
+    val (s1, e1) = SimpleNumeric.long.queryRange(0, Double.MaxValue)
+    assert(SimpleNumeric.long.dec(e1) === Long.MaxValue)
+    assert(unsignedCompare(s1, e1) < 0)
+    // Java (short) 3e9: saturate to int, then wrap to short = -1
+    val k2 = SimpleNumeric.short.queryRange(3e9, 3e9)._1
+    assert(SimpleNumeric.short.dec(k2) === -1L)
   }
 }
