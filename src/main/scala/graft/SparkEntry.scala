@@ -417,6 +417,20 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           coalesce(col("__m.event_id"), lit(-1L)).as("last_signup_id"))
     }),
+    "q98_repetition_quality" -> ((s, dir) => {
+      // Gopher-style repetition signals: top-word share + duplicate-trigram
+      // fraction as exact integer counts (thresholds stay caller policy)
+      graft.spark.TextOps.repetitionSignals(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+    }),
+    "q99_chunk_dedup" -> ((s, dir) => {
+      // corpus-wide chunk dedup: 8-word chunks occurring in >2 distinct
+      // docs are boilerplate — removed everywhere, survivors reassemble
+      // in order (docs losing everything come back empty, not dropped)
+      graft.spark.TextOps.dedupChunks(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        chunkWords = 8, maxDocs = 2)
+    }),
     "q54_quality_ext" -> ((s, dir) => {
       graft.spark.TextOps.qualityScore(
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
@@ -1585,6 +1599,45 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) AS ls FROM u)
         |SELECT event_id, user_id, COALESCE(ls, -1) AS last_signup_id
         |FROM m WHERE side = 1""".stripMargin,
+    "q98_repetition_quality" ->
+      """WITH w AS (
+        |  SELECT doc_id, u.word
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        |        FROM documents) d, UNNEST(d.ws) AS u(word)),
+        |wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+        |tw AS (SELECT doc_id, max(c) AS top_word_cnt, CAST(sum(c) AS BIGINT) AS n_words
+        |       FROM wc GROUP BY 1),
+        |tri AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) >= 3 THEN len(ws) - 2 ELSE 0 END AS n_trigrams,
+        |    CASE WHEN len(ws) >= 3 THEN len(ws) - 2 - len(list_distinct(
+        |      list_transform(range(1, CAST(len(ws) - 1 AS BIGINT)),
+        |        i -> ws[CAST(i AS BIGINT)] || ' ' || ws[CAST(i + 1 AS BIGINT)] || ' ' || ws[CAST(i + 2 AS BIGINT)])))
+        |    ELSE 0 END AS dup_trigram_cnt
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        |        FROM documents))
+        |SELECT d.doc_id AS id,
+        |  COALESCE(tw.n_words, 0) AS n_words,
+        |  COALESCE(tw.top_word_cnt, 0) AS top_word_cnt,
+        |  CAST(tri.n_trigrams AS BIGINT) AS n_trigrams,
+        |  CAST(tri.dup_trigram_cnt AS BIGINT) AS dup_trigram_cnt
+        |FROM documents d
+        |LEFT JOIN tw ON tw.doc_id = d.doc_id
+        |JOIN tri ON tri.doc_id = d.doc_id""".stripMargin,
+    "q99_chunk_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    array_to_string(ws[CAST((i - 1) * 8 + 1 AS BIGINT) : CAST(i * 8 AS BIGINT)], ' ') AS chunk
+        |  FROM w, UNNEST(range(1, CAST((len(ws) + 7) // 8 AS BIGINT) + 1)) AS t(i)
+        |  WHERE len(ws) > 0),
+        |g AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1),
+        |k AS (SELECT c.doc_id, c.pos, c.chunk FROM c JOIN g USING (chunk) WHERE g.n_docs <= 2),
+        |r AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text FROM k GROUP BY 1)
+        |SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id""".stripMargin,
     "q54_quality_ext" ->
       """WITH w AS (SELECT doc_id, text,
         |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents)

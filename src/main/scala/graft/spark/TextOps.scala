@@ -579,6 +579,84 @@ object TextOps {
   /** document fingerprint: min/max/xor over portable rolling hashes of all
     * char k-grams (winnowing-style signature). Docs shorter than k chars
     * are dropped. */
+  /**
+   * Repetition quality signals (the Gopher/MassiveText repetition rules —
+   * Rae et al. 2021 §A1.1, applied to single-line web text): per document,
+   * the share of the most frequent WORD and the fraction of word TRIGRAMS
+   * that repeat an earlier identical trigram. Emitted as exact integer
+   * counts (numerator, denominator) so thresholds stay caller policy and
+   * oracles compare integers, never floats.
+   *
+   * Scale shape: the top-word mode goes through explode → two-level
+   * aggregation (map-side partial combine on (id, word), then (id)) — the
+   * per-doc hash-map-in-an-expression alternative is O(n·distinct) per
+   * row; the trigram side never explodes (array expressions only, one
+   * pass). Zero-word documents survive via the left join with zeroed
+   * counts.
+   */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val n = size(words)
+    // trigram window over the word array: positions 1..n-2 (1-based slice)
+    val trigrams = when(n >= 3,
+      transform(sequence(lit(1), n - 2), i => concat_ws(" ", slice(words, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = docs.select(
+      col(idCol).as("id"),
+      when(n >= 3, (n - 2).cast("long")).otherwise(0L).as("n_trigrams"),
+      when(n >= 3, (n - 2 - size(array_distinct(trigrams))).cast("long"))
+        .otherwise(0L).as("dup_trigram_cnt"))
+    val topWord = docs
+      .select(col(idCol).as("id"), explode(words).as("word"))
+      .groupBy("id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_word_cnt"),
+        sum(col("c")).as("n_words"))
+    perDoc.join(topWord, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("top_word_cnt"), lit(0L)).as("top_word_cnt"),
+        col("n_trigrams"), col("dup_trigram_cnt"))
+  }
+
+  /**
+   * Corpus-wide chunk-level deduplication (the paragraph-dedup step of
+   * CCNet/RefinedWeb-style pipelines, applied to unstructured single-line
+   * text): each document splits into consecutive `chunkWords`-word chunks
+   * (the last one may be shorter); a chunk whose exact text occurs in MORE
+   * than `maxDocs` distinct documents is boilerplate and is removed from
+   * every document; surviving chunks reassemble in order. Documents losing
+   * every chunk come back with empty text (kept, so downstream length
+   * filters make the drop decision).
+   *
+   * Scale shape: posexplode → per-chunk distinct-doc count (two-level
+   * aggregation) → equi-join back on the chunk text (AQE broadcasts the
+   * hot-chunk side when small) → ordered reassembly via
+   * sort_array(collect_list(struct(pos, chunk))). No driver-side
+   * collection at any cardinality.
+   */
+  def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
+                  chunkWords: Int = 8, maxDocs: Int = 2): DataFrame = {
+    require(chunkWords >= 1 && maxDocs >= 1, "chunkWords and maxDocs must be >= 1")
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    // ceil(size / chunkWords) in exact integer arithmetic
+    val nChunks = floor((size(words) + lit(chunkWords - 1)) / lit(chunkWords)).cast("int")
+    val chunks = when(size(words) > 0,
+      transform(sequence(lit(1), nChunks),
+        i => concat_ws(" ", slice(words, (i - 1) * chunkWords + 1, lit(chunkWords)))))
+      .otherwise(array().cast("array<string>"))
+    val exploded = docs.select(col(idCol).as("id"), posexplode(chunks).as(Seq("pos", "chunk")))
+    val chunkDocs = exploded.groupBy("chunk")
+      .agg(countDistinct(col("id")).as("n_docs"))
+    val kept = exploded.join(chunkDocs, Seq("chunk"))
+      .where(col("n_docs") <= maxDocs)
+    val reassembled = kept.groupBy("id")
+      .agg(array_join(transform(sort_array(collect_list(struct(col("pos"), col("chunk")))),
+        s => s.getField("chunk")), " ").as("clean_text"))
+    docs.select(col(idCol).as("id"))
+      .join(reassembled, Seq("id"), "left")
+      .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def fingerprintKgram(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val t = col(textCol)
