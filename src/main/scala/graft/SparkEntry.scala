@@ -417,6 +417,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           coalesce(col("__m.event_id"), lit(-1L)).as("last_signup_id"))
     }),
+    "q100_pii_redact" -> ((s, dir) => {
+      // PII scrub over deterministically PLANTED contact blocks (the
+      // corpus itself is synthetic words): every 5th doc gains an email,
+      // an IPv4 and a phone; redaction swaps typed placeholders and
+      // emits pre-redaction match counts
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" reach me at user"), col("doc_id").cast("string"),
+            lit("@mail.example.org or 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 tel 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      graft.spark.TextOps.redactPii(docs, "doc_id", "text")
+    }),
     "q98_repetition_quality" -> ((s, dir) => {
       // Gopher-style repetition signals: top-word share + duplicate-trigram
       // fraction as exact integer counts (thresholds stay caller policy)
@@ -1599,6 +1612,24 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) AS ls FROM u)
         |SELECT event_id, user_id, COALESCE(ls, -1) AS last_signup_id
         |FROM m WHERE side = 1""".stripMargin,
+    "q100_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN
+        |      text || ' reach me at user' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.example.org or 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |      '.7 tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id AS id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+        |    '[0-9]{3}[-][0-9]{3}[-][0-9]{4}', '<PHONE>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}[-][0-9]{3}[-][0-9]{4}')) AS BIGINT) AS n_phones
+        |FROM planted""".stripMargin,
     "q98_repetition_quality" ->
       """WITH w AS (
         |  SELECT doc_id, u.word

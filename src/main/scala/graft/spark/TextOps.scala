@@ -657,6 +657,37 @@ object TextOps {
       .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /**
+   * PII redaction — the scrub step of a training-data pipeline: emails,
+   * IPv4 addresses and US-style phone numbers replace with typed
+   * placeholders; per-doc match counts are emitted (counted BEFORE
+   * redaction) so filtering policy stays with the caller. Patterns use
+   * only explicit ASCII classes and `[.]` literals — no bare `.`, no
+   * perl shorthands — so the Java and RE2 (DuckDB oracle) dialects agree
+   * character-for-character (see the Java-dot pitfall in CLAUDE.md).
+   * Redaction order is fixed (email, then IP, then phone): the classes
+   * are disjoint on real text, and a fixed order keeps the output
+   * deterministic where they could ever overlap. Pure column expressions
+   * (codegen'd regexp_replace/regexp_count) — one scan, no shuffle.
+   */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val Ipv4Pattern = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val PhonePattern = "[0-9]{3}[-][0-9]{3}[-][0-9]{4}"
+
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, lit(EmailPattern), lit("<EMAIL>")),
+        lit(Ipv4Pattern), lit("<IP>")),
+      lit(PhonePattern), lit("<PHONE>"))
+    docs.select(col(idCol).as("id"),
+      clean.as("clean_text"),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"))
+  }
+
   def fingerprintKgram(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val t = col(textCol)

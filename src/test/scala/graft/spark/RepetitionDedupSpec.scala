@@ -50,6 +50,20 @@ class RepetitionDedupSpec extends SparkTestBase {
       6L -> ""))
   }
 
+  test("redactPii: typed placeholders, pre-redaction counts, untouched text passes through") {
+    val docs = Seq(
+      (1L, "write a@b.co or c.d-e@f.example.com at 192.168.0.1 call 415-555-0000"),
+      (2L, "no pii here 1234"),
+      (3L, "almost an ip 1.2.3 and a short phone 555-0000")).toDF("doc_id", "text")
+    val got = TextOps.redactPii(docs, "doc_id", "text").orderBy("id").collect()
+    assert(got(0).getString(1) === "write <EMAIL> or <EMAIL> at <IP> call <PHONE>")
+    assert((got(0).getLong(2), got(0).getLong(3), got(0).getLong(4)) === ((2L, 1L, 1L)))
+    assert(got(1).getString(1) === "no pii here 1234")
+    assert((got(1).getLong(2), got(1).getLong(3), got(1).getLong(4)) === ((0L, 0L, 0L)))
+    // partial lookalikes never fire
+    assert(got(2).getString(1) === "almost an ip 1.2.3 and a short phone 555-0000")
+  }
+
   test("dedupChunks: a short final chunk is its own unit and reassembly is positional") {
     val docs = Seq(
       (1L, "w1 w2 w3 w4 w5"),  // chunks of 2: "w1 w2","w3 w4","w5"
