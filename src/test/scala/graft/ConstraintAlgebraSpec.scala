@@ -94,6 +94,36 @@ class ConstraintAlgebraSpec extends AnyFunSuite {
     assert(compare(Contains, 0.31, 0.35, 0.3, 0.4))
   }
 
+  test("fuzz: cross-product merge over DISJOINT dimension sets is pointwise AND (200 instances)") {
+    // the composition the reference uses merge for — a time window put on
+    // each spatial cube — has disjoint per-side dimensions; there the
+    // cross-product of per-set merges must accept exactly the points both
+    // sides accept (per-dimension spans never fire because no dimension
+    // appears on both sides)
+    val rnd = new scala.util.Random(20260818L)
+    val dimsA = Seq("one", "two"); val dimsB = Seq("three")
+    val allDims = dimsA ++ dimsB
+    // every dimension constrained: the AND identity needs nonempty cubes
+    // on both sides (an empty cube accepts nothing pre-merge but vanishes
+    // from the merged set — the reference shares that asymmetry)
+    def randSet(dims: Seq[String]): ConstraintSet =
+      dims.foldLeft(ConstraintSet.empty) { (s, d) =>
+        val a = rnd.nextDouble() * 10 - 5; val b = a + rnd.nextDouble() * 3
+        s.addConstraint(d, ConstraintData(a, b, isDefault = rnd.nextBoolean()))
+      }
+    for (_ <- 1 to 200) {
+      val ca = Constraints(List.fill(1 + rnd.nextInt(3))(randSet(dimsA)))
+      val cb = Constraints(List.fill(1 + rnd.nextInt(3))(randSet(dimsB)))
+      val merged = ca.merge(cb)
+      for (_ <- 1 to 20) {
+        val pt = allDims.map(d => d -> { val v = rnd.nextDouble() * 12 - 6; (v, v) }).toMap
+        val expected = accepts(ca, allDims, pt) && accepts(cb, allDims, pt)
+        assert(accepts(merged, allDims, pt) === expected,
+          s"merged accept diverged at $pt\nA=$ca\nB=$cb")
+      }
+    }
+  }
+
   test("a cube constraining only off-model dimensions accepts NOTHING, not everything") {
     // the reference trims off-model dims; a zero-dimension filter falls
     // through its (empty) loop and rejects (BinnedNumericDataset.applyBins
