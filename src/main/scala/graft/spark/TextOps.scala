@@ -359,7 +359,7 @@ object TextOps {
    * codegen'd end to end, no shuffle.
    */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val words = nonEmptyWords(textCol)
     val nWords = size(words).cast("long")
     val charSum = aggregate(transform(words, w => length(w).cast("long")), lit(0L), _ + _)
     val stopCnt = size(filter(words, w => w === "the" || w === "and" || w === "of")).cast("long")
@@ -379,7 +379,7 @@ object TextOps {
     * punctuation each count as one token (portable RE2/Java subset). */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"),
-      size(filter(split(col(textCol), " "), w => length(w) > 0)).cast("long").as("n_words"),
+      size(nonEmptyWords(textCol)).cast("long").as("n_words"),
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_tokens"))
 
   /** Lexicographic text range filter over a whole field value — the
@@ -542,7 +542,7 @@ object TextOps {
     * token table, not the raw corpus. */
   def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val counts = docs
-      .select(explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("token"))
+      .select(explode(nonEmptyWords(textCol)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     counts.orderBy(col("cnt").desc, col("token")).limit(k)
   }
@@ -556,7 +556,7 @@ object TextOps {
    */
   def tfDf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs.select(col(idCol).as("id"),
-      explode(filter(split(col(textCol), " "), w => length(w) > 0)).as("token"))
+      explode(nonEmptyWords(textCol)).as("token"))
     val tf = tokens.groupBy("id", "token").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     tf.join(df, "token").select("id", "token", "tf", "df")
@@ -576,9 +576,13 @@ object TextOps {
     docs.where(regexp_like(col(textCol), lit(regex))).select(col(idCol).as("id"))
   }
 
-  /** document fingerprint: min/max/xor over portable rolling hashes of all
-    * char k-grams (winnowing-style signature). Docs shorter than k chars
-    * are dropped. */
+  /** the one word tokenization every word-level operator shares (q54/q57/
+    * q58/q98/q99 and their oracles' `list_filter(string_split(text,' '))`
+    * twin): split on single spaces, drop empties. Changing it means
+    * changing every oracle with it — hence one definition. */
+  private def nonEmptyWords(textCol: String): Column =
+    filter(split(col(textCol), " "), w => length(w) > 0)
+
   /**
    * Repetition quality signals (the Gopher/MassiveText repetition rules —
    * Rae et al. 2021 §A1.1, applied to single-line web text): per document,
@@ -595,7 +599,7 @@ object TextOps {
    * counts.
    */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val words = nonEmptyWords(textCol)
     val n = size(words)
     // trigram window over the word array: positions 1..n-2 (1-based slice)
     val trigrams = when(n >= 3,
@@ -637,7 +641,7 @@ object TextOps {
   def dedupChunks(docs: DataFrame, idCol: String, textCol: String,
                   chunkWords: Int = 8, maxDocs: Int = 2): DataFrame = {
     require(chunkWords >= 1 && maxDocs >= 1, "chunkWords and maxDocs must be >= 1")
-    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val words = nonEmptyWords(textCol)
     // ceil(size / chunkWords) in exact integer arithmetic
     val nChunks = floor((size(words) + lit(chunkWords - 1)) / lit(chunkWords)).cast("int")
     val chunks = when(size(words) > 0,
@@ -657,23 +661,24 @@ object TextOps {
       .select(col("id"), coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  /**
-   * PII redaction — the scrub step of a training-data pipeline: emails,
-   * IPv4 addresses and US-style phone numbers replace with typed
-   * placeholders; per-doc match counts are emitted (counted BEFORE
-   * redaction) so filtering policy stays with the caller. Patterns use
-   * only explicit ASCII classes and `[.]` literals — no bare `.`, no
-   * perl shorthands — so the Java and RE2 (DuckDB oracle) dialects agree
-   * character-for-character (see the Java-dot pitfall in CLAUDE.md).
-   * Redaction order is fixed (email, then IP, then phone): the classes
-   * are disjoint on real text, and a fixed order keeps the output
-   * deterministic where they could ever overlap. Pure column expressions
-   * (codegen'd regexp_replace/regexp_count) — one scan, no shuffle.
-   */
+  /** dialect-pinned PII patterns: only explicit ASCII classes and `[.]`
+    * literals — no bare `.`, no perl shorthands — so the Java and RE2
+    * (DuckDB oracle) dialects agree character-for-character (the Java-dot
+    * pitfall in CLAUDE.md). */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
   val Ipv4Pattern = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
   val PhonePattern = "[0-9]{3}[-][0-9]{3}[-][0-9]{4}"
 
+  /**
+   * PII redaction — the scrub step of a training-data pipeline: emails,
+   * IPv4 addresses and US-style phone numbers replace with typed
+   * placeholders; per-doc match counts are emitted (counted BEFORE
+   * redaction) so filtering policy stays with the caller. Redaction
+   * order is fixed (email, then IP, then phone): the classes are
+   * disjoint on real text, and a fixed order keeps the output
+   * deterministic where they could ever overlap. Pure column expressions
+   * (codegen'd regexp_replace/regexp_count) — one scan, no shuffle.
+   */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val clean = regexp_replace(
@@ -688,6 +693,9 @@ object TextOps {
       regexp_count(t, lit(PhonePattern)).cast("long").as("n_phones"))
   }
 
+  /** document fingerprint: min/max/xor over portable rolling hashes of all
+    * char k-grams (winnowing-style signature). Docs shorter than k chars
+    * are dropped. */
   def fingerprintKgram(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.GraftBridge.{column, expression}
     val t = col(textCol)
