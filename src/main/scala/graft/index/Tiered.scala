@@ -202,11 +202,25 @@ object TieredStrategy {
   def defaultSpatial: TieredStrategy =
     fullIncremental(Array(LongitudeDim, LatitudeDim(useHalfRange = true)), Array(31, 31))
 
+  /** a BALANCED spatial-temporal strategy with selectable periodicity.
+    * The reference's other two Bias presets (SPATIAL 25/25/10,
+    * TEMPORAL 10/10/40 — SpatialTemporalDimensionalityTypeProvider
+    * .java:140-191) allocate UNEQUAL per-dimension precision, which the
+    * uzaygezen compact Hilbert supports but this engine's Hilbert tier
+    * deliberately does not (see Hilbert.scala's equal-precision contract;
+    * the Z-order curve here DOES support unequal interleave —
+    * ZOrder.scala — but the tiered planner is Hilbert-backed). Biased
+    * layouts are therefore out of scope, documented in README
+    * limitations rather than half-supported. */
+  def spatialTemporal(bitsPerDim: Int,
+                      periodicity: TimeUnits.Value = TimeUnits.Year): TieredStrategy =
+    equalInterval(
+      Array(LongitudeDim, LatitudeDim(useHalfRange = true),
+        TimeDim(TemporalBinning(periodicity))),
+      Array(bitsPerDim, bitsPerDim, bitsPerDim), numIndices = 11)
+
   /** the reference's default spatial-temporal index: 20/20/20 BALANCED,
     * YEAR periodicity, 11 equal-interval tiers.
     * (reference: SpatialTemporalDimensionalityTypeProvider.java:61-122,169-191) */
-  def defaultSpatialTemporal: TieredStrategy =
-    equalInterval(
-      Array(LongitudeDim, LatitudeDim(useHalfRange = true), TimeDim.year),
-      Array(20, 20, 20), numIndices = 11)
+  def defaultSpatialTemporal: TieredStrategy = spatialTemporal(20)
 }

@@ -93,6 +93,24 @@ class HeuristicChooserSpec extends AnyFunSuite {
     }
   }
 
+  test("the balanced ST preset is the 20/20/20 default; a coarser preset loses point probes") {
+    def bits(s: TieredStrategy): Seq[Int] = s.sfcs.last.dimensions.map(_.bits).toSeq
+    assert(bits(GeoCodec.spatialTemporal) === Seq(20, 20, 20))
+    assert(bits(TieredStrategy.spatialTemporal(12)) === Seq(12, 12, 12))
+    // point probes saturate bits-used at the full per-dimension budget,
+    // so between two balanced layouts the finer one must win the chooser
+    val cands = Seq(
+      IndexCandidate("st_coarse", TieredStrategy.spatialTemporal(12),
+        Seq("longitude", "latitude", "time")),
+      IndexCandidate("st_balanced", GeoCodec.spatialTemporal,
+        Seq("longitude", "latitude", "time")))
+    val point = Constraints(List(ConstraintSet.empty
+      .addConstraint("longitude", ConstraintData(10.0, 10.0 + 1e-9, isDefault = false))
+      .addConstraint("latitude", ConstraintData(40.0, 40.0 + 1e-9, isDefault = false))
+      .addConstraint("time", ConstraintData(0, 1.0, isDefault = false))))
+    assert(MultiIndex.chooseHeuristicMatch(cands, point) === Some("st_balanced"))
+  }
+
   test("equal dimension count tie-breaks on bits-used: DAY never beats YEAR") {
     for (window <- Seq(Hour, Day, Week)) {
       val cons = constraints(House, House, window)

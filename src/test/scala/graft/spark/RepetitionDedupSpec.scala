@@ -50,6 +50,22 @@ class RepetitionDedupSpec extends SparkTestBase {
       6L -> ""))
   }
 
+  test("plan shapes: the trigram side never explodes; chunk dedup builds no cartesian join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    // exactly ONE Generate — the top-word explode; trigram stats stay
+    // array-expression-only (the scale contract in the scaladoc)
+    val rep = TextOps.repetitionSignals(docs, "doc_id", "text")
+    val gens = rep.queryExecution.optimizedPlan.collect { case g: Generate => g }
+    assert(gens.size === 1, rep.queryExecution.optimizedPlan.treeString)
+    // every join in the chunk-dedup plan carries a condition or keys
+    val dd = TextOps.dedupChunks(docs, "doc_id", "text")
+    val cartesian = dd.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty => j
+    }
+    assert(cartesian.isEmpty, dd.queryExecution.optimizedPlan.treeString)
+  }
+
   test("redactPii: typed placeholders, pre-redaction counts, untouched text passes through") {
     val docs = Seq(
       (1L, "write a@b.co or c.d-e@f.example.com at 192.168.0.1 call 415-555-0000"),
