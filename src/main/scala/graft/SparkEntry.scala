@@ -422,13 +422,29 @@ object SparkEntry {
       // corpus itself is synthetic words): every 5th doc gains an email,
       // an IPv4 and a phone; redaction swaps typed placeholders and
       // emits pre-redaction match counts
-      val docs = s.read.parquet(s"$dir/documents.parquet")
-        .withColumn("text", when(col("doc_id") % 5 === 0,
-          concat(col("text"), lit(" reach me at user"), col("doc_id").cast("string"),
-            lit("@mail.example.org or 10.0."), (col("doc_id") % 256).cast("string"),
-            lit(".7 tel 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-          .otherwise(col("text")))
-      graft.spark.TextOps.redactPii(docs, "doc_id", "text")
+      graft.spark.TextOps.redactPii(
+        plantPii(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text")
+    }),
+    "q101_corpus_pipeline" -> ((s, dir) => {
+      // the COMPOSITE training-data pipeline as ONE declarative plan:
+      // PII scrub → corpus-wide chunk dedup → word-count quality gate →
+      // deterministic content-hash fold split. Every stage is an already
+      // oracle-gated operator; this query proves they compose (the fold
+      // assignment hashes the CLEANED text, so boilerplate removal and
+      // redaction happen before the split decision, as a real pipeline
+      // orders them)
+      val t = graft.spark.TextOps
+      val scrubbed = t.redactPii(
+          plantPii(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("clean_text"))
+      val deduped = t.dedupChunks(scrubbed, "doc_id", "clean_text",
+        chunkWords = 8, maxDocs = 2)
+      val gated = deduped
+        .withColumn("n_words",
+          size(filter(split(col("clean_text"), " "), w => length(w) > 0)).cast("long"))
+        .where(col("n_words") >= 20)
+      t.hashSplit(gated, "clean_text", pctTrain = 80, pctVal = 10)
+        .select(col("id"), col("split"), col("n_words"))
     }),
     "q98_repetition_quality" -> ((s, dir) => {
       // Gopher-style repetition signals: top-word share + duplicate-trigram
@@ -1095,6 +1111,43 @@ object SparkEntry {
     out
   }
 
+  /** q100/q101's deterministic planted PII: every 5th doc gains an email,
+    * an IPv4 and a phone appended to its text. */
+  private def plantPii(docs: DataFrame): DataFrame =
+    docs.withColumn("text", when(col("doc_id") % 5 === 0,
+      concat(col("text"), lit(" reach me at user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 tel 415-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .otherwise(col("text")))
+
+  /** the planted-PII construction as a DuckDB CTE (q100/q101 oracles). */
+  private val plantedPiiCte =
+    """planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN
+      |      text || ' reach me at user' || CAST(doc_id AS VARCHAR) ||
+      |      '@mail.example.org or 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |      '.7 tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |    ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** TextOps.dedupChunks(8, 2) as DuckDB CTEs over `src` (doc_id, text) —
+    * ends in `cclean` (doc_id, clean_text); shared by q99/q101 oracles. */
+  private def chunkDedupCtes(src: String): String =
+    s"""cw AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+       |  FROM $src),
+       |cc AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(ws[CAST((i - 1) * 8 + 1 AS BIGINT) : CAST(i * 8 AS BIGINT)], ' ') AS chunk
+       |  FROM cw, UNNEST(range(1, CAST((len(ws) + 7) // 8 AS BIGINT) + 1)) AS t(i)
+       |  WHERE len(ws) > 0),
+       |cg AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM cc GROUP BY 1),
+       |ck AS (SELECT cc.doc_id, cc.pos, cc.chunk FROM cc JOIN cg USING (chunk) WHERE cg.n_docs <= 2),
+       |cr AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text FROM ck GROUP BY 1),
+       |cclean AS (SELECT d.doc_id, COALESCE(cr.clean_text, '') AS clean_text
+       |           FROM $src d LEFT JOIN cr ON cr.doc_id = d.doc_id)""".stripMargin
+
   private def duckHash(e: String): String =
     s"(CASE WHEN length($e) = 0 THEN CAST(0 AS BIGINT) ELSE list_reduce(list_transform(range(1, length($e)+1), ch -> CAST(ord(substr($e, ch, 1)) AS BIGINT)), (a, x) -> (a * 31 + x) % 2147483647) END)"
 
@@ -1612,16 +1665,28 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) AS ls FROM u)
         |SELECT event_id, user_id, COALESCE(ls, -1) AS last_signup_id
         |FROM m WHERE side = 1""".stripMargin,
+    "q101_corpus_pipeline" ->
+      s"""WITH $plantedPiiCte,
+         |scrub AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+         |      '[0-9]{3}[-][0-9]{3}[-][0-9]{4}', '<PHONE>', 'g') AS text
+         |  FROM planted),
+         |${chunkDedupCtes("scrub")},
+         |gated AS (
+         |  SELECT doc_id, clean_text,
+         |    CAST(len(list_filter(string_split(clean_text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_words
+         |  FROM cclean)
+         |SELECT doc_id AS id,
+         |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split,
+         |  n_words
+         |FROM (SELECT doc_id, n_words, ${duckHash("clean_text")} % 100 AS h
+         |      FROM gated WHERE n_words >= 20)""".stripMargin,
     "q100_pii_redact" ->
-      """WITH planted AS (
-        |  SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 THEN
-        |      text || ' reach me at user' || CAST(doc_id AS VARCHAR) ||
-        |      '@mail.example.org or 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
-        |      '.7 tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-        |    ELSE text END AS text
-        |  FROM documents)
-        |SELECT doc_id AS id,
+      s"""WITH $plantedPiiCte
+         |SELECT doc_id AS id,
         |  regexp_replace(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
@@ -1656,19 +1721,8 @@ object SparkEntry {
         |LEFT JOIN tw ON tw.doc_id = d.doc_id
         |JOIN tri ON tri.doc_id = d.doc_id""".stripMargin,
     "q99_chunk_dedup" ->
-      """WITH w AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-        |    array_to_string(ws[CAST((i - 1) * 8 + 1 AS BIGINT) : CAST(i * 8 AS BIGINT)], ' ') AS chunk
-        |  FROM w, UNNEST(range(1, CAST((len(ws) + 7) // 8 AS BIGINT) + 1)) AS t(i)
-        |  WHERE len(ws) > 0),
-        |g AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1),
-        |k AS (SELECT c.doc_id, c.pos, c.chunk FROM c JOIN g USING (chunk) WHERE g.n_docs <= 2),
-        |r AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text FROM k GROUP BY 1)
-        |SELECT d.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text
-        |FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id""".stripMargin,
+      s"""WITH ${chunkDedupCtes("documents")}
+         |SELECT doc_id AS id, clean_text FROM cclean""".stripMargin,
     "q54_quality_ext" ->
       """WITH w AS (SELECT doc_id, text,
         |  list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws FROM documents)
