@@ -425,6 +425,22 @@ object SparkEntry {
       graft.spark.TextOps.redactPii(
         plantPii(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text")
     }),
+    "q102_gpx_ingest" -> ((s, dir) => {
+      // FORMAT-PLUGIN round trip: deterministic GPX waypoint documents
+      // built from the events geocode, parsed back through the
+      // declarative GPX source (from_xml). The oracle recomputes the
+      // features from the raw columns — the XML write→parse leg must be
+      // lossless and the id must match the reference's toID composition
+      val src = Tables.geoEvents(s, dir).where(col("event_id") < 500)
+        .withColumn("xml", concat(
+          lit("<gpx><wpt lat=\""), col("lat").cast("string"),
+          lit("\" lon=\""), col("lon").cast("string"),
+          lit("\"><name>e"), col("event_id").cast("string"),
+          lit("</name><ele>"), (col("event_id") % 100).cast("string"),
+          lit("</ele></wpt></gpx>")))
+      graft.spark.GpxSource.waypoints(src, "event_id", "xml")
+        .select(col("id"), col("name"), col("lat"), col("lon"), col("elevation"))
+    }),
     "q101_corpus_pipeline" -> ((s, dir) => {
       // the COMPOSITE training-data pipeline as ONE declarative plan:
       // PII scrub → corpus-wide chunk dedup → word-count quality gate →
@@ -1665,6 +1681,17 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) AS ls FROM u)
         |SELECT event_id, user_id, COALESCE(ls, -1) AS last_signup_id
         |FROM m WHERE side = 1""".stripMargin,
+    "q102_gpx_ingest" ->
+      s"""$eventsCte
+         |SELECT
+         |  'e' || CAST(event_id AS VARCHAR) || '_' ||
+         |    (CASE WHEN lat < 0 THEN '-' ELSE '' END ||
+         |     lpad(CAST(CAST(round(abs(lat) * 10000000) AS BIGINT) AS VARCHAR), 10, '0')) || '_' ||
+         |    (CASE WHEN lon < 0 THEN '-' ELSE '' END ||
+         |     lpad(CAST(CAST(round(abs(lon) * 10000000) AS BIGINT) AS VARCHAR), 10, '0')) AS id,
+         |  'e' || CAST(event_id AS VARCHAR) AS name,
+         |  lat, lon, CAST(event_id % 100 AS DOUBLE) AS elevation
+         |FROM ev WHERE event_id < 500""".stripMargin,
     "q101_corpus_pipeline" ->
       s"""WITH $plantedPiiCte,
          |scrub AS (
