@@ -425,6 +425,29 @@ object SparkEntry {
       graft.spark.TextOps.redactPii(
         plantPii(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text")
     }),
+    "q103_gdelt_ingest" -> ((s, dir) => {
+      // GDELT format plugin round trip: 57-column tab-separated event
+      // lines synthesized from the events geocode, parsed back through
+      // the declarative line parser (column-count window, geo-type gate,
+      // typed casts); the oracle recomputes the features from raw columns
+      val src = Tables.geoEvents(s, dir).where(col("event_id") < 500)
+      val cells: Seq[org.apache.spark.sql.Column] = Seq.tabulate(57) {
+        case 0 => col("event_id").cast("string")
+        case 1 => date_format(col("ts"), "yyyyMMdd")
+        case 6 => col("event_type")
+        case 33 => (col("event_id") % 11).cast("string")
+        case 34 => ((col("event_id") % 100) / 10.0).cast("string")
+        case 49 => lit("1")
+        case 51 => lit("US")
+        case 53 => col("lat").cast("string")
+        case 54 => col("lon").cast("string")
+        case _ => lit("")
+      }
+      val lines = src.select(concat_ws("\t", cells: _*).as("line"))
+      graft.spark.FlatGeoSource.gdeltEvents(lines, "line", extended = true)
+        .select(col("eventid"), col("ts"), col("lat"), col("lon"),
+          col("actor1"), col("action_country"), col("n_articles"), col("avg_tone"))
+    }),
     "q102_gpx_ingest" -> ((s, dir) => {
       // FORMAT-PLUGIN round trip: deterministic GPX waypoint documents
       // built from the events geocode, parsed back through the
@@ -1681,6 +1704,16 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) AS ls FROM u)
         |SELECT event_id, user_id, COALESCE(ls, -1) AS last_signup_id
         |FROM m WHERE side = 1""".stripMargin,
+    "q103_gdelt_ingest" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, event_type, ${graft.spark.Tables.eventsLonSql} AS lon,
+         |         ${graft.spark.Tables.eventsLatSql} AS lat, ts
+         |  FROM events)
+         |SELECT CAST(event_id AS INTEGER) AS eventid, CAST(ts AS DATE) AS ts, lat, lon,
+         |  event_type AS actor1, 'US' AS action_country,
+         |  CAST(event_id % 11 AS INTEGER) AS n_articles,
+         |  (event_id % 100) / 10.0 AS avg_tone
+         |FROM ev WHERE event_id < 500""".stripMargin,
     "q102_gpx_ingest" ->
       s"""$eventsCte
          |SELECT
