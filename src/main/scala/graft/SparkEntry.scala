@@ -441,6 +441,11 @@ object SparkEntry {
         case 51 => lit("US")
         case 53 => col("lat").cast("string")
         case 54 => col("lon").cast("string")
+        // the LAST column must be non-empty: GDELT column counting uses
+        // Java split semantics (trailing empty fields do not count), so a
+        // line ending in empty cells would fail the 57-column window —
+        // real GDELT lines end with the DATEADDED field
+        case 56 => date_format(col("ts"), "yyyyMMdd")
         case _ => lit("")
       }
       val lines = src.select(concat_ws("\t", cells: _*).as("line"))
@@ -453,7 +458,12 @@ object SparkEntry {
       // built from the events geocode, parsed back through the
       // declarative GPX source (from_xml). The oracle recomputes the
       // features from the raw columns — the XML write→parse leg must be
-      // lossless and the id must match the reference's toID composition
+      // lossless and the id must match the reference's toID composition.
+      // Rounding note: coordId is HALF_EVEN (DecimalFormat) while the
+      // oracle's round() is half-away-from-zero — equivalent here because
+      // the events geocode is centi-degree (value*1e7 is an exact
+      // multiple of 1e5, never a .5 boundary); a fixture with finer
+      // coordinates must keep that invariant
       val src = Tables.geoEvents(s, dir).where(col("event_id") < 500)
         .withColumn("xml", concat(
           lit("<gpx><wpt lat=\""), col("lat").cast("string"),

@@ -129,8 +129,16 @@ class GpxSourceSpec extends SparkTestBase {
     assert(pts.length === 2)
     assert(!pts(0).isNullAt(pts(0).fieldIndex("ts")))
     assert(pts(1).isNullAt(pts(1).fieldIndex("ts")))
-    // duration needs both bounds: a single timed point yields none
+    // ONE timed point: min == max over the parsed times, so both bounds
+    // exist and Duration is exactly 0 (the reference's getStartTime/
+    // getEndTime return the same child time)
     val tr = GpxSource.tracks(Seq(("x", x)).toDF("input_id", "xml"), "input_id", "xml").collect()(0)
-    assert(tr.getAs[Long]("duration_ms") === 0L || !tr.isNullAt(tr.fieldIndex("duration_ms")))
+    assert(!tr.isNullAt(tr.fieldIndex("duration_ms")))
+    assert(tr.getAs[Long]("duration_ms") === 0L)
+    // NO timed point at all: no bounds, null duration
+    val x2 = """<gpx><trk><name>t</name><trkseg><trkpt lat="1.0" lon="2.0"/></trkseg></trk></gpx>"""
+    val tr2 = GpxSource.tracks(Seq(("y", x2)).toDF("input_id", "xml"), "input_id", "xml").collect()(0)
+    assert(tr2.isNullAt(tr2.fieldIndex("duration_ms")))
+    assert(tr2.getAs[Long]("n_points") === 1L)
   }
 }
