@@ -1022,6 +1022,26 @@ object SparkEntry {
         "the", "these", tmpIndexPath(dir, "graft-textanchored-cs"),
         caseSensitive = true)
     }),
+    "q104_biased_st_box" -> ((s, dir) => {
+      // the TEMPORAL-bias spatio-temporal index end to end (the Bias
+      // preset the reference exposes on SpatialTemporalDimensionalityType
+      // Provider): store keyed by the 10/10/40 UNEQUAL-precision
+      // compact-Hilbert curve (the mask path HilbertUnequalSpec pins),
+      // box+window query served by the biased range prefilter + exact
+      // fine filter — identical result set to q96 under a different index
+      import graft.spark.GeoFunctions._
+      val ev = Tables.geoEvents(s, dir)
+        .withColumn("cell_id_stb",
+          gw_cell_id_st_biased(col("lon"), col("lat"), col("ts"), "TEMPORAL"))
+      val ranges = graft.spark.SpatialPlanner.stBoxRangesBiased("TEMPORAL",
+        Box._1, Box._2, Box._3, Box._4, TsMin.getTime, TsMax.getTime)
+      val fine = graft.spark.SpatialPlanner.boxPredicate(col("lon"), col("lat"),
+        Box._1, Box._2, Box._3, Box._4) &&
+        col("ts") >= lit(TsMin) && col("ts") <= lit(TsMax)
+      ev.where(graft.spark.SpatialPlanner.rangesPredicate(col("cell_id_stb"), ranges))
+        .where(fine)
+        .select(col("event_id"), col("lon"), col("lat"), col("ts"))
+    }),
     "q96_multi_index_heuristic" -> ((s, dir) => {
       // the HEURISTIC-MATCH chooser (most constrained dimensions, then
       // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
@@ -2149,6 +2169,11 @@ object SparkEntry {
          |WHERE CAST(doc_id % 4 AS INTEGER) = 0
          |   OR (CAST(doc_id % 4 AS INTEGER) = 1 AND lon < 0)
          |   OR CAST(doc_id % 4 AS INTEGER) = 2""".stripMargin,
+    "q104_biased_st_box" ->
+      s"""$eventsCte
+         |SELECT event_id, lon, lat, ts FROM ev
+         |WHERE lon >= ${Box._1} AND lon <= ${Box._2} AND lat >= ${Box._3} AND lat <= ${Box._4}
+         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts <= TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
     "q96_multi_index_heuristic" ->
       s"""$eventsCte
          |SELECT event_id, lon, lat, ts FROM ev

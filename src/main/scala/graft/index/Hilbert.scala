@@ -1,32 +1,42 @@
 package graft.index
 
 /**
- * Hilbert curve over an n-dimensional grid with m bits per dimension,
- * following C. Hamilton's algorithm ("Compact Hilbert Indices", Dalhousie
- * CS-2006-07) — the same published algorithm behind the uzaygezen library the
- * reference engine delegates to
- * (reference: core/index/.../sfc/hilbert/PrimitiveHilbertSFCOperations.java:74-139).
+ * Compact Hilbert curve over an n-dimensional grid with m_j bits per
+ * dimension, following C. Hamilton's algorithm ("Compact Hilbert Indices",
+ * Dalhousie CS-2006-07, Algorithms 7/8) — the same published algorithm
+ * behind the uzaygezen library the reference engine delegates to
+ * (reference: core/index/.../sfc/hilbert/PrimitiveHilbertSFCOperations.java:74-139
+ * for the equal-precision primitive path; unequal precisions go through
+ * uzaygezen's CompactHilbertCurve).
  *
- * Every index configuration the reference ships uses equal bits per dimension
- * within one SFC tier (spatial 31/31, spatial-temporal 20/20/20, and every
- * tier produced by TieredSFCIndexFactory), so this implementation requires
- * equal precisions and supports up to 62 total bits in a primitive Long.
+ * Equal precisions per dimension (every index configuration the reference
+ * ships: spatial 31/31, spatial-temporal 20/20/20) make every level's
+ * free-bits mask full, the gray-code rank the identity, and the algorithm
+ * reduces bit-for-bit to the plain Hilbert recursion — pinned by the
+ * reference's golden vectors (HilbertSFCTest.java:35,67,100:
+ * id(max,max)=3074457345618258602, id(min,min)=0,
+ * id(mid,mid)=768614336404564650 at 31+31 bits). UNEQUAL precisions (the
+ * spatio-temporal Bias presets: 25/25/10, 10/10/40) skip exhausted
+ * dimensions per level via the compact mask: at level i only dimensions
+ * with m_j > i contribute label bits, and the index packs the gray-code
+ * RANK of the transformed label restricted to that mask (Hamilton's gcr),
+ * recovering the constrained bits in the inverse from the entry-point
+ * pattern (gcrInverse). The reference publishes no unequal-precision
+ * golden vectors; HilbertUnequalSpec pins this path by exhaustive
+ * bijectivity + Hilbert continuity (unit grid steps between consecutive
+ * indices) + the equal-bits reduction, the same properties that pin the
+ * residual rotation convention engine-wide.
  *
- * Pinned against the reference's golden vectors (HilbertSFCTest.java:35,67,100:
- * id(max,max)=3074457345618258602, id(min,min)=0, id(mid,mid)=768614336404564650
- * at 31+31 bits). Those vectors are diagonal-symmetric, so the residual
- * dimension-rotation convention is pinned instead by the Hilbert continuity
- * property (verified in HilbertSpec) and used consistently engine-wide.
+ * Total precision is capped at 62 bits in a primitive Long.
  */
 final class CompactHilbert(val bits: Array[Int]) extends Serializable {
   import CompactHilbert._
 
   val n: Int = bits.length
-  require(n >= 1 && bits.forall(_ == bits(0)),
-    s"equal bits per dimension required (got ${bits.mkString(",")}); " +
-      "all reference-shipped tier configs are equal-precision")
-  val m: Int = bits(0)
-  val totalBits: Int = n * m
+  require(n >= 1 && bits.forall(_ >= 0), s"invalid bits ${bits.mkString(",")}")
+  /** levels run m-1 downto 0 over the MAXIMUM precision. */
+  val m: Int = bits.max
+  val totalBits: Int = bits.sum
   require(totalBits <= 62, s"total precision $totalBits exceeds 62 bits")
 
   private val dInit: Int = if (n <= 1) 0 else 1
@@ -34,6 +44,16 @@ final class CompactHilbert(val bits: Array[Int]) extends Serializable {
 
   /** bit position in the level-label for dimension j (dim 0 = MSB). */
   @inline private def dimBit(j: Int): Int = n - 1 - j
+
+  /** free-bits mask at level i (label-bit space): dims with m_j > i. */
+  val levelMask: Array[Long] = Array.tabulate(m) { i =>
+    var mu = 0L
+    var j = 0
+    while (j < n) { if (bits(j) > i) mu |= 1L << dimBit(j); j += 1 }
+    mu
+  }
+  /** active-dimension count per level. */
+  val levelBits: Array[Int] = levelMask.map(java.lang.Long.bitCount)
 
   /** Hilbert index of the grid cell given per-dimension bucket coordinates. */
   def index(p: Array[Long]): Long = {
@@ -50,7 +70,8 @@ final class CompactHilbert(val bits: Array[Int]) extends Serializable {
       }
       val lt = rotr(l ^ e, d + 1, n)
       val w = gcInverse(lt)
-      h = (h << n) | w
+      val mu = rotr(levelMask(i), d + 1, n)
+      h = (h << levelBits(i)) | gcr(w, mu, n)
       e = e ^ rotl(entry(w), d + 1, n)
       d = (d + dir(w, n) + 1) % n
       i -= 1
@@ -63,12 +84,19 @@ final class CompactHilbert(val bits: Array[Int]) extends Serializable {
     val p = new Array[Long](n)
     var e = 0L
     var d = dInit
+    var shift = totalBits
     var i = m - 1
     while (i >= 0) {
-      val w = (h >>> (i * n)) & wMask
+      val rho = levelBits(i)
+      shift -= rho
+      val r = (h >>> shift) & ((1L << rho) - 1)
+      val mu = rotr(levelMask(i), d + 1, n)
+      val pi = rotr(e, d + 1, n) & ~mu & wMask
+      val w = gcrInverse(r, mu, pi, n)
       val l = rotl(gc(w), d + 1, n) ^ e
       var j = 0
       while (j < n) {
+        // inactive dims' label bits provably cancel to 0 here
         if (((l >>> dimBit(j)) & 1L) == 1L) p(j) |= 1L << i
         j += 1
       }
@@ -80,15 +108,25 @@ final class CompactHilbert(val bits: Array[Int]) extends Serializable {
   }
 
   /** A quadtree node's Hilbert frame, used by range-decomposition DFS.
-    * Children are enumerated in Hilbert-rank order `w = 0..2^n-1`. */
+    * Children at a LEVEL are enumerated in Hilbert-rank order
+    * `r = 0 .. 2^levelBits(i)-1`; the full sub-hypercube id `w`
+    * reconstructs from the rank via the entry-point pattern. */
   final case class Frame(e: Long, d: Int) {
+    /** the sub-hypercube id of the child with rank r at level i. */
+    def childW(r: Long, i: Int): Long = {
+      val mu = rotr(levelMask(i), d + 1, n)
+      val pi = rotr(e, d + 1, n) & ~mu & wMask
+      gcrInverse(r, mu, pi, n)
+    }
     /** untransformed child cell label; bit for dim j via `labelBit`. */
-    def childLabel(w: Int): Long = rotl(gc(w), d + 1, n) ^ e
-    def childFrame(w: Int): Frame =
+    def childLabel(w: Long): Long = rotl(gc(w), d + 1, n) ^ e
+    def childFrame(w: Long): Frame =
       Frame(e ^ rotl(entry(w), d + 1, n), (d + dir(w, n) + 1) % n)
   }
   def rootFrame: Frame = Frame(0L, dInit)
   @inline def labelBit(l: Long, j: Int): Long = (l >>> dimBit(j)) & 1L
+  /** is dimension j active (still contributing bits) at level i? */
+  @inline def activeAt(i: Int, j: Int): Boolean = bits(j) > i
 }
 
 object CompactHilbert {
@@ -114,6 +152,39 @@ object CompactHilbert {
     if (w == 0L) 0
     else if ((w & 1L) == 1L) tsb(w) % n
     else tsb(w - 1L) % n
+
+  /** gray code rank (Hamilton Alg. 4): the bits of w at FREE (mask-set)
+    * positions, MSB-first compacted. Full mask → identity. */
+  def gcr(w: Long, mask: Long, n: Int): Long = {
+    var r = 0L
+    var j = n - 1
+    while (j >= 0) {
+      if (((mask >>> j) & 1L) == 1L) r = (r << 1) | ((w >>> j) & 1L)
+      j -= 1
+    }
+    r
+  }
+
+  /** gray code rank inverse (Hamilton Alg. 5): reconstruct w from its
+    * rank r over the free mask and the FIXED bits pattern `pi` of
+    * t = gc(w) at the constrained positions. Scans MSB-down using
+    * gc(w)_j = w_j ^ w_{j+1}: a free position takes w_j from r, a
+    * constrained position solves w_j = pi_j ^ w_{j+1}. */
+  def gcrInverse(r0: Long, mask: Long, pi: Long, n: Int): Long = {
+    var w = 0L
+    var wPrev = 0L // w_{j+1}, 0 above the MSB
+    var rShift = java.lang.Long.bitCount(mask)
+    var j = n - 1
+    while (j >= 0) {
+      val wj =
+        if (((mask >>> j) & 1L) == 1L) { rShift -= 1; (r0 >>> rShift) & 1L }
+        else ((pi >>> j) & 1L) ^ wPrev
+      w |= wj << j
+      wPrev = wj
+      j -= 1
+    }
+    w
+  }
 
   /** rotate right within the low n bits */
   @inline def rotr(x: Long, r0: Int, n: Int): Long = {

@@ -143,6 +143,13 @@ final class HilbertSFC(val dimensions: Array[SFCDimension]) extends Serializable
     val (qMins, qMaxes) = bucketRanges(ranges, overInclusiveOnEdge)
     val minQuad = minimumQuadSize(qMins, qMaxes)
     val m = hilbert.m
+    // per-dim FREE bits at depth k (levels m-1..m-k consumed): a dimension
+    // with fewer bits stops contributing once its levels exhaust (compact
+    // Hilbert); for equal precisions this is the constant m-k of the plain
+    // curve. span(k) = Hilbert bits below a depth-k node.
+    def freeBits(j: Int, k: Int): Int = math.min(dimensions(j).bits, m - k)
+    val spanAtDepth: Array[Int] =
+      Array.tabulate(m + 1)(k => (0 until n).map(freeBits(_, k)).sum)
 
     // emitted ranges as (startId, endId), ascending, merged when adjacent
     val out = new scala.collection.mutable.ArrayBuffer[Array[Long]]()
@@ -151,36 +158,43 @@ final class HilbertSFC(val dimensions: Array[SFCDimension]) extends Serializable
       else out += Array(start, end)
     }
 
-    // node: per-dim bucket prefix `pref`, depth k (bits consumed per dim),
+    // node: per-dim bucket prefix `pref` (consumed bits per dim), depth k,
     // Hilbert prefix h, frame state
     def dfs(pref: Array[Long], k: Int, h: Long, frame: hilbert.Frame): Unit = {
-      val side = m - k // free bits per dim
       var d = 0
       var contained = true
       while (d < n) {
+        val side = freeBits(d, k)
         val lo = pref(d) << side
         val hi = lo + ((1L << side) - 1)
         if (hi < qMins(d) || lo > qMaxes(d)) return // disjoint
         if (lo < qMins(d) || hi > qMaxes(d)) contained = false
         d += 1
       }
-      val cells = // 2^(n*side), as double to avoid overflow at 62 bits
-        math.pow(2.0, (n * side).toDouble)
-      if (contained || side == 0 || cells <= minQuad.toDouble) {
-        val span = n * side
+      val span = spanAtDepth(k)
+      val cells = math.pow(2.0, span.toDouble) // double: no overflow at 62 bits
+      if (contained || k == m || cells <= minQuad.toDouble) {
         val start = h << span
         val end = start + (if (span == 0) 0L else (1L << span) - 1)
         emit(start, end)
         return
       }
-      var w = 0
+      val level = m - 1 - k
+      val rho = hilbert.levelBits(level)
+      var r = 0L
       val child = new Array[Long](n)
-      while (w < (1 << n)) {
+      while (r < (1L << rho)) {
+        val w = frame.childW(r, level)
         val l = frame.childLabel(w)
         var j = 0
-        while (j < n) { child(j) = (pref(j) << 1) | hilbert.labelBit(l, j); j += 1 }
-        dfs(child, k + 1, (h << n) | w, frame.childFrame(w))
-        w += 1
+        while (j < n) {
+          child(j) =
+            if (hilbert.activeAt(level, j)) (pref(j) << 1) | hilbert.labelBit(l, j)
+            else pref(j)
+          j += 1
+        }
+        dfs(child, k + 1, (h << rho) | r, frame.childFrame(w))
+        r += 1
       }
     }
 

@@ -202,25 +202,40 @@ object TieredStrategy {
   def defaultSpatial: TieredStrategy =
     fullIncremental(Array(LongitudeDim, LatitudeDim(useHalfRange = true)), Array(31, 31))
 
-  /** a BALANCED spatial-temporal strategy with selectable periodicity.
-    * The reference's other two Bias presets (SPATIAL 25/25/10,
-    * TEMPORAL 10/10/40 — SpatialTemporalDimensionalityTypeProvider
-    * .java:140-191) allocate UNEQUAL per-dimension precision, which the
-    * uzaygezen compact Hilbert supports but this engine's Hilbert tier
-    * deliberately does not (see Hilbert.scala's equal-precision contract;
-    * the Z-order curve here DOES support unequal interleave —
-    * ZOrder.scala — but the tiered planner is Hilbert-backed). Biased
-    * layouts are therefore out of scope, documented in README
-    * limitations rather than half-supported. */
-  def spatialTemporal(bitsPerDim: Int,
+  /** a spatial-temporal strategy with explicit per-side precision and
+    * periodicity — the general form behind the reference's Bias knob
+    * (SpatialTemporalDimensionalityTypeProvider.java:140-191). Unequal
+    * precisions ride the compact-Hilbert mask path (Hilbert.scala,
+    * pinned by HilbertUnequalSpec's rank-projection/bijectivity/
+    * decomposition properties). */
+  def spatialTemporal(spatialBits: Int, temporalBits: Int,
                       periodicity: TimeUnits.Value = TimeUnits.Year): TieredStrategy =
     equalInterval(
       Array(LongitudeDim, LatitudeDim(useHalfRange = true),
         TimeDim(TemporalBinning(periodicity))),
-      Array(bitsPerDim, bitsPerDim, bitsPerDim), numIndices = 11)
+      Array(spatialBits, spatialBits, temporalBits), numIndices = 11)
+
+  /** the reference's Bias presets: SPATIAL = 25 bits per spatial
+    * dimension + 10 temporal, TEMPORAL = 10 + 40, BALANCED = 20/20/20
+    * (SpatialTemporalDimensionalityTypeProvider.Bias.getSpatialPrecision /
+    * getTemporalPrecision:168-190). */
+  def spatialTemporalBiased(bias: String,
+                            periodicity: TimeUnits.Value = TimeUnits.Year): TieredStrategy = {
+    val (sb, tb) = biasBits(bias)
+    spatialTemporal(sb, tb, periodicity)
+  }
+
+  /** the (spatialBits, temporalBits) allocation of a Bias preset. */
+  def biasBits(bias: String): (Int, Int) = bias.toUpperCase match {
+    case "SPATIAL" => (25, 10)
+    case "TEMPORAL" => (10, 40)
+    case "BALANCED" => (20, 20)
+    case other => throw new IllegalArgumentException(
+      s"unknown bias '$other' (SPATIAL | TEMPORAL | BALANCED)")
+  }
 
   /** the reference's default spatial-temporal index: 20/20/20 BALANCED,
     * YEAR periodicity, 11 equal-interval tiers.
     * (reference: SpatialTemporalDimensionalityTypeProvider.java:61-122,169-191) */
-  def defaultSpatialTemporal: TieredStrategy = spatialTemporal(20)
+  def defaultSpatialTemporal: TieredStrategy = spatialTemporal(20, 20)
 }

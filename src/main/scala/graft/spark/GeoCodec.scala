@@ -291,6 +291,44 @@ object GeoCodec {
       java.time.LocalDate.of(y, 1, 1).atStartOfDay(utc).toInstant.toEpochMilli)
   val YearBinSizeMillis: Long = 366L * 86400000L
 
+  // ---- Bias presets: unequal-precision ST curves (compact-Hilbert mask
+  // path; SpatialTemporalDimensionalityTypeProvider.Bias) ----
+  private val biasedCurves =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), CompactHilbert]()
+  def curve3dBiased(spatialBits: Int, temporalBits: Int): CompactHilbert =
+    biasedCurves.computeIfAbsent((spatialBits, temporalBits),
+      k => new CompactHilbert(Array(k._1, k._1, k._2)))
+  private val biasedStrategies =
+    new java.util.concurrent.ConcurrentHashMap[String, TieredStrategy]()
+  def stBiased(bias: String): TieredStrategy =
+    biasedStrategies.computeIfAbsent(bias.toUpperCase,
+      b => TieredStrategy.spatialTemporalBiased(b))
+
+  /** biased finest-tier ST insertion id of a point event:
+    * tier byte max(sb,tb) ‖ "YYYY" ‖ sfc bytes (2·sb+tb bits) — the same
+    * layout as [[cellIdST]] with the biased curve; pinned byte-identical
+    * to the biased TieredStrategy's own point insertion id
+    * (HilbertUnequalSpec). */
+  def cellIdSTBiased(lon: Double, lat: Double, tsMillis: Long,
+                     spatialBits: Int, temporalBits: Int): Array[Byte] = {
+    val year = yearOf(tsMillis)
+    val inBin = tsMillis - yearEpoch(year)
+    val tNorm = inBin.toDouble / (YearBinSizeMillis - 1).toDouble
+    val h = curve3dBiased(spatialBits, temporalBits).index(Array(
+      bucketPoint(normLon(lon), 1L << spatialBits),
+      bucketPoint(normLat(lat), 1L << spatialBits),
+      bucketPoint(tNorm, 1L << temporalBits)))
+    val sfcBytes = math.ceil((2 * spatialBits + temporalBits) / 8.0).toInt
+    val out = new Array[Byte](1 + 4 + sfcBytes)
+    out(0) = math.max(spatialBits, temporalBits).toByte
+    val yb = year.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    System.arraycopy(yb, 0, out, 1, 4)
+    var i = out.length - 1
+    var v = h
+    while (i >= 5) { out(i) = (v & 0xff).toByte; v >>>= 8; i -= 1 }
+    out
+  }
+
   /** full tiered spatial-temporal insertion id of a point event:
     * tier byte 20 ‖ "YYYY" ‖ 8 sfc bytes (60 bits). */
   def cellIdST(lon: Double, lat: Double, tsMillis: Long): Array[Byte] = {

@@ -63,6 +63,22 @@ object SpatialPlanner {
       .map(padded(s, _))
   }
 
+  /** [[stBoxRanges]] over a Bias-preset strategy (SPATIAL 25/25/10,
+    * TEMPORAL 10/10/40, BALANCED 20/20/20) — identical decomposition
+    * machinery, the biased curve rides the compact-Hilbert mask path. */
+  def stBoxRangesBiased(bias: String,
+                        lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+                        tsMinMillis: Long, tsMaxMillis: Long,
+                        maxRanges: Int = MaxRangeDecomposition,
+                        pointOnly: Boolean = true): Seq[(Array[Byte], Array[Byte])] = {
+    val s = GeoCodec.stBiased(bias)
+    val tc = if (pointOnly) pointOnlyTierCounts(s) else null
+    s.getQueryRanges(Array(
+      NumericData(lonMin, lonMax), NumericData(latMin, latMax),
+      NumericData(tsMinMillis.toDouble, tsMaxMillis.toDouble)), maxRanges, tc)
+      .map(padded(s, _))
+  }
+
   /** per-sub-geometry envelope constraints — the reference's
     * GeometryUtils.basicConstraintsFromGeometry decomposition
     * (core/geotime/.../GeometryUtils.java:82-145; GeometryUtilsTest

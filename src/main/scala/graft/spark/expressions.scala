@@ -34,6 +34,25 @@ case class CellIdSpatial(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** BIASED finest-tier spatial-temporal insertion id (tier max(sb,tb) ‖
+  * "YYYY" ‖ sfc bytes over the unequal-precision compact-Hilbert curve) —
+  * the reference's SpatialTemporalDimensionalityTypeProvider.Bias key. */
+case class CellIdSTBiased(first: Expression, second: Expression, third: Expression,
+                          spatialBits: Int, temporalBits: Int)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(lon: Any, lat: Any, tsMicros: Any): Any =
+    GeoCodec.cellIdSTBiased(lon.asInstanceOf[Double], lat.asInstanceOf[Double],
+      Math.floorDiv(tsMicros.asInstanceOf[Long], 1000L), spatialBits, temporalBits)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat, ts) =>
+      s"graft.spark.GeoCodec.cellIdSTBiased($lon, $lat, " +
+        s"java.lang.Math.floorDiv($ts, 1000L), $spatialBits, $temporalBits)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** tiered spatial-temporal insertion id (tier 20 ‖ "YYYY" ‖ 8 sfc bytes). */
 case class CellIdSpatialTemporal(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -566,6 +585,10 @@ object GeoFunctions {
     column(CellIdSpatial(expression(lon), expression(lat)))
   def gw_cell_id_st(lon: Column, lat: Column, ts: Column): Column =
     column(CellIdSpatialTemporal(expression(lon), expression(lat), expression(ts)))
+  def gw_cell_id_st_biased(lon: Column, lat: Column, ts: Column, bias: String): Column = {
+    val (sb, tb) = graft.index.TieredStrategy.biasBits(bias)
+    column(CellIdSTBiased(expression(lon), expression(lat), expression(ts), sb, tb))
+  }
   def gw_tile_id(lon: Column, lat: Column, bits: Int): Column =
     column(TileId(expression(lon), expression(lat), bits))
   def gw_tile_x(lon: Column, bits: Int): Column = column(TileX(expression(lon), bits))

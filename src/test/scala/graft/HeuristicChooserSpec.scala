@@ -96,11 +96,11 @@ class HeuristicChooserSpec extends AnyFunSuite {
   test("the balanced ST preset is the 20/20/20 default; a coarser preset loses point probes") {
     def bits(s: TieredStrategy): Seq[Int] = s.sfcs.last.dimensions.map(_.bits).toSeq
     assert(bits(GeoCodec.spatialTemporal) === Seq(20, 20, 20))
-    assert(bits(TieredStrategy.spatialTemporal(12)) === Seq(12, 12, 12))
+    assert(bits(TieredStrategy.spatialTemporal(12, 12)) === Seq(12, 12, 12))
     // point probes saturate bits-used at the full per-dimension budget,
     // so between two balanced layouts the finer one must win the chooser
     val cands = Seq(
-      IndexCandidate("st_coarse", TieredStrategy.spatialTemporal(12),
+      IndexCandidate("st_coarse", TieredStrategy.spatialTemporal(12, 12),
         Seq("longitude", "latitude", "time")),
       IndexCandidate("st_balanced", GeoCodec.spatialTemporal,
         Seq("longitude", "latitude", "time")))
