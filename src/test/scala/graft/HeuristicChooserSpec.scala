@@ -93,22 +93,25 @@ class HeuristicChooserSpec extends AnyFunSuite {
     }
   }
 
-  test("the balanced ST preset is the 20/20/20 default; a coarser preset loses point probes") {
+  test("the balanced ST preset is the 20/20/20 default; point probes elect BALANCED over either bias") {
     def bits(s: TieredStrategy): Seq[Int] = s.sfcs.last.dimensions.map(_.bits).toSeq
     assert(bits(GeoCodec.spatialTemporal) === Seq(20, 20, 20))
-    assert(bits(TieredStrategy.spatialTemporal(12, 12)) === Seq(12, 12, 12))
-    // point probes saturate bits-used at the full per-dimension budget,
-    // so between two balanced layouts the finer one must win the chooser
-    val cands = Seq(
-      IndexCandidate("st_coarse", TieredStrategy.spatialTemporal(12, 12),
-        Seq("longitude", "latitude", "time")),
-      IndexCandidate("st_balanced", GeoCodec.spatialTemporal,
-        Seq("longitude", "latitude", "time")))
+    assert(bits(TieredStrategy.spatialTemporalBiased("SPATIAL")) === Seq(25, 25, 10))
+    assert(bits(TieredStrategy.spatialTemporalBiased("TEMPORAL")) === Seq(10, 10, 40))
+    // point probes saturate bits-used at the full per-dimension budget:
+    // the score is 3 x min(bits) = 60 balanced vs 30 for either bias, so
+    // the balanced layout must win the chooser regardless of list order
     val point = Constraints(List(ConstraintSet.empty
       .addConstraint("longitude", ConstraintData(10.0, 10.0 + 1e-9, isDefault = false))
       .addConstraint("latitude", ConstraintData(40.0, 40.0 + 1e-9, isDefault = false))
       .addConstraint("time", ConstraintData(0, 1.0, isDefault = false))))
+    val stDims = Seq("longitude", "latitude", "time")
+    val cands = Seq(
+      IndexCandidate("st_spatial_bias", TieredStrategy.spatialTemporalBiased("SPATIAL"), stDims),
+      IndexCandidate("st_temporal_bias", TieredStrategy.spatialTemporalBiased("TEMPORAL"), stDims),
+      IndexCandidate("st_balanced", GeoCodec.spatialTemporal, stDims))
     assert(MultiIndex.chooseHeuristicMatch(cands, point) === Some("st_balanced"))
+    assert(MultiIndex.chooseHeuristicMatch(cands.reverse, point) === Some("st_balanced"))
   }
 
   test("equal dimension count tie-breaks on bits-used: DAY never beats YEAR") {
