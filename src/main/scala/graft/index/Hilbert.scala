@@ -22,10 +22,14 @@ package graft.index
  * RANK of the transformed label restricted to that mask (Hamilton's gcr),
  * recovering the constrained bits in the inverse from the entry-point
  * pattern (gcrInverse). The reference publishes no unequal-precision
- * golden vectors; HilbertUnequalSpec pins this path by exhaustive
- * bijectivity + Hilbert continuity (unit grid steps between consecutive
- * indices) + the equal-bits reduction, the same properties that pin the
- * residual rotation convention engine-wide.
+ * golden vectors; HilbertUnequalSpec pins this path by its DEFINING
+ * property — the compact index equals the RANK of the cell's full-grid
+ * (golden-pinned, equal-precision) Hilbert index over the subgrid —
+ * plus exhaustive bijectivity/round-trip and range-decomposition
+ * exactness. Note the compact curve is NOT grid-continuous: consecutive
+ * compact indices can be several cells apart wherever the full curve
+ * leaves and re-enters the subgrid (locality is inherited from the full
+ * curve's visit order, not from adjacency).
  *
  * Total precision is capped at 62 bits in a primitive Long.
  */
@@ -70,8 +74,11 @@ final class CompactHilbert(val bits: Array[Int]) extends Serializable {
       }
       val lt = rotr(l ^ e, d + 1, n)
       val w = gcInverse(lt)
-      val mu = rotr(levelMask(i), d + 1, n)
-      h = (h << levelBits(i)) | gcr(w, mu, n)
+      val rho = levelBits(i)
+      // full mask (every equal-precision config, and every level above
+      // the first exhausted dimension): the rank is the identity — skip
+      // the mask rotation + rank loop on the per-row ingest hot path
+      h = (h << rho) | (if (rho == n) w else gcr(w, rotr(levelMask(i), d + 1, n), n))
       e = e ^ rotl(entry(w), d + 1, n)
       d = (d + dir(w, n) + 1) % n
       i -= 1
@@ -90,9 +97,13 @@ final class CompactHilbert(val bits: Array[Int]) extends Serializable {
       val rho = levelBits(i)
       shift -= rho
       val r = (h >>> shift) & ((1L << rho) - 1)
-      val mu = rotr(levelMask(i), d + 1, n)
-      val pi = rotr(e, d + 1, n) & ~mu & wMask
-      val w = gcrInverse(r, mu, pi, n)
+      val w =
+        if (rho == n) r // full mask: the rank IS the sub-hypercube id
+        else {
+          val mu = rotr(levelMask(i), d + 1, n)
+          val pi = rotr(e, d + 1, n) & ~mu & wMask
+          gcrInverse(r, mu, pi, n)
+        }
       val l = rotl(gc(w), d + 1, n) ^ e
       var j = 0
       while (j < n) {
@@ -113,11 +124,13 @@ final class CompactHilbert(val bits: Array[Int]) extends Serializable {
     * reconstructs from the rank via the entry-point pattern. */
   final case class Frame(e: Long, d: Int) {
     /** the sub-hypercube id of the child with rank r at level i. */
-    def childW(r: Long, i: Int): Long = {
-      val mu = rotr(levelMask(i), d + 1, n)
-      val pi = rotr(e, d + 1, n) & ~mu & wMask
-      gcrInverse(r, mu, pi, n)
-    }
+    def childW(r: Long, i: Int): Long =
+      if (levelBits(i) == n) r // full mask: rank == id
+      else {
+        val mu = rotr(levelMask(i), d + 1, n)
+        val pi = rotr(e, d + 1, n) & ~mu & wMask
+        gcrInverse(r, mu, pi, n)
+      }
     /** untransformed child cell label; bit for dim j via `labelBit`. */
     def childLabel(w: Long): Long = rotl(gc(w), d + 1, n) ^ e
     def childFrame(w: Long): Frame =

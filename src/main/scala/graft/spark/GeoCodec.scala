@@ -296,13 +296,17 @@ object GeoCodec {
   private val biasedCurves =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), CompactHilbert]()
   def curve3dBiased(spatialBits: Int, temporalBits: Int): CompactHilbert =
-    biasedCurves.computeIfAbsent((spatialBits, temporalBits),
+    if (spatialBits == temporalBits) curve3d(spatialBits) // shared cache
+    else biasedCurves.computeIfAbsent((spatialBits, temporalBits),
       k => new CompactHilbert(Array(k._1, k._1, k._2)))
   private val biasedStrategies =
     new java.util.concurrent.ConcurrentHashMap[String, TieredStrategy]()
-  def stBiased(bias: String): TieredStrategy =
-    biasedStrategies.computeIfAbsent(bias.toUpperCase,
-      b => TieredStrategy.spatialTemporalBiased(b))
+  def stBiased(bias: String): TieredStrategy = bias.toUpperCase match {
+    // BALANCED IS the default strategy object — never a duplicate stack
+    case "BALANCED" => spatialTemporal
+    case b => biasedStrategies.computeIfAbsent(b,
+      k => TieredStrategy.spatialTemporalBiased(k))
+  }
 
   /** biased finest-tier ST insertion id of a point event:
     * tier byte max(sb,tb) ‖ "YYYY" ‖ sfc bytes (2·sb+tb bits) — the same
@@ -330,25 +334,11 @@ object GeoCodec {
   }
 
   /** full tiered spatial-temporal insertion id of a point event:
-    * tier byte 20 ‖ "YYYY" ‖ 8 sfc bytes (60 bits). */
-  def cellIdST(lon: Double, lat: Double, tsMillis: Long): Array[Byte] = {
-    val year = yearOf(tsMillis)
-    val inBin = tsMillis - yearEpoch(year)
-    val tNorm = inBin.toDouble / (YearBinSizeMillis - 1).toDouble
-    val bins = 1L << STBits
-    val h = curve3d(STBits).index(Array(
-      bucketPoint(normLon(lon), bins),
-      bucketPoint(normLat(lat), bins),
-      bucketPoint(tNorm, bins)))
-    val out = new Array[Byte](13)
-    out(0) = STBits.toByte
-    val yb = year.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    System.arraycopy(yb, 0, out, 1, 4)
-    var i = 12
-    var v = h
-    while (i >= 5) { out(i) = (v & 0xff).toByte; v >>>= 8; i -= 1 }
-    out
-  }
+    * tier byte 20 ‖ "YYYY" ‖ 8 sfc bytes (60 bits) — the BALANCED case of
+    * [[cellIdSTBiased]] (ONE key-layout definition; the balanced curve
+    * cache is shared via curve3dBiased delegating to curve3d). */
+  def cellIdST(lon: Double, lat: Double, tsMillis: Long): Array[Byte] =
+    cellIdSTBiased(lon, lat, tsMillis, STBits, STBits)
 
   /**
    * Ellipsoidal geodesic distance in meters — Vincenty's inverse formula

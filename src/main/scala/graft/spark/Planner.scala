@@ -54,14 +54,9 @@ object SpatialPlanner {
   def stBoxRanges(lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
                   tsMinMillis: Long, tsMaxMillis: Long,
                   maxRanges: Int = MaxRangeDecomposition,
-                  pointOnly: Boolean = true): Seq[(Array[Byte], Array[Byte])] = {
-    val s = GeoCodec.spatialTemporal
-    val tc = if (pointOnly) pointOnlyTierCounts(s) else null
-    s.getQueryRanges(Array(
-      NumericData(lonMin, lonMax), NumericData(latMin, latMax),
-      NumericData(tsMinMillis.toDouble, tsMaxMillis.toDouble)), maxRanges, tc)
-      .map(padded(s, _))
-  }
+                  pointOnly: Boolean = true): Seq[(Array[Byte], Array[Byte])] =
+    stBoxRangesBiased("BALANCED", lonMin, lonMax, latMin, latMax,
+      tsMinMillis, tsMaxMillis, maxRanges, pointOnly)
 
   /** [[stBoxRanges]] over a Bias-preset strategy (SPATIAL 25/25/10,
     * TEMPORAL 10/10/40, BALANCED 20/20/20) — identical decomposition
