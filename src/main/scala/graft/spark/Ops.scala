@@ -527,9 +527,12 @@ object Ops {
     import GeoFunctions.dot_long
     val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("n2", dot_long(col("v"), col("v")))
-    val cents = q.where(col("id") < nlist)
-      .select(col("id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
-    annIvfImpl(q, cents, nProbe, queryIds, k)
+    // the coarse quantizer is nlist-sized (k-sized, like Lloyd centroids):
+    // one bounded driver collect, then assignment runs map-side
+    val centSeq: Seq[(Long, Array[Long])] =
+      q.where(col("id") < nlist).select(col("id"), col("v")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    annIvfImpl(q, centSeq, nProbe, queryIds, k)
   }
 
   /** IVF with a TRAINED coarse quantizer — centroids from
@@ -541,29 +544,41 @@ object Ops {
     import GeoFunctions.dot_long
     val q = emb.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
       .withColumn("n2", dot_long(col("v"), col("v")))
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val cents = centroids.map { case (cid, cv) => (cid, cv.toSeq, cv.map(x => x * x).sum) }
-      .toDF("cid", "cv", "cn2")
-    annIvfImpl(q, cents, nProbe, queryIds, k)
+    annIvfImpl(q, centroids, nProbe, queryIds, k)
   }
 
-  private def annIvfImpl(q: DataFrame, cents: DataFrame, nProbe: Int,
+  /** List ASSIGNMENT is a codegen'd map-side argmin ([[NearestCentroidVec]]
+    * via gw_nearest_centroid_vec) — the full vector side never crosses an
+    * Exchange or Window before the final list equi-join (same mapper-side
+    * shape as the Lloyd fix; reference KMeansMapReduce.java:62-308 assigns
+    * in the mapper too). Only the broadcast-sized `isin(queryIds)` probe
+    * subset pays a centroid join + rank window to pick its nProbe lists,
+    * and the probe side is broadcast into the candidate join, so at scale
+    * the base vectors stream scan→argmin→hash-probe with zero shuffles. */
+  private def annIvfImpl(q: DataFrame, centSeq: Seq[(Long, Array[Long])], nProbe: Int,
                          queryIds: Seq[Long], k: Int): DataFrame = {
     import GeoFunctions.dot_long
+    val spark = q.sparkSession
+    import spark.implicits._
+    // same argmin as the old window ORDER BY (d2, cid): per-row |v|² is
+    // constant under argmin and NearestCentroidVec tie-breaks to lowest cid
+    val lists = q.select(col("id").as("vec_id"),
+      GeoFunctions.gw_nearest_centroid_vec(col("v"), centSeq).as("cid"),
+      col("v").as("vv"), col("n2").as("vn2"))
+    val cents = centSeq.map { case (cid, cv) =>
+      (cid, cv.toSeq, cv.foldLeft(0L)((s, x) => s + x * x)) }.toDF("cid", "cv", "cn2")
     val d2 = col("n2") + col("cn2") - lit(2L) * dot_long(col("v"), col("cv"))
-    val assignW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
-    val ranked = q.join(broadcast(cents))
+    val probeW = Window.partitionBy(col("id")).orderBy(col("d2"), col("cid"))
+    val probes = q.where(col("id").isin(queryIds: _*))
+      .join(broadcast(cents))
       .withColumn("d2", d2)
-      .withColumn("crn", row_number().over(assignW))
-    val lists = ranked.where(col("crn") === 1)
-      .select(col("id").as("vec_id"), col("cid"), col("v").as("vv"), col("n2").as("vn2"))
-    val probes = ranked.where(col("crn") <= nProbe && col("id").isin(queryIds: _*))
+      .withColumn("crn", row_number().over(probeW))
+      .where(col("crn") <= nProbe)
       .select(col("id").as("q_id"), col("cid"), col("v").as("qv"), col("n2").as("qn2"))
     val cos = dot_long(col("qv"), col("vv")).cast("double") /
       sqrt(col("qn2").cast("double") * col("vn2").cast("double"))
     val topkW = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    probes.join(lists, "cid")
+    broadcast(probes).join(lists, "cid")
       .withColumn("cos", cos)
       .withColumn("rn", row_number().over(topkW).cast("long"))
       .where(col("rn") <= k)
