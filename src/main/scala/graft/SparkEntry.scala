@@ -47,6 +47,14 @@ object SparkEntry {
       Ops.distanceJoin(Tables.geoEvents(s, dir).withColumnRenamed("event_id", "id"),
         "id", d = 1.0, bits = 8)
     }),
+    "q107_distance_join_topk" -> ((s, dir) => {
+      // per-item neighbor-capped distance join (NNMapReduce maxNeighbors):
+      // each event keeps only its 3 nearest in-threshold neighbors, the
+      // rank limit running map-side via WindowGroupLimit (Round5Spec pins
+      // the partial limit below the shuffle)
+      Ops.distanceJoinTopK(Tables.geoEvents(s, dir).withColumnRenamed("event_id", "id"),
+        "id", d = 1.0, bits = 8, k = 3)
+    }),
     "q05_knn" -> ((s, dir) => {
       val pts = Tables.pages(s, dir)
       val cents = pts.where(col("doc_id") % 50 === 0)
@@ -1042,6 +1050,26 @@ object SparkEntry {
         .where(fine)
         .select(col("event_id"), col("lon"), col("lat"), col("ts"))
     }),
+    "q105_dbscan_geom" -> ((s, dir) => {
+      // GEOMETRY-input DBSCAN (the reference clusters arbitrary geometries
+      // with closest-two-points item distance): deterministic 3-point
+      // multipoints per page, envelope-cover eps-join + exact JTS
+      // closest-points filter, same core/border/noise contract as q25
+      graft.spark.Analytics.dbscanGeometry(
+        geomPages(s, dir), "id", "wkb", eps = 6.0, minPts = 4)
+    }),
+    "q106_dbscan_geom_hulls" -> ((s, dir) => {
+      // per-cluster hull compression of the geometry DBSCAN clusters
+      // (DBScanClusterList/ClusterUnionList hull union, batch-shaped):
+      // oracle-checkable projection — member count + hull envelope (the
+      // hull covers exactly the member coordinates, so its envelope equals
+      // the members' coordinate envelope); WKT itself is golden-tested in
+      // DBScanPortSpec
+      graft.spark.Analytics.dbscanGeometryHulls(
+          geomPages(s, dir), "id", "wkb", eps = 6.0, minPts = 4)
+        .select(col("cluster"), col("n_members"),
+          col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+    }),
     "q96_multi_index_heuristic" -> ((s, dir) => {
       // the HEURISTIC-MATCH chooser (most constrained dimensions, then
       // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
@@ -1299,6 +1327,15 @@ object SparkEntry {
          |SELECT a.event_id AS a_id, b.event_id AS b_id
          |FROM ev a JOIN ev b ON a.event_id < b.event_id
          |WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) < 1.0""".stripMargin,
+    "q107_distance_join_topk" ->
+      s"""$eventsCte
+         |SELECT a_id, b_id, rnk FROM (
+         |  SELECT a.event_id AS a_id, b.event_id AS b_id,
+         |         ROW_NUMBER() OVER (PARTITION BY a.event_id ORDER BY
+         |           (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat), b.event_id) AS rnk
+         |  FROM ev a JOIN ev b ON a.event_id <> b.event_id
+         |  WHERE (a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat) < 1.0
+         |) WHERE rnk <= 3""".stripMargin,
     "q05_knn" ->
       s"""$pagesCte
          |SELECT centroid_id, id, rn FROM (
@@ -1485,6 +1522,8 @@ object SparkEntry {
     },
     "q24_kmeans" -> kmeansSql(3),
     "q25_dbscan" -> dbscanSql(eps = 0.4, minPts = 4),
+    "q105_dbscan_geom" -> dbscanGeomSql(eps = 6.0, minPts = 4),
+    "q106_dbscan_geom_hulls" -> dbscanGeomHullsSql(eps = 6.0, minPts = 4),
     "q26_kde" -> kdeSql(bits = 5),
     "q61_kde_levels" -> kdeLevelsSql(minBits = 3, maxBits = 5),
     "q62_bucketed_join" -> {
@@ -2293,6 +2332,65 @@ object SparkEntry {
   }
 
   /** recursive-CTE min-label connected components over core-core edges. */
+  /** deterministic 3-point multipoint per page — the geometry-DBSCAN
+    * fixture (offsets exactly mirrored by [[geomOffsets]] in the oracle). */
+  private def geomPages(s: SparkSession, dir: String): DataFrame = {
+    import graft.spark.GeoFunctions._
+    Tables.pages(s, dir).select(col("doc_id").as("id"),
+      st_multipoint_wkb(
+        array(col("lon"), col("lon") + 0.15, col("lon") - 0.05),
+        array(col("lat"), col("lat") + 0.05, col("lat") + 0.1)).as("wkb"))
+  }
+  private val geomOffsets = "(VALUES (0.0, 0.0), (0.15, 0.05), (-0.05, 0.1)) o(dx, dy)"
+
+  /** shared CTEs of the geometry-DBSCAN oracles: multipoint member points,
+    * closest-pair eps-edges (min over point pairs — exactly JTS's
+    * DistanceOp on multipoints), core/components/border — the geometry
+    * twin of [[dbscanSql]]. */
+  private def dbscanGeomCtes(eps: Double, minPts: Int): String = {
+    s"""WITH RECURSIVE pages AS (
+       |  SELECT doc_id, ${Tables.pagesLonSql} AS lon, ${Tables.pagesLatSql} AS lat FROM documents),
+       |pts AS (
+       |  SELECT doc_id, lon + o.dx AS x, lat + o.dy AS y FROM pages, $geomOffsets),
+       |edges AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id FROM pts a, pts b
+       |  WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= $eps),
+       |core AS (SELECT a_id AS id FROM edges GROUP BY 1 HAVING COUNT(*) >= $minPts),
+       |ce AS (SELECT e.a_id, e.b_id FROM edges e
+       |       JOIN core x ON e.a_id = x.id JOIN core y ON e.b_id = y.id),
+       |reach(a, b) AS (
+       |  SELECT a_id, b_id FROM ce
+       |  UNION
+       |  SELECT r.a, e.b_id FROM reach r JOIN ce e ON r.b = e.a_id),
+       |lab AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY 1),
+       |border AS (
+       |  SELECT e.a_id AS id, MIN(l.cluster) AS cluster, 'border' AS role
+       |  FROM edges e JOIN lab l ON e.b_id = l.id
+       |  WHERE e.a_id NOT IN (SELECT id FROM core) GROUP BY 1)""".stripMargin
+  }
+
+  private def dbscanGeomSql(eps: Double, minPts: Int): String =
+    s"""${dbscanGeomCtes(eps, minPts)}
+       |SELECT id, cluster, 'core' AS role FROM lab
+       |UNION ALL SELECT id, cluster, role FROM border
+       |UNION ALL SELECT doc_id AS id, CAST(-1 AS BIGINT) AS cluster, 'noise' AS role
+       |  FROM pages WHERE doc_id NOT IN (SELECT id FROM core)
+       |    AND doc_id NOT IN (SELECT id FROM border)""".stripMargin
+
+  /** member count + member-coordinate envelope per cluster — equals the
+    * hull's envelope because the hull covers exactly the member points. */
+  private def dbscanGeomHullsSql(eps: Double, minPts: Int): String =
+    s"""${dbscanGeomCtes(eps, minPts)},
+       |members AS (
+       |  SELECT id, cluster FROM lab
+       |  UNION ALL SELECT id, cluster FROM border)
+       |SELECT m.cluster,
+       |  CAST(COUNT(DISTINCT m.id) AS BIGINT) AS n_members,
+       |  MIN(p.x) AS min_x, MAX(p.x) AS max_x,
+       |  MIN(p.y) AS min_y, MAX(p.y) AS max_y
+       |FROM members m JOIN pts p ON p.doc_id = m.id
+       |GROUP BY 1""".stripMargin
+
   private def dbscanSql(eps: Double, minPts: Int): String = {
     val e2 = eps * eps
     s"""WITH RECURSIVE pages AS (

@@ -1,6 +1,6 @@
 package graft.spark
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -98,7 +98,66 @@ object Analytics {
     val edges = Ops.neighborhoodSelfJoin(base, bits, eps, eps)
       .where(d2 <= lit(eps * eps))
       .select(col("a_id"), col("b_id"))
-      .cache()
+    dbscanTail(edges, base.select("id"), minPts)
+  }
+
+  /**
+   * Geometry-input DBSCAN — the reference clusters arbitrary geometries,
+   * not just points (DBScanMapReduce over ClusterItem geometries), with
+   * item distance = closest-two-points (ClusterItemDistanceFn.java:58-77:
+   * DistanceOp.nearestPoints + coordinate metric). eps-candidates come
+   * from an envelope tile cover: each geometry's envelope expanded by eps
+   * joins the raw envelope cover of its partners on a shared tile, each
+   * qualifying pair meets on exactly ONE canonical tile (the min common
+   * cover cell), and the exact closest-points filter runs only on those
+   * candidates — the geometry twin of the crossing-based point emission.
+   * Output matches [[dbscan]]: (id, cluster, role core|border|noise).
+   */
+  def dbscanGeometry(geoms: DataFrame, idCol: String, wkbCol: String,
+                     eps: Double, minPts: Int, bits: Int = 6): DataFrame = {
+    val base = geoms.select(col(idCol).as("id"), col(wkbCol).as("wkb"))
+    dbscanTail(geometryEpsEdges(base, eps, bits), base.select("id"), minPts)
+  }
+
+  /** directed eps-edges (incl. self-loops) between WKB geometries: envelope
+    * cover join at `bits` + exact JTS closest-points distance. */
+  private[spark] def geometryEpsEdges(base: DataFrame, eps: Double, bits: Int): DataFrame = {
+    val g = base.withColumn("env", GeoFunctions.st_envelope(col("wkb")))
+    def tx(c: Column) = GeoFunctions.gw_tile_x(c, bits)
+    def ty(c: Column) = GeoFunctions.gw_tile_y(c, bits)
+    // A rides the eps-expanded cover, B the raw cover: any pair within eps
+    // has overlapping (expanded-A, raw-B) tile rectangles, so it meets on
+    // the rectangles' min common cell — kept once by the canonical-cell
+    // filter, no distinct pass over candidate pairs
+    val a = g.select(col("id").as("a_id"), col("wkb").as("a_wkb"),
+        tx(col("env")(0) - eps).as("a_xlo"), tx(col("env")(1) + eps).as("a_xhi"),
+        ty(col("env")(2) - eps).as("a_ylo"), ty(col("env")(3) + eps).as("a_yhi"),
+        (col("env")(0) - eps).as("a_x0"), (col("env")(1) + eps).as("a_x1"),
+        (col("env")(2) - eps).as("a_y0"), (col("env")(3) + eps).as("a_y1"))
+      .withColumn("jx", explode(sequence(col("a_xlo"), col("a_xhi"))))
+      .withColumn("jy", explode(sequence(col("a_ylo"), col("a_yhi"))))
+    val b = g.select(col("id").as("b_id"), col("wkb").as("b_wkb"),
+        tx(col("env")(0)).as("b_xlo"), tx(col("env")(1)).as("b_xhi"),
+        ty(col("env")(2)).as("b_ylo"), ty(col("env")(3)).as("b_yhi"),
+        col("env")(0).as("b_x0"), col("env")(1).as("b_x1"),
+        col("env")(2).as("b_y0"), col("env")(3).as("b_y1"))
+      .withColumn("jx", explode(sequence(col("b_xlo"), col("b_xhi"))))
+      .withColumn("jy", explode(sequence(col("b_ylo"), col("b_yhi"))))
+    a.join(b, Seq("jx", "jy"))
+      .where(col("jx") === greatest(col("a_xlo"), col("b_xlo")) &&
+        col("jy") === greatest(col("a_ylo"), col("b_ylo")))
+      // cheap envelope-overlap prune before any WKB parse
+      .where(col("a_x1") >= col("b_x0") && col("b_x1") >= col("a_x0") &&
+        col("a_y1") >= col("b_y0") && col("b_y1") >= col("a_y0"))
+      .where(GeoFunctions.st_geom_distance(col("a_wkb"), col("b_wkb")) <= eps)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** shared DBSCAN tail over directed eps-edges WITH self-loops:
+    * core by neighbor count, min-label components, borders, noise. */
+  private def dbscanTail(rawEdges: DataFrame, ids: DataFrame, minPts: Int): DataFrame = {
+    val edges = rawEdges.cache()
+    val base = ids
     val counts = edges.groupBy("a_id").agg(count(lit(1)).as("n"))
     val core = counts.where(col("n") >= minPts).select(col("a_id").as("id")).cache()
     // min-label propagation over core-core edges
@@ -874,5 +933,51 @@ object Analytics {
         (g, hull.getNumPoints.toLong, hull.getArea, math.abs(s2), hull.toText)
       }
       .toDF("group_id", "n_vertices", "area", "area_x2_c2", "wkt")
+  }
+
+  /**
+   * Per-cluster hull over GEOMETRY-input DBSCAN members — the batch twin
+   * of the reference's cluster compression: DBScanClusterList accumulates
+   * member coordinates and compresses them to a concave hull, merged
+   * clusters union their hulls via the hull-connect walk
+   * (DBScanClusterList.java:34-47 connectGeometryTool;
+   * ClusterUnionList.java:51-65 merge→union; SingleItemClusterList
+   * checkForCompression). The incremental single-thread accumulation
+   * re-expresses as ONE hull over every member geometry's coordinates per
+   * cluster (same covered set, order-free). Noise is excluded. Output:
+   * (cluster, n_members, n_vertices, min_x, max_x, min_y, max_y, wkt).
+   */
+  def dbscanGeometryHulls(geoms: DataFrame, idCol: String, wkbCol: String,
+                          eps: Double, minPts: Int, bits: Int = 6,
+                          concaveThreshold: Double = 0.0): DataFrame = {
+    val spark = geoms.sparkSession
+    import spark.implicits._
+    val base = geoms.select(col(idCol).as("id"), col(wkbCol).as("wkb"))
+    val assign = dbscanGeometry(geoms, idCol, wkbCol, eps, minPts, bits)
+      .where(col("cluster") =!= -1L)
+    assign.join(base, "id")
+      .select(col("cluster"), col("wkb"))
+      .as[(Long, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (cl, it) =>
+        val gf = new org.locationtech.jts.geom.GeometryFactory()
+        val reader = new org.locationtech.jts.io.WKBReader(gf)
+        var n = 0L
+        val coords = scala.collection.mutable.LinkedHashSet.empty[
+          org.locationtech.jts.geom.Coordinate]
+        it.foreach { case (_, wkb) =>
+          n += 1
+          reader.read(wkb).getCoordinates.foreach(coords += _)
+        }
+        val arr = coords.toArray
+        val hull =
+          if (concaveThreshold <= 0.0)
+            new org.locationtech.jts.algorithm.ConvexHull(arr, gf).getConvexHull
+          else Hulls.concaveHullParkOh(arr, gf, concaveThreshold)
+        val e = hull.getEnvelopeInternal
+        (cl, n, hull.getNumPoints.toLong, e.getMinX, e.getMaxX, e.getMinY, e.getMaxY,
+          hull.toText)
+      }
+      .toDF("cluster", "n_members", "n_vertices", "min_x", "max_x", "min_y", "max_y", "wkt")
   }
 }

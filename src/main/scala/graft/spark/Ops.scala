@@ -308,6 +308,67 @@ object Ops {
   }
 
   /**
+   * Per-item k-nearest within threshold — the neighbor-capped distance
+   * join. The reference bounds NN output two ways: `maxNeighbors`
+   * (MAX_MEMBER_SELECTION → NNProcessor.setUpperBoundPerPartition,
+   * NNMapReduce.java:211,243,404-410) and the 75 000-item partition bound
+   * (NNProcessor.java:71,111 — items arriving after a cell is full are
+   * DROPPED). Here: `k` ranks each item's in-threshold neighbors by
+   * (distance², id) and keeps the top k — a row_number window Spark
+   * rewrites to WindowGroupLimit, so the per-item limit runs map-side
+   * BEFORE the rank shuffle (a skewed point with millions of in-threshold
+   * neighbors ships at most k·partitions rows, plan-pinned in
+   * Round5Spec); `partitionCap` mirrors the reference's per-cell member
+   * bound (default Int.MaxValue = off; the reference defaults 75 000) —
+   * cells over the cap keep their `partitionCap` LOWEST ids and drop the
+   * rest entirely (deterministic twin of the reference's arrival-order
+   * drop). Output is DIRECTED: (a_id, b_id, rnk), a ≠ b.
+   */
+  def distanceJoinTopK(pts: DataFrame, idCol: String, d: Double, bits: Int,
+                       k: Int, partitionCap: Int = Int.MaxValue): DataFrame = {
+    require(360.0 / (1L << bits) >= d, s"cell size at $bits bits must be >= d=$d")
+    val base0 = pts.select(col(idCol).as("id"), col("lon"), col("lat"))
+    val base =
+      if (partitionCap == Int.MaxValue) base0
+      else {
+        val capW = Window.partitionBy(col("cx"), col("cy")).orderBy(col("id"))
+        base0
+          .withColumn("cx", GeoFunctions.gw_tile_x(col("lon"), bits))
+          .withColumn("cy", GeoFunctions.gw_tile_y(col("lat"), bits))
+          .withColumn("cap_rn", row_number().over(capW))
+          .where(col("cap_rn") <= partitionCap)
+          .select(col("id"), col("lon"), col("lat"))
+      }
+    val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
+      (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
+    val rankW = Window.partitionBy(col("a_id")).orderBy(col("d2"), col("b_id"))
+    neighborhoodSelfJoin(base, bits, d, d)
+      .where(col("a_id") =!= col("b_id"))
+      .withColumn("d2", d2)
+      .where(col("d2") < lit(d * d))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("a_id"), col("b_id"), col("rnk"))
+  }
+
+  /** [[distanceJoinTopK]] in METERS (haversine ranking) — the same
+    * per-item neighbor cap over [[distanceJoinMeters]]'s banded,
+    * antimeridian-wrapping candidate join (same latitude-band contract). */
+  def distanceJoinMetersTopK(pts: DataFrame, idCol: String, dMeters: Double,
+                             bits: Int, k: Int,
+                             maxAbsLatDeg: Double = 85.0): DataFrame = {
+    val undirected = distanceJoinMeters(pts, idCol, dMeters, bits, maxAbsLatDeg)
+    // directed view: each unordered qualifying pair feeds both endpoints
+    val directed = undirected.unionByName(undirected.select(
+      col("b_id").as("a_id"), col("a_id").as("b_id"), col("dist_m")))
+    val rankW = Window.partitionBy(col("a_id")).orderBy(col("dist_m"), col("b_id"))
+    directed
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("a_id"), col("b_id"), col("rnk"))
+  }
+
+  /**
    * Distance self-join in METERS (haversine): pairs within `dMeters`.
    * Tile neighborhood sized from the meters radius at the worst-case
    * latitude in the data: degrees-per-meter grows with |lat|, so the

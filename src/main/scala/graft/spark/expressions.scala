@@ -227,6 +227,61 @@ case class STPointWkb(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 2-D WKB multipoint constructor from parallel lon/lat arrays —
+  * deterministic fixture-geometry builder for the geometry-input
+  * operators (same JTS 2-D WKB encoding as [[STPointWkb]]). */
+case class STMultiPointWkb(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val gf = new GeometryFactory()
+  @transient private lazy val writer = new org.locationtech.jts.io.WKBWriter(2)
+  override def nullSafeEval(lons: Any, lats: Any): Any = {
+    val xs = lons.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val ys = lats.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val coords = Array.tabulate(xs.numElements())(i =>
+      new Coordinate(xs.getDouble(i), ys.getDouble(i)))
+    writer.write(gf.createMultiPointFromCoords(coords))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Planar closest-two-points distance between two stored WKB geometries:
+  * JTS DistanceOp picks the nearest coordinate pair, the distance is then
+  * recomputed as sqrt(dx²+dy²) over that pair — the exact shape of the
+  * reference's ClusterItemDistanceFn.measure (DistanceOp.nearestPoints +
+  * a pluggable coordinate metric, ClusterItemDistanceFn.java:58-77; the
+  * reference plugs geodesic meters, this degree-family twin plugs the
+  * planar metric the point DBSCAN/distance-join family already uses). */
+case class STGeomDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  // task-local: expression instances are deserialized per task (codegen
+  // references array rides inside the task closure — see STCoversPoint)
+  @transient private lazy val reader = new WKBReader()
+
+  /** codegen entry point. */
+  def dist(a: Array[Byte], b: Array[Byte]): Double = {
+    val op = new org.locationtech.jts.operation.distance.DistanceOp(
+      reader.read(a), reader.read(b))
+    val pts = op.nearestPoints()
+    val dx = pts(0).x - pts(1).x
+    val dy = pts(0).y - pts(1).y
+    math.sqrt(dx * dx + dy * dy)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    dist(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stGeomDistance", this, classOf[STGeomDistance].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.dist($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** GMT calendar-unit time bin id ("YYYY", "YYYY_MM" with 0-based month —
   * java.util.Calendar semantics, matching the reference's
   * TemporalBinningStrategy.getBinId, TemporalBinningStrategy.java:258-288).
@@ -600,6 +655,10 @@ object GeoFunctions {
     column(STCoversPoint(expression(lon), expression(lat), wkb, contains))
   def st_point_wkb(lon: Column, lat: Column): Column =
     column(STPointWkb(expression(lon), expression(lat)))
+  def st_multipoint_wkb(lons: Column, lats: Column): Column =
+    column(STMultiPointWkb(expression(lons), expression(lats)))
+  def st_geom_distance(a: Column, b: Column): Column =
+    column(STGeomDistance(expression(a), expression(b)))
   def dot_long(a: Column, b: Column): Column =
     column(DotLongArrays(expression(a), expression(b)))
   def st_envelope(wkb: Column): Column = column(STEnvelope(expression(wkb)))
