@@ -31,7 +31,11 @@ package graft.index
  * leaves and re-enters the subgrid (locality is inherited from the full
  * curve's visit order, not from adjacency).
  *
- * Total precision is capped at 62 bits in a primitive Long.
+ * Total precision is capped at 62 bits in a primitive Long; configurations
+ * beyond that (the reference's UnboundedHilbertSFCOperations BigInteger
+ * path) are served by [[CompactHilbertBig]]/[[HilbertSFCBig]], which share
+ * this class's label-space machinery and are cross-checked bit-identical
+ * on every ≤62-bit config (HilbertBigSpec).
  */
 final class CompactHilbert(val bits: Array[Int]) extends Serializable {
   import CompactHilbert._
