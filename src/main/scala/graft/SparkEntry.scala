@@ -433,6 +433,44 @@ object SparkEntry {
       graft.spark.TextOps.redactPii(
         plantPii(s.read.parquet(s"$dir/documents.parquet")), "doc_id", "text")
     }),
+    "q108_stanag4676_ingest" -> ((s, dir) => {
+      // STANAG 4676 FORMAT-PLUGIN round trip: deterministic NATO track
+      // messages built from the events geocode (one message per event:
+      // one track, one TrackPoint item), parsed back through the
+      // declarative from_xml source. The oracle recomputes every emitted
+      // field from the raw columns — the write→parse leg must preserve
+      // doubles exactly (Spark's double→string cast is
+      // shortest-round-trip) and must exercise the mission
+      // "Mission:"-strip and the millis timestamp form end to end.
+      val statuses = array(lit("INITIATING"), lit("MAINTAINING"),
+        lit("DROPPING"), lit("STOPPED"))
+      val iso = date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+      val src = Tables.geoEvents(s, dir).where(col("event_id") < 500)
+        .withColumn("xml", concat(
+          lit("<TrackMessage xmlns:xsi=\"http://www.w3.org/2001/XMLSchema-instance\">" +
+            "<stanagVersion>3.1</stanagVersion><tracks>"),
+          lit("<trackUUID>uuid-"), col("event_id").cast("string"), lit("</trackUUID>"),
+          lit("<trackNumber>TN"), col("event_id").cast("string"), lit("</trackNumber>"),
+          lit("<trackStatus>"), element_at(statuses, (col("event_id") % 4).cast("int") + 1),
+          lit("</trackStatus>"),
+          lit("<missionID>Mission: m"), (col("event_id") % 7).cast("string"),
+          lit("</missionID>"),
+          lit("<items xsi:type=\"TrackPoint\">"),
+          lit("<trackItemUUID>p"), col("event_id").cast("string"), lit("</trackItemUUID>"),
+          lit("<trackItemTime>"), iso, lit("</trackItemTime>"),
+          lit("<trackPointPosition><latitude>"), col("lat").cast("string"),
+          lit("</latitude><longitude>"), col("lon").cast("string"),
+          lit("</longitude><elevation>10.5</elevation></trackPointPosition>"),
+          lit("<trackPointSpeed>"), col("value").cast("string"), lit("</trackPointSpeed>"),
+          lit("<trackPointCourse>"), (col("event_id") % 360).cast("double").cast("string"),
+          lit("</trackPointCourse>"),
+          lit("</items></tracks></TrackMessage>")))
+      graft.spark.Stanag4676Source.trackPoints(src, "event_id", "xml")
+        .select(col("input_id"), col("mission"), col("track_number"),
+          col("track_uuid"), col("track_status"), col("track_item_classification"),
+          col("ts"), col("speed"), col("course"), col("lat"), col("lon"),
+          col("end_ts_ms"))
+    }),
     "q103_gdelt_ingest" -> ((s, dir) => {
       // GDELT format plugin round trip: 57-column tab-separated event
       // lines synthesized from the events geocode, parsed back through
@@ -1773,6 +1811,23 @@ object SparkEntry {
         |        ROWS UNBOUNDED PRECEDING) AS ls FROM u)
         |SELECT event_id, user_id, COALESCE(ls, -1) AS last_signup_id
         |FROM m WHERE side = 1""".stripMargin,
+    "q108_stanag4676_ingest" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, ${Tables.eventsLonSql} AS lon, ${Tables.eventsLatSql} AS lat, ts, value
+         |  FROM events WHERE event_id < 500)
+         |SELECT event_id AS input_id,
+         |  'm' || CAST(event_id % 7 AS VARCHAR) AS mission,
+         |  'TN' || CAST(event_id AS VARCHAR) AS track_number,
+         |  'uuid-' || CAST(event_id AS VARCHAR) AS track_uuid,
+         |  CASE CAST(event_id % 4 AS INTEGER) WHEN 0 THEN 'INITIATING' WHEN 1 THEN 'MAINTAINING'
+         |    WHEN 2 THEN 'DROPPING' ELSE 'STOPPED' END AS track_status,
+         |  'UNKNOWN' AS track_item_classification,
+         |  date_trunc('milliseconds', ts) AS ts,
+         |  value AS speed,
+         |  CAST(event_id % 360 AS DOUBLE) AS course,
+         |  lat, lon,
+         |  CAST(-1 AS BIGINT) AS end_ts_ms
+         |FROM ev""".stripMargin,
     "q103_gdelt_ingest" ->
       s"""WITH ev AS (
          |  SELECT event_id, event_type, ${graft.spark.Tables.eventsLonSql} AS lon,
