@@ -227,6 +227,40 @@ case class STPointWkb(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/**
+ * General spatial relate of a stored WKB geometry against a constant query
+ * geometry — the fine-filter arm for every ExtractGeometryFilterVisitor op
+ * (ExtractGeometryFilterVisitor.java:57-555). `op` names the CQL predicate
+ * with the ROW geometry as expression1: within = prepared(query) CONTAINS
+ * row, contains = prepared(query) WITHIN row; the symmetric ops call the
+ * prepared geometry directly.
+ */
+case class STGeomRelate(child: Expression, wkb: Array[Byte], op: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val prepared: PreparedGeometry =
+    PreparedGeometryFactory.prepare(new WKBReader().read(wkb))
+  @transient private lazy val reader = new WKBReader()
+
+  override def nullSafeEval(geomWkb: Any): Any = {
+    val g = reader.read(geomWkb.asInstanceOf[Array[Byte]])
+    op match {
+      case "intersects" => prepared.intersects(g)
+      case "within"     => prepared.contains(g) // row within query
+      case "contains"   => prepared.within(g) // row contains query
+      case "crosses"    => prepared.crosses(g)
+      case "touches"    => prepared.touches(g)
+      case "overlaps"   => prepared.overlaps(g)
+      case "disjoint"   => prepared.disjoint(g)
+      case "equals"     => prepared.getGeometry.equalsTopo(g)
+      case other        => throw new IllegalArgumentException(s"unknown relate op $other")
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** 2-D WKB multipoint constructor from parallel lon/lat arrays —
   * deterministic fixture-geometry builder for the geometry-input
   * operators (same JTS 2-D WKB encoding as [[STPointWkb]]). */
@@ -665,6 +699,8 @@ object GeoFunctions {
   def st_centroid(wkb: Column): Column = column(STCentroid(expression(wkb)))
   def st_geom_predicate(geomWkb: Column, queryWkb: Array[Byte], contains: Boolean = false): Column =
     column(STGeomPredicate(expression(geomWkb), queryWkb, contains))
+  def st_geom_relate(geomWkb: Column, queryWkb: Array[Byte], op: String): Column =
+    column(STGeomRelate(expression(geomWkb), queryWkb, op))
   def gw_time_bin(ts: Column, unit: graft.index.TimeUnits.Value = graft.index.TimeUnits.Year): Column =
     column(TimeBinId(expression(ts), unit))
   def gw_geohash(lon: Column, lat: Column, precision: Int): Column =
