@@ -808,6 +808,10 @@ object GeoFunctions {
       }, "scala_udf")
     reg.createOrReplaceTempFunction("st_point_wkb",
       es => STPointWkb(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_multipoint_wkb",
+      es => STMultiPointWkb(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("st_geom_distance",
+      es => STGeomDistance(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("st_distance_vincenty",
       es => VincentyMeters(es.head, es(1), es(2), es(3)), "scala_udf")
     reg.createOrReplaceTempFunction("gw_geohash",

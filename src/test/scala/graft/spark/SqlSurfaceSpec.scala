@@ -32,6 +32,17 @@ class SqlSurfaceSpec extends SparkTestBase {
     }
   }
 
+  test("st_multipoint_wkb and st_geom_distance are SQL-callable") {
+    GeoFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT st_geom_distance(
+        |         st_multipoint_wkb(array(0.0D, 1.0D), array(0.0D, 0.0D)),
+        |         st_multipoint_wkb(array(4.0D), array(4.0D))) AS d""".stripMargin)
+      .collect().head
+    // nearest pair is (1,0)-(4,4): sqrt(9+16) = 5
+    assert(r.getDouble(0) == 5.0)
+  }
+
   test("st_coord_cosine and gw_vis_allows are SQL-callable") {
     GeoFunctions.register(spark)
     val r = spark.sql(
