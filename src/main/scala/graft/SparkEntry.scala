@@ -1122,6 +1122,36 @@ object SparkEntry {
         .select(col("cluster"), col("n_members"),
           col("min_x"), col("max_x"), col("min_y"), col("max_y"))
     }),
+    "q109_geom_within_query" -> ((s, dir) => {
+      // the CONSTRAIN side of the completed geometry-filter visitor
+      // (GeometryFilterExtract): WITHIN extracts its literal, the
+      // envelope-keyed WKB store scans through the decomposed all-tier
+      // cell ranges, the STGeomRelate fine filter keeps it exact. The
+      // rectangle sits on the .005 half-grid so no multipoint vertex can
+      // touch its boundary (the q02 trick) — JTS within == strict SQL
+      // bounds on every vertex
+      val gq = graft.spark.GeometryQuery
+      val store = gq.encodeGeometries(geomPages(s, dir), "id", "wkb")
+      val rect = new org.locationtech.jts.io.WKTReader().read(
+        "POLYGON ((10.005 -20.005, 120.005 -20.005, 120.005 60.005, 10.005 60.005, 10.005 -20.005))")
+      val (constrained, res) = gq.query(store, "id", "wkb",
+        graft.spark.GeometryFilterExtract.Within(rect))
+      assert(constrained, "WITHIN must route through the range prefilter")
+      res.select(col("id"))
+    }),
+    "q110_geom_disjoint_query" -> ((s, dir) => {
+      // the REFUSE side: DISJOINT extracts infinity ("a hole in the
+      // Cartesian plane"), so the query falls back to a full scan — and
+      // must still answer EXACTLY through the fine filter
+      val gq = graft.spark.GeometryQuery
+      val store = gq.encodeGeometries(geomPages(s, dir), "id", "wkb")
+      val rect = new org.locationtech.jts.io.WKTReader().read(
+        "POLYGON ((10.005 -20.005, 120.005 -20.005, 120.005 60.005, 10.005 60.005, 10.005 -20.005))")
+      val (constrained, res) = gq.query(store, "id", "wkb",
+        graft.spark.GeometryFilterExtract.Disjoint(rect))
+      assert(!constrained, "DISJOINT must refuse the prefilter")
+      res.select(col("id"))
+    }),
     "q96_multi_index_heuristic" -> ((s, dir) => {
       // the HEURISTIC-MATCH chooser (most constrained dimensions, then
       // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
@@ -1576,6 +1606,20 @@ object SparkEntry {
     "q25_dbscan" -> dbscanSql(eps = 0.4, minPts = 4),
     "q105_dbscan_geom" -> dbscanGeomSql(eps = 6.0, minPts = 4),
     "q106_dbscan_geom_hulls" -> dbscanGeomHullsSql(eps = 6.0, minPts = 4),
+    "q109_geom_within_query" ->
+      s"""WITH pages AS (
+         |  SELECT doc_id, ${Tables.pagesLonSql} AS lon, ${Tables.pagesLatSql} AS lat FROM documents),
+         |pts AS (
+         |  SELECT doc_id, lon + o.dx AS x, lat + o.dy AS y FROM pages, $geomOffsets)
+         |SELECT doc_id AS id FROM pts GROUP BY 1
+         |HAVING bool_and(x > 10.005 AND x < 120.005 AND y > -20.005 AND y < 60.005)""".stripMargin,
+    "q110_geom_disjoint_query" ->
+      s"""WITH pages AS (
+         |  SELECT doc_id, ${Tables.pagesLonSql} AS lon, ${Tables.pagesLatSql} AS lat FROM documents),
+         |pts AS (
+         |  SELECT doc_id, lon + o.dx AS x, lat + o.dy AS y FROM pages, $geomOffsets)
+         |SELECT doc_id AS id FROM pts GROUP BY 1
+         |HAVING bool_and(NOT (x > 10.005 AND x < 120.005 AND y > -20.005 AND y < 60.005))""".stripMargin,
     "q26_kde" -> kdeSql(bits = 5),
     "q61_kde_levels" -> kdeLevelsSql(minBits = 3, maxBits = 5),
     "q62_bucketed_join" -> {
