@@ -120,7 +120,13 @@ object Analytics {
   }
 
   /** directed eps-edges (incl. self-loops) between WKB geometries: envelope
-    * cover join at `bits` + exact JTS closest-points distance. */
+    * cover join at `bits` + exact JTS closest-points distance.
+    *
+    * Scale note (no silent caps): each row emits one candidate-join row per
+    * tile its (eps-expanded) envelope overlaps, so the shuffle width is
+    * ∝ envelope area / cell area. Pick `bits` so a TYPICAL envelope spans
+    * O(1) cells (default 6 → 5.6° cells); world-spanning geometries emit
+    * the full grid and belong in a broadcast pass instead. */
   private[spark] def geometryEpsEdges(base: DataFrame, eps: Double, bits: Int): DataFrame = {
     val g = base.withColumn("env", GeoFunctions.st_envelope(col("wkb")))
     def tx(c: Column) = GeoFunctions.gw_tile_x(c, bits)
