@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
  *
  * Each round every node takes the minimum label over its in-neighbors;
  * the driver loop tests an aggregate change-count only. Rounds are
- * `localCheckpoint`ed so plan lineage stays O(1) and prior generations
- * age out of executor memory — label chains of any length are safe.
+ * truncated through [[Lineage.cut]] (RDD-level local checkpoints) so the
+ * executed DAG stays O(1) deep and prior generations are dropped from
+ * executor memory — label chains of any length are safe. (Chained
+ * `Dataset.localCheckpoint` is NOT safe here: see [[Lineage]] — the
+ * self-join in the jump step would double the retained DAG every round.)
  */
 object Graphs {
 
@@ -35,25 +38,34 @@ object Graphs {
   def minLabelComponents(edges: DataFrame): DataFrame = {
     // pin the edge table once — its upstream DAG (e.g. the whole LSH
     // candidate ladder) must not re-execute every propagation round
-    val e = edges.localCheckpoint()
-    var labels = e.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    val (e, eRdd) = Lineage.cut(edges)
+    var (labels, prevRdd) = Lineage.cut(
+      e.select(col("src").as("id")).distinct().withColumn("lbl", col("id")))
+    // one propagation step: neighbor-min, then chase the candidate label
+    // one hop through the label table (labels are node ids, so every
+    // candidate label has its own row) and take the smaller; keeps the
+    // incoming label as `lbl` beside the improved `new_lbl`
+    def step(lbls: DataFrame): DataFrame = {
       val next = e
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "dst_lbl"), "dst")
+        .join(lbls.withColumnRenamed("id", "dst").withColumnRenamed("lbl", "dst_lbl"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_lbl")).as("next_lbl"))
-      val m1 = labels.join(next, Seq("id"))
+      val m1 = lbls.join(next, Seq("id"))
         .select(col("id"), col("lbl"), least(col("lbl"), col("next_lbl")).as("l1"))
-      // labels are node ids, so every candidate label has its own row —
-      // follow it one hop and take the smaller
-      val jumped = m1.join(m1.select(col("id").as("l1"), col("l1").as("l2")), Seq("l1"))
+      m1.join(m1.select(col("id").as("l1"), col("l1").as("l2")), Seq("l1"))
         .select(col("id"), col("lbl"), least(col("l1"), col("l2")).as("new_lbl"))
-        .localCheckpoint()
+    }
+    var changed = 1L
+    while (changed > 0) {
+      val (jumped, newRdd) = Lineage.cut(step(labels))
       changed = jumped.where(col("new_lbl") =!= col("lbl")).count()
+      // the new generation is materialized — the previous one's blocks
+      // can go (nothing reads them again)
+      prevRdd.unpersist(false)
+      prevRdd = newRdd
       labels = jumped.select(col("id"), col("new_lbl").as("lbl"))
     }
+    eRdd.unpersist(false)
     labels
   }
 }

@@ -274,6 +274,8 @@ object SpatialJoin {
     var acc: DataFrame = remaining.limit(0).select(col("q_id"))
       .crossJoin(base.limit(0).select(col("id")))
       .withColumn("rn", lit(0L))
+    // handle of the current `remaining` generation's checkpoint blocks
+    var remRdd: Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]] = None
     // startBits < 0 → derive from density: pick the tier whose 3×3 tile
     // neighborhood holds ~4k points under uniformity, so most queries
     // resolve in round 1 instead of walking down from a fixed tier
@@ -315,19 +317,23 @@ object SpatialJoin {
       val done =
         if (bits == 0) lit(true)
         else col("cnt") >= k && col("kth_d2") < lit(cellDeg * cellDeg)
-      // loop hygiene: localCheckpoint (eager) truncates the accumulated
-      // unionByName/anti-join lineage each round and lets the previous
-      // generation's blocks age out — no per-round cache() pile-up.
-      val resolved = scored
-        .where(done)
-        .select(col("q_id"), col("id"), col("rn"))
-        .localCheckpoint()
+      // loop hygiene: Lineage.cut (RDD-level local checkpoint — see
+      // Lineage for why Dataset.localCheckpoint chains must not be used
+      // in loops) truncates the accumulated unionByName/anti-join DAG
+      // each round; superseded `remaining` generations are dropped as
+      // soon as the next exists. `resolved` blocks stay — acc reads them.
+      val (resolved, _) = Lineage.cut(
+        scored.where(done).select(col("q_id"), col("id"), col("rn")))
       acc = acc.unionByName(resolved)
-      remaining = remaining.join(resolved.select("q_id").distinct(), Seq("q_id"), "left_anti")
-        .localCheckpoint()
+      val (nextRemaining, nextRemRdd) = Lineage.cut(
+        remaining.join(resolved.select("q_id").distinct(), Seq("q_id"), "left_anti"))
+      remRdd.foreach(_.unpersist(false))
+      remRdd = Some(nextRemRdd)
+      remaining = nextRemaining
       bits -= 1
     }
     base.unpersist() // acc is checkpoint-backed; the loop's scan cache can go
+    remRdd.foreach(_.unpersist(false)) // final remaining is empty/unread
     acc
   }
 }

@@ -155,4 +155,26 @@ class Round5Spec extends SparkTestBase {
     // top-1 must be the query itself (cos = 1 with itself, lowest id tie-break)
     assert(got.minBy(_._3)._2 == 7L)
   }
+
+  test("minLabelComponents: a high-diameter path converges in bounded time (Lineage.cut regression)") {
+    // A 150k-node path needs ~18 propagation+jump rounds. With chained
+    // Dataset.localCheckpoint the retained RDD DAG doubled per round (the
+    // jump step reads the previous generation twice) and the single
+    // materialization task crossed 40 s by round 21 — this graph was
+    // effectively unfinishable. Lineage.cut keeps every round O(1) deep.
+    val n = 150000L
+    val nodes = spark.range(n).select(col("id").as("src"), col("id").as("dst"))
+    val fwd = spark.range(n - 1).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val bwd = fwd.select(col("dst").as("src"), col("src").as("dst"))
+    val t0 = System.nanoTime
+    val labels = Graphs.minLabelComponents(nodes.unionByName(fwd).unionByName(bwd))
+    val byLbl = labels.groupBy("lbl").count().collect()
+    val secs = (System.nanoTime - t0) / 1e9
+    assert(byLbl.length == 1 && byLbl.head.getLong(0) == 0L &&
+      byLbl.head.getLong(1) == n)
+    // new code: ~8 s on this box; pre-fix: minutes and growing. The bound
+    // is deliberately loose against co-tenant noise while still firmly
+    // rejecting the exponential regression.
+    assert(secs < 90.0, f"high-diameter components took $secs%.1f s")
+  }
 }
