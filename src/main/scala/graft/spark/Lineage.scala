@@ -28,9 +28,16 @@ private[spark] object Lineage {
     * RDD handle for releasing them once a successor generation exists.
     * (Loop use: `unpersist` the PREVIOUS round's handle only after the
     * current round's `cut` returned — a local checkpoint cannot be
-    * recomputed once its blocks are gone.) */
+    * recomputed once its blocks are gone.)
+    *
+    * The checkpoint is taken on a FRESH identity wrapper, never on
+    * `df.rdd` itself: `Dataset.rdd` is a lazy val, so checkpointing the
+    * canonical RDD would leave the Dataset permanently truncated — a
+    * second `cut` of the same Dataset after `unpersist` would then try to
+    * recompute through the checkpoint placeholder and die with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. */
   def cut(df: DataFrame): (DataFrame, RDD[Row]) = {
-    val rdd = df.rdd
+    val rdd = df.rdd.mapPartitions(identity, preservesPartitioning = true)
     rdd.localCheckpoint()
     rdd.count()
     (df.sparkSession.createDataFrame(rdd, df.schema), rdd)

@@ -177,4 +177,28 @@ class Round5Spec extends SparkTestBase {
     // rejecting the exponential regression.
     assert(secs < 90.0, f"high-diameter components took $secs%.1f s")
   }
+
+  test("minLabelComponents: over-cap quotient falls back to propagation rounds; fixpoint identical") {
+    // two path components (0..59 and 100..139) + an isolated node: the
+    // round-0 quotient (= the raw undirected edge set, 99 pairs) exceeds
+    // a cap of 8, forcing propagation rounds; each round shrinks the
+    // distinct-label count until the quotient fits and the driver
+    // collapse finishes. The fixpoint must equal the default-cap path's.
+    def path(lo: Long, hi: Long): DataFrame = {
+      val fwd = spark.range(lo, hi).select(col("id").as("src"), (col("id") + 1).as("dst"))
+      fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val nodes = spark.range(0L, 60L).union(spark.range(100L, 140L)).union(spark.range(999L, 1000L))
+      .select(col("id").as("src"), col("id").as("dst"))
+    val edges = nodes.unionByName(path(0L, 59L)).unionByName(path(100L, 139L))
+    val tight = Graphs.minLabelComponents(edges, maxQuotientEdges = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val loose = Graphs.minLabelComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tight == loose)
+    assert((0L until 60L).forall(tight(_) == 0L))
+    assert((100L until 140L).forall(tight(_) == 100L))
+    assert(tight(999L) == 999L)
+    assert(tight.size == 101)
+  }
 }
