@@ -1152,6 +1152,15 @@ object SparkEntry {
       assert(!constrained, "DISJOINT must refuse the prefilter")
       res.select(col("id"))
     }),
+    "q111_simhash_neardup" -> ((s, dir) => {
+      // Manku-style Hamming-ball near-dup pairs over the 31-bit simhash:
+      // pigeonhole banding (maxHamming+1 bands) is LOSSLESS for
+      // <= maxHamming, so the banded candidate join + exact popcount
+      // filter equals brute force — the oracle computes exactly that
+      graft.spark.TextOps.simhashNearDupPairs(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        maxHamming = 2)
+    }),
     "q96_multi_index_heuristic" -> ((s, dir) => {
       // the HEURISTIC-MATCH chooser (most constrained dimensions, then
       // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
@@ -1620,6 +1629,19 @@ object SparkEntry {
          |  SELECT doc_id, lon + o.dx AS x, lat + o.dy AS y FROM pages, $geomOffsets)
          |SELECT doc_id AS id FROM pts GROUP BY 1
          |HAVING bool_and(NOT (x > 10.005 AND x < 120.005 AND y > -20.005 AND y < 60.005))""".stripMargin,
+    // brute-force Hamming ball over the q18 signatures — the banded plan is
+    // lossless for <= maxHamming, so the all-pairs oracle matches exactly
+    "q111_simhash_neardup" ->
+      s"""WITH words AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w FROM documents),
+         |wh AS (SELECT doc_id, ${duckHash("w")} AS h FROM words),
+         |bits AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+         |         FROM wh, (SELECT unnest(range(31)) AS j) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id AS id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         |        FROM bits GROUP BY 1)
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
     "q26_kde" -> kdeSql(bits = 5),
     "q61_kde_levels" -> kdeLevelsSql(minBits = 3, maxBits = 5),
     "q62_bucketed_join" -> {

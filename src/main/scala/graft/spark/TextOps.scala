@@ -214,6 +214,73 @@ object TextOps {
       .agg(sum(when(col("s") > 0, expr("shiftleft(1L, j)")).otherwise(0L)).as("simhash"))
   }
 
+  /**
+   * SimHash Hamming-ball near-dup pairs (Manku, Jain & Das Sarma, WWW'07
+   * "Detecting Near-Duplicates for Web Crawling"): pairs of documents
+   * whose 31-bit [[simhash]] signatures differ in at most `maxHamming`
+   * bits. Candidate generation is the paper's pigeonhole banding — the
+   * signature splits into `maxHamming + 1` contiguous bit bands, and any
+   * pair within the Hamming ball must agree EXACTLY on at least one whole
+   * band — so candidates come from banded equi-joins (never an n² pass)
+   * and, uncapped, the output EQUALS brute force: banding is lossless for
+   * ≤ maxHamming, and the popcount filter removes every false positive.
+   * Output: (a_id, b_id, hamming) with a < b.
+   *
+   * Scale: each document emits maxHamming+1 bucket rows; a band bucket
+   * with f members yields f² candidate rows in the self-join, and with 31
+   * signature bits a band carries only ~31/(h+1) bits, so web-scale
+   * corpora concentrate into few buckets (the paper counters this with
+   * 64-bit fingerprints and permuted tables). `maxBucket` is the same
+   * hot-bucket guard as [[minhashLshPairs]]: over-cap buckets are dropped
+   * before candidate generation (logged; capped output ⊆ uncapped).
+   */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int,
+                          maxBucket: Long = Long.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 31,
+      s"maxHamming must be in [0, 30] for a 31-bit simhash, got $maxHamming")
+    val nBands = maxHamming + 1
+    val lens = Array.tabulate(nBands)(b => 31 / nBands + (if (b < 31 % nBands) 1 else 0))
+    val starts = lens.scanLeft(0)(_ + _)
+    val sigs = simhash(docs, idCol, textCol)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), starts(b))
+          .bitwiseAND(lit((1L << lens(b)) - 1)).as("bucket"))
+    }
+    val allBuckets = sigs
+      .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets =
+      if (maxBucket == Long.MaxValue) allBuckets
+      else {
+        // cache: the telemetry count below must not recompute the
+        // signature aggregation a second time
+        val ab = allBuckets.cache()
+        val szW = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+        val kept = ab
+          .withColumn("bsz", count(lit(1)).over(szW))
+          .where(col("bsz") <= maxBucket)
+          .drop("bsz")
+          .localCheckpoint(true)
+        val droppedRows = ab.count() - kept.count()
+        ab.unpersist()
+        println(s"[graft] simhashNearDupPairs: dropped $droppedRows bucket " +
+          s"memberships in buckets larger than $maxBucket")
+        kept
+      }
+    // popcount BEFORE distinct: the cheap codegen'd filter shrinks the
+    // distinct's input (a pair matching on k bands appears k times)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** exact quantized-cosine near-dup pairs over embeddings (a < b,
     * cos >= tau); round(x*1000) integer arithmetic end-to-end so ranking
     * and thresholding are portable. */

@@ -72,6 +72,29 @@ class TextOpsSpec extends SparkTestBase {
     assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
   }
 
+  test("simhashNearDupPairs == brute-force Hamming ball (pigeonhole is lossless); cap ⊆ uncapped") {
+    val sigs = TextOps.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    def brute(h: Int): Set[(Long, Long, Int)] = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= h
+    } yield (a, b, d)).toSet
+    for (h <- Seq(0, 2, 5)) {
+      val got = TextOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == brute(h), s"maxHamming=$h")
+    }
+    // exact dup (0,7) has hamming 0 — must appear at every h
+    val h0 = TextOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h0.contains((0L, 7L)))
+    // hot-bucket cap drops pairs, never invents them
+    val capped = TextOps.simhashNearDupPairs(docs, "doc_id", "text",
+        maxHamming = 5, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(brute(5)))
+  }
+
   test("embedding near-dup: LSH pairs subset of exact pairs; planted dup found") {
     import spark.implicits._
     // deterministic vectors; 0 and 1 nearly identical
