@@ -201,4 +201,18 @@ class Round5Spec extends SparkTestBase {
     assert(tight(999L) == 999L)
     assert(tight.size == 101)
   }
+
+  test("simhashNearDupPairs: every join is an equi-join (no Cartesian/BNLJ anywhere in the plan)") {
+    val docs = (0L until 60L)
+      .map(i => (i, s"token${i % 7} shared words alpha beta gamma delta ${i % 3}"))
+      .toDF("doc_id", "text")
+    val df = TextOps.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 2)
+    val plan = df.queryExecution.sparkPlan
+    val offenders = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(offenders.isEmpty,
+      "candidate generation must stay a banded equi-join, found:\n" + offenders.mkString("\n"))
+  }
 }
