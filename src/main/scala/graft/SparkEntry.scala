@@ -1166,6 +1166,16 @@ object SparkEntry {
           .where(col("doc_id") % 3 === 0), "doc_id", "text",
         maxHamming = 2)
     }),
+    "q112_minhash_lsh_incremental" -> ((s, dir) => {
+      // recrawl-delta near-dup: the NEW batch (doc_id % 3 = 0) probes the
+      // EXISTING corpus (the other two thirds) through banded LSH buckets —
+      // candidates cross sides only, exact Jaccard verify, same bands/
+      // hashing as q17 (whose oracle CTE chain this one parameterizes)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.spark.TextOps.minhashLshPairsAgainst(
+        docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0),
+        "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, tau = 0.5)
+    }),
     "q96_multi_index_heuristic" -> ((s, dir) => {
       // the HEURISTIC-MATCH chooser (most constrained dimensions, then
       // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
@@ -1381,6 +1391,25 @@ object SparkEntry {
   }
 
   private val minhashSql: String = s"WITH $minhashCtes\n$jaccardTail"
+
+  /** the q17 CTE chain parameterized PER SIDE for the recrawl-delta oracle
+    * (q112): shingles, signatures and LSH buckets of the docs matching
+    * `filter`, all suffixed so two sides coexist in one WITH. */
+  private def minhashSideCtes(suffix: String, filter: String): String = {
+    val sigCols = (0 until 16)
+      .map(j => s"min((${2 * j + 1} * h + ${12345L * j + 1}) % 2147483647) AS sig$j").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val bucket = (0 until 4).map(r => s"sig${b * 4 + r}")
+        .reduce((acc, s2) => s"(($acc) * 786433 + $s2) % 2147483647")
+      s"SELECT id, $b AS band, $bucket AS bucket FROM sig$suffix"
+    }.mkString(" UNION ALL ")
+    s"""sh$suffix AS (
+       |  SELECT DISTINCT doc_id, unnest([array_to_string(words[i:i+2], ' ') FOR i IN range(1, greatest(len(words)-1, 1))]) AS shingle
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE ($filter) AND len(string_split(text, ' ')) >= 3)),
+       |shh$suffix AS (SELECT doc_id, ${duckHash("shingle")} AS h FROM sh$suffix),
+       |sig$suffix AS (SELECT doc_id AS id, $sigCols FROM shh$suffix GROUP BY doc_id),
+       |buckets$suffix AS ($bands)""".stripMargin
+  }
 
   private val quantCte =
     "quant AS (SELECT vec_id, [CAST(ROUND(x * 1000) AS BIGINT) FOR x IN embedding] AS v FROM embeddings)"
@@ -1647,6 +1676,23 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
          |FROM sig a JOIN sig b ON a.id < b.id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""".stripMargin,
+    // the q17 pipeline run asymmetrically: NEW-batch buckets probe
+    // CORPUS buckets (candidates cross sides only), exact Jaccard verify
+    "q112_minhash_lsh_incremental" ->
+      s"""WITH ${minhashSideCtes("N", "doc_id % 3 = 0")},
+         |${minhashSideCtes("C", "doc_id % 3 <> 0")},
+         |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id FROM bucketsN a
+         |         JOIN bucketsC b ON a.band = b.band AND a.bucket = b.bucket),
+         |pairs AS (SELECT c.a_id, c.b_id, count(*) AS inter FROM cand c
+         |          JOIN shN sa ON sa.doc_id = c.a_id
+         |          JOIN shC sb ON sb.doc_id = c.b_id AND sa.shingle = sb.shingle
+         |          GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id, p.inter, sa.sz AS size_a, sb.sz AS size_b,
+         |       CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jac
+         |FROM pairs p
+         |JOIN (SELECT doc_id, count(*) AS sz FROM shN GROUP BY 1) sa ON sa.doc_id = p.a_id
+         |JOIN (SELECT doc_id, count(*) AS sz FROM shC GROUP BY 1) sb ON sb.doc_id = p.b_id
+         |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5""".stripMargin,
     "q26_kde" -> kdeSql(bits = 5),
     "q61_kde_levels" -> kdeLevelsSql(minBits = 3, maxBits = 5),
     "q62_bucketed_join" -> {

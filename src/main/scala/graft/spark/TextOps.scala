@@ -148,37 +148,9 @@ object TextOps {
     // localCheckpoint materializes it eagerly and, unlike cache(), its
     // blocks are context-cleaner-released when the frame is GC'd
     val sh = shingles(docs, idCol, textCol, n).localCheckpoint(true)
-    val sig = minhashSignaturesFrom(sh, numHashes)
-    val B = 786433L
-    val bandCols = (0 until bands).map { b =>
-      val bucket = (0 until rowsPerBand)
-        .map(r => col(s"sig${b * rowsPerBand + r}"))
-        .reduce((acc, s) => (acc * B + s) % P)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-    val allBuckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    // hot-bucket guard: a degenerate bucket with f members yields f² pairs
-    // in the self-join below. Buckets over `maxBucket` are dropped before
-    // candidate generation (the window shuffles on the same (band, bucket)
-    // key the join needs, so this adds no extra exchange).
-    val buckets =
-      if (maxBucket == Long.MaxValue) allBuckets
-      else {
-        // cache the signature/bucket table: the telemetry count below must
-        // not re-run the whole shingle→MinHash pipeline a second time
-        val ab = allBuckets.cache()
-        val szW = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
-        val kept = ab
-          .withColumn("bsz", count(lit(1)).over(szW))
-          .where(col("bsz") <= maxBucket)
-          .drop("bsz")
-          .localCheckpoint(true)
-        val droppedRows = ab.count() - kept.count()
-        ab.unpersist()
-        println(s"[graft] minhashLshPairs: dropped $droppedRows bucket memberships in buckets larger than $maxBucket")
-        kept
-      }
+    val allBuckets =
+      lshBuckets(minhashSignaturesFrom(sh, numHashes), bands, rowsPerBand)
+    val buckets = capHotBuckets(allBuckets, maxBucket, "minhashLshPairs")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -195,6 +167,92 @@ object TextOps {
     inter
       .join(sizes.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "size_a"), "a_id")
       .join(sizes.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "size_b"), "b_id")
+      .withColumn("jac", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .where(col("jac") >= tau)
+      .select("a_id", "b_id", "inter", "size_a", "size_b", "jac")
+  }
+
+  /** (band, bucket) LSH keys from a signature frame: band b's bucket is
+    * the mod-p polynomial fold of its rowsPerBand signature columns. */
+  private def lshBuckets(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val B = 786433L
+    val bandCols = (0 until bands).map { b =>
+      val bucket = (0 until rowsPerBand)
+        .map(r => col(s"sig${b * rowsPerBand + r}"))
+        .reduce((acc, s) => (acc * B + s) % P)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** hot-bucket guard shared by every banded candidate join: a degenerate
+    * bucket with f members yields f² candidate pairs, so rows in
+    * (band, bucket) groups over `maxBucket` are dropped BEFORE candidate
+    * generation (logged; the window shuffles on the same key the join
+    * needs, so this adds no extra exchange). Works on any frame carrying
+    * band/bucket columns; extra columns ride along. */
+  private def capHotBuckets(allBuckets: DataFrame, maxBucket: Long,
+                            tag: String): DataFrame =
+    if (maxBucket == Long.MaxValue) allBuckets
+    else {
+      // cache the bucket table: the telemetry count below must not re-run
+      // the whole upstream signature pipeline a second time
+      val ab = allBuckets.cache()
+      val szW = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
+      val kept = ab
+        .withColumn("bsz", count(lit(1)).over(szW))
+        .where(col("bsz") <= maxBucket)
+        .drop("bsz")
+        .localCheckpoint(true)
+      val droppedRows = ab.count() - kept.count()
+      ab.unpersist()
+      println(s"[graft] $tag: dropped $droppedRows bucket memberships in buckets larger than $maxBucket")
+      kept
+    }
+
+  /**
+   * Incremental (recrawl-delta) MinHash+LSH near-dup pairs: each NEW
+   * document against an EXISTING corpus — the asymmetric twin of
+   * [[minhashLshPairs]] for the recrawl pipeline, where only the delta
+   * batch should pay signature+probe cost while the corpus side's
+   * buckets are a stable, reusable artifact (here recomputed from text;
+   * a store deployment persists them like the q60 Bloom/posting
+   * artifacts). Candidates share ≥ 1 band bucket ACROSS sides (never a
+   * self-join over the union), the exact Jaccard verify runs on each
+   * side's own shingles, and with no caps the output equals exactly the
+   * cross-side subset of [[minhashLshPairs]] over the union (same bands,
+   * same hashing — spec-pinned). Output: (a_id = new doc, b_id = corpus
+   * doc, inter, size_a, size_b, jac ≥ tau); a recrawled unchanged page
+   * pairs with its own previous crawl.
+   */
+  def minhashLshPairsAgainst(corpus: DataFrame, newDocs: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int, bands: Int, rowsPerBand: Int, tau: Double,
+                             maxBucket: Long = Long.MaxValue): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val shN = shingles(newDocs, idCol, textCol, n).localCheckpoint(true)
+    val shC = shingles(corpus, idCol, textCol, n).localCheckpoint(true)
+    val bN = capHotBuckets(
+      lshBuckets(minhashSignaturesFrom(shN, numHashes), bands, rowsPerBand),
+      maxBucket, "minhashLshPairsAgainst(new)")
+    val bC = capHotBuckets(
+      lshBuckets(minhashSignaturesFrom(shC, numHashes), bands, rowsPerBand),
+      maxBucket, "minhashLshPairsAgainst(corpus)")
+    val cand = bN.as("a").join(bC.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    val sizesN = shN.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizesC = shC.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(shN.withColumnRenamed("id", "a_id"), "a_id")
+      .join(shC.withColumnRenamed("id", "b_id"), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesN.withColumnRenamed("id", "a_id").withColumnRenamed("sz", "size_a"), "a_id")
+      .join(sizesC.withColumnRenamed("id", "b_id").withColumnRenamed("sz", "size_b"), "b_id")
       .withColumn("jac", col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter")).cast("double"))
       .where(col("jac") >= tau)
@@ -252,24 +310,7 @@ object TextOps {
       .select(col("id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"),
         col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val buckets =
-      if (maxBucket == Long.MaxValue) allBuckets
-      else {
-        // cache: the telemetry count below must not recompute the
-        // signature aggregation a second time
-        val ab = allBuckets.cache()
-        val szW = org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))
-        val kept = ab
-          .withColumn("bsz", count(lit(1)).over(szW))
-          .where(col("bsz") <= maxBucket)
-          .drop("bsz")
-          .localCheckpoint(true)
-        val droppedRows = ab.count() - kept.count()
-        ab.unpersist()
-        println(s"[graft] simhashNearDupPairs: dropped $droppedRows bucket " +
-          s"memberships in buckets larger than $maxBucket")
-        kept
-      }
+    val buckets = capHotBuckets(allBuckets, maxBucket, "simhashNearDupPairs")
     // popcount BEFORE distinct: the cheap codegen'd filter shrinks the
     // distinct's input (a pair matching on k bands appears k times)
     buckets.as("a").join(buckets.as("b"),

@@ -72,6 +72,35 @@ class TextOpsSpec extends SparkTestBase {
     assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
   }
 
+  test("minhashLshPairsAgainst == cross-side subset of the symmetric run; subset of brute-force Jaccard") {
+    // corpus = even ids, new batch = odd ids; doc 1 near-dups corpus doc 0,
+    // doc 7 is an exact dup of corpus doc 0
+    val corpus = docs.where(col("doc_id") % 2 === 0)
+    val fresh = docs.where(col("doc_id") % 2 =!= 0)
+    val got = TextOps.minhashLshPairsAgainst(corpus, fresh, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((7L, 0L)), "exact dup must probe into its corpus twin")
+    assert(got.contains((1L, 0L)), "planted near-dup must be found")
+    // uncapped, the asymmetric run is exactly the cross-side subset of the
+    // symmetric self-join over the union (same bands, same hashing)
+    val sym = TextOps.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, bands = 4, rowsPerBand = 4, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFromSym = sym.collect {
+      case (a, b) if a % 2 != 0 && b % 2 == 0 => (a, b)
+      case (a, b) if b % 2 != 0 && a % 2 == 0 => (b, a)
+    }
+    assert(got == crossFromSym)
+    // and every survivor is a true Jaccard >= tau pair
+    def jac(a: Long, b: Long): Double = {
+      val byId = docs.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      val (sa, sb) = (wordShingles(byId(a), 3), wordShingles(byId(b), 3))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    got.foreach { case (a, b) => assert(jac(a, b) >= 0.5, s"($a,$b)") }
+  }
+
   test("simhashNearDupPairs == brute-force Hamming ball (pigeonhole is lossless); cap ⊆ uncapped") {
     val sigs = TextOps.simhash(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
