@@ -1176,6 +1176,15 @@ object SparkEntry {
         docs.where(col("doc_id") % 3 =!= 0), docs.where(col("doc_id") % 3 === 0),
         "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, tau = 0.5)
     }),
+    "q113_mixture_sample" -> ((s, dir) => {
+      // deterministic training-mix sampling: en downsampled to 0.6,
+      // zh upsampled to 2.3 (two whole copies + 30% a third), fr dropped,
+      // es/de at the 1.0 default — epoch = 0-based copy index; the draw
+      // hashes "id:lang" so the oracle replays every verdict exactly
+      graft.spark.TextOps.mixtureSample(
+        s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", MixWeights)
+    }),
     "q96_multi_index_heuristic" -> ((s, dir) => {
       // the HEURISTIC-MATCH chooser (most constrained dimensions, then
       // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
@@ -1391,6 +1400,25 @@ object SparkEntry {
   }
 
   private val minhashSql: String = s"WITH $minhashCtes\n$jaccardTail"
+
+  /** q113's mixture weights; the oracle derives its integer CASE literals
+    * from THIS map with the same whole/frac decomposition the operator
+    * applies, so the two sides cannot drift. */
+  private val MixWeights = Map("en" -> 0.6, "zh" -> 2.3, "fr" -> 0.0)
+
+  private def mixtureSampleSql(weights: Map[String, Double], default: Double): String = {
+    def wholeOf(w: Double): Long = math.floor(w).toLong
+    def fracOf(w: Double): Long = math.round((w - math.floor(w)) * 1000000.0)
+    def cases(f: Double => Long) = weights.toSeq.sortBy(_._1)
+      .map { case (k, w) => s"WHEN '$k' THEN ${f(w)}" }.mkString(" ")
+    s"""WITH w AS (SELECT doc_id, lang,
+       |  CASE lang ${cases(wholeOf)} ELSE ${wholeOf(default)} END AS whole,
+       |  CASE lang ${cases(fracOf)} ELSE ${fracOf(default)} END AS frac,
+       |  ${duckHash("(CAST(doc_id AS VARCHAR) || ':' || lang)")} % 1000000 AS draw
+       |  FROM documents),
+       |c AS (SELECT doc_id, lang, whole + CASE WHEN draw < frac THEN 1 ELSE 0 END AS n FROM w)
+       |SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS epoch FROM c WHERE n > 0""".stripMargin
+  }
 
   /** the q17 CTE chain parameterized PER SIDE for the recrawl-delta oracle
     * (q112): shingles, signatures and LSH buckets of the docs matching
@@ -1693,6 +1721,7 @@ object SparkEntry {
          |JOIN (SELECT doc_id, count(*) AS sz FROM shN GROUP BY 1) sa ON sa.doc_id = p.a_id
          |JOIN (SELECT doc_id, count(*) AS sz FROM shC GROUP BY 1) sb ON sb.doc_id = p.b_id
          |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5""".stripMargin,
+    "q113_mixture_sample" -> mixtureSampleSql(MixWeights, default = 1.0),
     "q26_kde" -> kdeSql(bits = 5),
     "q61_kde_levels" -> kdeLevelsSql(minBits = 3, maxBits = 5),
     "q62_bucketed_join" -> {

@@ -259,6 +259,48 @@ object TextOps {
       .select("a_id", "b_id", "inter", "size_a", "size_b", "jac")
   }
 
+  /**
+   * Deterministic mixture (temperature) sampling — the training-mix
+   * primitive: each stratum (e.g. language or source) gets a sampling
+   * weight w; a document yields floor(w) whole copies plus one more with
+   * probability frac(w), decided by the portable hash of "id:stratum" (so
+   * the SAME document always draws the same verdict — reproducible across
+   * runs, clusters and the SQL oracle). Output = the input columns plus
+   * `epoch` (0-based copy index): w < 1 downsamples, w > 1 upsamples with
+   * repetition, w = 0 drops the stratum. One codegen'd column pass —
+   * no shuffle, no RNG state, embarrassingly parallel at any scale.
+   */
+  def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
+                    weights: Map[String, Double],
+                    defaultWeight: Double = 1.0): DataFrame = {
+    require((defaultWeight +: weights.values.toSeq).forall(w => w >= 0.0 && w.isFinite),
+      "mixture weights must be finite and >= 0")
+    // the weight decomposes DRIVER-SIDE into integer literals — whole
+    // copies + fractional threshold in millionths — so the executed plan
+    // (and the SQL oracle) contain no float arithmetic at all: DuckDB's
+    // double→BIGINT cast ROUNDS while Spark's truncates, so a float
+    // threshold would disagree on exact .5 boundaries
+    val entries = weights.toSeq.sortBy(_._1)
+    def wholeOf(w: Double): Long = math.floor(w).toLong
+    def fracOf(w: Double): Long = math.round((w - math.floor(w)) * 1000000.0)
+    val wholeCol = entries.foldLeft(lit(wholeOf(defaultWeight))) {
+      case (acc, (k, w)) => when(col(strataCol) === lit(k), lit(wholeOf(w))).otherwise(acc)
+    }
+    val fracCol = entries.foldLeft(lit(fracOf(defaultWeight))) {
+      case (acc, (k, w)) => when(col(strataCol) === lit(k), lit(fracOf(w))).otherwise(acc)
+    }
+    // the draw is uniform on [0, 1e6) by the mod-p hash of "id:stratum"
+    // (p = 2^31-1; the bucket bias of the final mod is ~5e-4 relative —
+    // deterministic and mirrored exactly by the oracle)
+    val draw = portableHash(
+      concat(col(idCol).cast("string"), lit(":"), col(strataCol))) % lit(1000000L)
+    docs.withColumn("n_copies",
+        wholeCol + when(draw < fracCol, lit(1L)).otherwise(lit(0L)))
+      .where(col("n_copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("n_copies")
+  }
+
   /** 31-bit SimHash over distinct word hashes: bit j set when
     * sum over words of (2*((h>>j)&1) - 1) is positive. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -72,6 +72,38 @@ class TextOpsSpec extends SparkTestBase {
     assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
   }
 
+  test("mixtureSample: per-stratum copies match a local replay of the id:stratum draw") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, Seq("en", "zh", "fr", "de")((i % 4).toInt)))
+    val df = rows.toDF("doc_id", "lang")
+    val weights = Map("en" -> 0.6, "zh" -> 2.3, "fr" -> 0.0)
+    val got = TextOps.mixtureSample(df, "doc_id", "lang", weights)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // local replay of the deterministic decomposition
+    def copiesOf(id: Long, lang: String): Long = {
+      val w = weights.getOrElse(lang, 1.0)
+      val whole = math.floor(w).toLong
+      val frac = math.round((w - math.floor(w)) * 1000000.0)
+      whole + (if (hashStr(s"$id:$lang") % 1000000L < frac) 1L else 0L)
+    }
+    val expect = (for {
+      (id, lang) <- rows
+      n = copiesOf(id, lang) if n > 0
+      e <- 0L until n
+    } yield (id, lang, e)).toSet
+    assert(got.toSet == expect)
+    assert(got.length == expect.size, "no duplicate (id, epoch) rows")
+    // shape properties: fr dropped, de (default 1.0) exactly once, zh >= 2
+    assert(!got.exists(_._2 == "fr"))
+    val byDoc = got.groupBy(t => (t._1, t._2)).view.mapValues(_.length).toMap
+    assert(rows.filter(_._2 == "de").forall { case (id, l) => byDoc((id, l)) == 1 })
+    assert(rows.filter(_._2 == "zh").forall { case (id, l) => byDoc((id, l)) >= 2 })
+    // the fractional draw actually splits: some en kept, some dropped
+    val enKept = rows.count { case (id, l) => l == "en" && byDoc.contains((id, l)) }
+    val enAll = rows.count(_._2 == "en")
+    assert(enKept > 0 && enKept < enAll)
+  }
+
   test("minhashLshPairsAgainst == cross-side subset of the symmetric run; subset of brute-force Jaccard") {
     // corpus = even ids, new batch = odd ids; doc 1 near-dups corpus doc 0,
     // doc 7 is an exact dup of corpus doc 0
