@@ -46,11 +46,32 @@ object DedupBench {
     val keepers = clusters.where(col("is_keeper")).count()
     val clusterSec = (System.nanoTime() - t1) / 1e9
 
+    // the simhash rung over the same corpus (q111's operator at scale):
+    // Hamming ≤ 3 with the same hot-bucket cap as the MinHash phase.
+    // NOTE the synthetic corpus SATURATES a 31-bit simhash — its shared
+    // vocabulary concentrates signatures so most band buckets exceed any
+    // cap (simhash_dropped below reports how many memberships the cap
+    // removed). The phase therefore evidences the operator's BOUNDED-COST
+    // degradation under saturation (drops logged, never an n² join), not
+    // recall; exactness of the uncapped operator is q111's oracle and
+    // TextOpsSpec's brute-force parity.
+    val t2 = System.nanoTime()
+    val shPairs = TextOps.simhashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 200).cache()
+    val nShPairs = shPairs.count()
+    val shFound = shPairs
+      .where(col("a_id") % 5 === 0 && col("b_id") === col("a_id") + 1)
+      .count()
+    val simhashSec = (System.nanoTime() - t2) / 1e9
+    shPairs.unpersist()
+
     println(
       f"""{"docs":$n,"lsh_pairs":$nPairs,"pairs_sec":$pairsSec%.2f,""" +
         f""""planted_pairs":$planted,"planted_found":$found,""" +
         f""""recall":${found.toDouble / planted}%.4f,""" +
         f""""clusters_keepers":$keepers,"cluster_sec":$clusterSec%.2f,""" +
+        f""""simhash_pairs":$nShPairs,"simhash_found":$shFound,""" +
+        f""""simhash_recall":${shFound.toDouble / planted}%.4f,"simhash_sec":$simhashSec%.2f,""" +
         f""""docs_per_sec":${(n / (pairsSec + clusterSec)).toLong}}""")
     spark.stop()
   }
