@@ -1185,6 +1185,16 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), col("lang")),
         "doc_id", "lang", MixWeights)
     }),
+    "q114_embed_lsh_incremental" -> ((s, dir) => {
+      // recrawl-delta near-dup for EMBEDDINGS: the new batch
+      // (vec_id % 3 = 0) probes the corpus's hyperplane buckets
+      // (candidates cross sides only), exact quantized cosine verifies —
+      // the embedding twin of q112 with q20's signature machinery
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.spark.TextOps.embeddingLshPairsAgainst(
+        emb.where(col("vec_id") % 3 =!= 0), emb.where(col("vec_id") % 3 === 0),
+        "vec_id", "embedding", dims = 64, bits = 8, tau = 0.4)
+    }),
     "q96_multi_index_heuristic" -> ((s, dir) => {
       // the HEURISTIC-MATCH chooser (most constrained dimensions, then
       // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
@@ -1420,6 +1430,18 @@ object SparkEntry {
        |SELECT doc_id, lang, CAST(unnest(range(n)) AS BIGINT) AS epoch FROM c WHERE n > 0""".stripMargin
   }
 
+  /** q20's quant→sig→bucket CTE chain per side for the embedding
+    * recrawl-delta oracle (q114). */
+  private def embedSideCtes(suffix: String, filter: String): String =
+    s"""quant$suffix AS (SELECT vec_id, [CAST(ROUND(x * 1000) AS BIGINT) FOR x IN embedding] AS v
+       |  FROM embeddings WHERE $filter),
+       |sigs$suffix AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket FROM (
+       |    SELECT q.vec_id, jj.j, sum(q.v[ii.i + 1] * ((jj.j * 1000003 + (ii.i + 1) * 7919) % 2001 - 1000)) AS dot
+       |    FROM quant$suffix q, (SELECT unnest(range(8)) AS j) jj, (SELECT unnest(range(64)) AS i) ii
+       |    GROUP BY 1, 2) GROUP BY 1),
+       |qb$suffix AS (SELECT q.vec_id, q.v, s.bucket FROM quant$suffix q JOIN sigs$suffix s USING (vec_id))""".stripMargin
+
   /** the q17 CTE chain parameterized PER SIDE for the recrawl-delta oracle
     * (q112): shingles, signatures and LSH buckets of the docs matching
     * `filter`, all suffixed so two sides coexist in one WITH. */
@@ -1642,6 +1664,13 @@ object SparkEntry {
          |qb AS (SELECT q.vec_id, q.v, s.bucket FROM quant q JOIN sigs s USING (vec_id))
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket, $cosExpr AS cos
          |FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE $cosExpr >= 0.4""".stripMargin,
+    // q20's CTE chain per side: the NEW batch's buckets probe the corpus's
+    "q114_embed_lsh_incremental" ->
+      s"""WITH ${embedSideCtes("N", "vec_id % 3 = 0")},
+         |${embedSideCtes("C", "vec_id % 3 <> 0")}
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.bucket AS bucket, $cosExpr AS cos
+         |FROM qbN a JOIN qbC b ON a.bucket = b.bucket
          |WHERE $cosExpr >= 0.4""".stripMargin,
     "q21_langid" ->
       """WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -436,6 +436,34 @@ object TextOps {
   }
 
   /**
+   * Incremental (recrawl-delta) embedding near-dup: each NEW vector
+   * against an EXISTING corpus through the shared hyperplane-signature
+   * buckets — the embedding twin of [[minhashLshPairsAgainst]]. The new
+   * side probes the corpus side's buckets (candidates cross sides only,
+   * never a self-join over the union; the corpus buckets are the stable
+   * reusable artifact in a store deployment), then the exact quantized
+   * cosine verifies. Output: (a_id = new, b_id = corpus, bucket, cos);
+   * a re-embedded unchanged item pairs with its own previous version.
+   */
+  def embeddingLshPairsAgainst(corpus: DataFrame, newVecs: DataFrame,
+                               idCol: String, vecCol: String,
+                               dims: Int, bits: Int, tau: Double): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => round(x.cast("double") * 1000).cast("long")).as("v"))
+      .withColumn("n2", GeoFunctions.dot_long(col("v"), col("v")))
+      .withColumn("bucket", hyperplaneSig(col("v"), dims, bits))
+    val dot = GeoFunctions.dot_long(col("a.v"), col("b.v"))
+    prep(newVecs).as("a").join(prep(corpus).as("b"),
+        col("a.bucket") === col("b.bucket"))
+      .where(col("a.n2") > 0 && col("b.n2") > 0) // zero vectors: see exact path
+      .withColumn("cos", dot.cast("double") /
+        sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
+      .where(col("cos") >= tau)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.bucket").as("bucket"), col("cos"))
+  }
+
+  /**
    * Collapse near-dup pairs into DUPLICATE CLUSTERS and pick keepers —
    * the step after candidate verification in every dedup pipeline:
    * connected components over the pair graph (min-label propagation,

@@ -178,6 +178,31 @@ class TextOpsSpec extends SparkTestBase {
     assert(lsh.nonEmpty)
   }
 
+  test("embeddingLshPairsAgainst == cross-side subset of the symmetric run") {
+    import spark.implicits._
+    val vecs = (0L until 80L).map { i =>
+      val src = if (i == 1) 0L else i // vec 1 = vec 0 + tiny perturbation
+      val base = Array.tabulate(16)(d => (((src * 31 + d * 7) % 19) - 9).toFloat / 9f)
+      if (i == 1) base(0) = base(0) + 0.01f
+      (i, base.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val corpus = emb.where(col("vec_id") % 2 === 0)
+    val fresh = emb.where(col("vec_id") % 2 =!= 0)
+    val got = TextOps.embeddingLshPairsAgainst(corpus, fresh, "vec_id", "embedding",
+        dims = 16, bits = 8, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 0L)), "planted near-dup must probe into its corpus twin")
+    val sym = TextOps.embeddingLshPairs(emb, "vec_id", "embedding",
+        dims = 16, bits = 8, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFromSym = sym.collect {
+      case (a, b) if a % 2 != 0 && b % 2 == 0 => (a, b)
+      case (a, b) if b % 2 != 0 && a % 2 == 0 => (b, a)
+    }
+    assert(got == crossFromSym)
+  }
+
   test("annIvf: k rows per query, self is top-1, candidates from probed lists only") {
     import spark.implicits._
     val vecs = (0L until 200L).map { i =>
