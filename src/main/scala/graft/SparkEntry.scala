@@ -1195,6 +1195,14 @@ object SparkEntry {
         emb.where(col("vec_id") % 3 =!= 0), emb.where(col("vec_id") % 3 === 0),
         "vec_id", "embedding", dims = 64, bits = 8, tau = 0.4)
     }),
+    "q115_pack_sequences" -> ((s, dir) => {
+      // GPT-style concat-and-cut packing: 8 hash shards, 2048-token
+      // sequences; every doc's stream offset and first-sequence bin are
+      // pure integer window arithmetic the oracle replays exactly
+      graft.spark.TextOps.packSequences(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        budget = 2048L, shards = 8)
+    }),
     "q96_multi_index_heuristic" -> ((s, dir) => {
       // the HEURISTIC-MATCH chooser (most constrained dimensions, then
       // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
@@ -1751,6 +1759,16 @@ object SparkEntry {
          |JOIN (SELECT doc_id, count(*) AS sz FROM shC GROUP BY 1) sb ON sb.doc_id = p.b_id
          |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5""".stripMargin,
     "q113_mixture_sample" -> mixtureSampleSql(MixWeights, default = 1.0),
+    // DuckDB SUM(BIGINT) window is HUGEINT — CAST back; // is integer div
+    "q115_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id AS id,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tokens,
+         |  ${duckHash("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM documents),
+         |s AS (SELECT id, n_tokens, shard,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |  FROM t)
+         |SELECT id, n_tokens, shard, start_offset, start_offset // 2048 AS bin FROM s""".stripMargin,
     "q26_kde" -> kdeSql(bits = 5),
     "q61_kde_levels" -> kdeLevelsSql(minBits = 3, maxBits = 5),
     "q62_bucketed_join" -> {

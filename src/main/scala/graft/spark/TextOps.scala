@@ -560,6 +560,34 @@ object TextOps {
       size(nonEmptyWords(textCol)).cast("long").as("n_words"),
       regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long").as("n_tokens"))
 
+  /**
+   * Concat-and-cut sequence packing (the GPT-style pretraining layout):
+   * documents route to `shards` deterministic shards by portable id-hash,
+   * concatenate within the shard in id order, and the resulting token
+   * stream cuts into fixed `budget`-token sequences. Each document gets
+   * its stream position: `start_offset` (tokens before it in its shard)
+   * and `bin` = start_offset div budget (the sequence its first token
+   * lands in; long documents straddle into later bins). Token counts use
+   * the same BPE-ish portable regex as [[tokenCount]]. All arithmetic is
+   * integer (no float division — the SQL oracle replays every offset
+   * exactly); one shuffle by shard + a per-shard sort IS the packing
+   * order contract, and shard count scales the parallelism.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Long, shards: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val toks = regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("id"), toks.as("n_tokens"))
+      // portableHash is already non-negative (mod p of a non-negative fold)
+      .withColumn("shard", portableHash(col("id").cast("string")) % lit(shards.toLong))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"start_offset DIV $budget"))
+  }
+
   /** Lexicographic text range filter over a whole field value — the
     * reference's FilterableTextRangeConstraint / TextRangeFilter
     * (core/store/.../index/text/FilterableTextRangeConstraint.java:22-44,

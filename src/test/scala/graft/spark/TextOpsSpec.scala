@@ -72,6 +72,28 @@ class TextOpsSpec extends SparkTestBase {
     assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
   }
 
+  test("packSequences: offsets and bins match a local concat-and-cut replay") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i, ("tok " * ((i % 17).toInt + 1)).trim))
+    val df = rows.toDF("doc_id", "text")
+    val got = TextOps.packSequences(df, "doc_id", "text", budget = 20L, shards = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // local replay: shard by hash, order by id, running exclusive sum
+    val tokens = rows.map { case (id, t) => (id, t.split(" ").count(_.nonEmpty).toLong) }.toMap
+    val byShard = rows.map(_._1).groupBy(id => hashStr(id.toString) % 4L)
+    val expect = byShard.flatMap { case (shard, ids) =>
+      var off = 0L
+      ids.sorted.map { id =>
+        val e = (id, (tokens(id), shard, off, off / 20L))
+        off += tokens(id)
+        e
+      }
+    }
+    assert(got == expect)
+    // a doc starting exactly on a cut lands in the new bin; straddlers keep the earlier bin
+    assert(got.values.forall { case (_, _, start, bin) => bin == start / 20L })
+  }
+
   test("mixtureSample: per-stratum copies match a local replay of the id:stratum draw") {
     import spark.implicits._
     val rows = (0L until 300L).map(i => (i, Seq("en", "zh", "fr", "de")((i % 4).toInt)))
