@@ -1203,6 +1203,13 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
         budget = 2048L, shards = 8)
     }),
+    "q116_bpe_pairs" -> ((s, dir) => {
+      // BPE merge-candidate mining: top-50 within-word adjacent character
+      // pairs corpus-wide (count desc, pair asc tie-break) — the first
+      // merge round of tokenizer training as one agg + bounded rank
+      graft.spark.TextOps.bpePairCounts(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", k = 50)
+    }),
     "q96_multi_index_heuristic" -> ((s, dir) => {
       // the HEURISTIC-MATCH chooser (most constrained dimensions, then
       // bits-used; ChooseHeuristicMatchIndexQueryStrategy) over the
@@ -1759,6 +1766,14 @@ object SparkEntry {
          |JOIN (SELECT doc_id, count(*) AS sz FROM shC GROUP BY 1) sb ON sb.doc_id = p.b_id
          |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5""".stripMargin,
     "q113_mixture_sample" -> mixtureSampleSql(MixWeights, default = 1.0),
+    "q116_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+        |      FROM w WHERE length(w) >= 2),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM p GROUP BY 1)
+        |SELECT pair, cnt, rnk FROM (
+        |  SELECT pair, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS BIGINT) AS rnk FROM c)
+        |WHERE rnk <= 50""".stripMargin,
     // DuckDB SUM(BIGINT) window is HUGEINT — CAST back; // is integer div
     "q115_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id AS id,

@@ -588,6 +588,34 @@ object TextOps {
       .withColumn("bin", expr(s"start_offset DIV $budget"))
   }
 
+  /**
+   * BPE merge-candidate mining — the hot loop of byte-pair-encoding
+   * tokenizer training at corpus scale: count every within-word adjacent
+   * character pair across the corpus (each occurrence counts, so word
+   * frequency weights naturally) and rank the top `k` merge candidates
+   * (count desc, pair asc — the deterministic tie-break). One explode →
+   * partial-aggregated groupBy → rank; at 100 TB the pair-key groupBy is
+   * map-side combined, and the global rank window runs over the
+   * AGGREGATED pair table only (≤ |alphabet|² rows — bounded regardless
+   * of corpus size, so the single-partition window is safe by
+   * construction). Output: (pair, cnt, rnk ≤ k).
+   */
+  def bpePairCounts(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val words = docs
+      .select(explode(nonEmptyWords(textCol)).as("w"))
+      .where(length(col("w")) >= 2)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("pair"))
+    words
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Lexicographic text range filter over a whole field value — the
     * reference's FilterableTextRangeConstraint / TextRangeFilter
     * (core/store/.../index/text/FilterableTextRangeConstraint.java:22-44,

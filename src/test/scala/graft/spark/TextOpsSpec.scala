@@ -72,6 +72,19 @@ class TextOpsSpec extends SparkTestBase {
     assert(hamming01 < hamming02, s"near-dup hamming $hamming01 !< unrelated $hamming02")
   }
 
+  test("bpePairCounts == local adjacent-char-pair counts with deterministic tie-break") {
+    val k = 10
+    val got = TextOps.bpePairCounts(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    val counts = docs.collect().flatMap(_.getString(1).split(" "))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(k)
+      .zipWithIndex.map { case ((p, c), i) => (p, c, i + 1L) }
+    assert(got == expect)
+  }
+
   test("packSequences: offsets and bins match a local concat-and-cut replay") {
     import spark.implicits._
     val rows = (0L until 200L).map(i => (i, ("tok " * ((i % 17).toInt + 1)).trim))
